@@ -1,0 +1,289 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.functions.DetHash
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over `documents` — exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash — and embedding-cosine near-dup over
+  * `embeddings`. These are the LLM-training-pipeline workhorses; each is
+  * built to avoid the O(n²) all-pairs comparison that dies at scale:
+  *
+  *  - exact:      one hash-shuffle on the normalized text key.
+  *  - n-gram:     inverted shingle index → pairs share a shuffle key
+  *                (the shingle), never a cross join.
+  *  - MinHash:    signatures are a map stage; candidate pairs come from a
+  *                band-bucket equi-join (shuffle on band hash).
+  *  - SimHash:    60-bit signature map stage; banded equi-join with a
+  *                pigeonhole guarantee (10 bands ⇒ hamming ≤ 8 always
+  *                shares ≥2 clean bands), then exact hamming verify.
+  *  - cosine:     thresholded pair join — kept exact here (the LSH-bucketed
+  *                scale path is `graft.ops.Similarity.s2AnnLsh`).
+  *
+  * All hash material is md5-derived (see DetHash) so the DuckDB oracle
+  * reproduces every bit.
+  */
+object Dedup {
+
+  /** Distinct 3-word shingles of the (space-tokenized) text. */
+  private def shingles(text: Column): Column = {
+    val w = split(text, " ")
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(0), size(w) - 3), i =>
+        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val shinglesSqlCte: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(w) >= 3
+      |       THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)])
+      |       ELSE [] END AS s
+      |FROM w)""".stripMargin
+
+  /** Exact dedup on normalized text: group on the content key, keep the
+    * lowest doc_id as representative. One shuffle; at 100 TB the group key
+    * would be a 128-bit content hash instead of the text itself to keep
+    * shuffle rows narrow — emitted here too (md5) to make that concrete.
+    */
+  val d1Exact: Q = Q.sql(
+    "d1_dedup_exact",
+    "Exact duplicate grouping on normalized text (hash group-by).",
+    """SELECT md5(lower(trim(text))) AS content_key,
+      |       MIN(doc_id) AS keep_doc_id,
+      |       COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1 ORDER BY keep_doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy(md5(lower(trim(col("text")))).as("content_key"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+  }
+
+  /** Exact n-gram Jaccard near-dup via inverted shingle index: explode
+    * distinct shingles, self-equi-join on the shingle (never a cross
+    * join), count common shingles per pair, Jaccard = |∩| / |∪|.
+    */
+  val d2NgramJaccard: Q = Q.sql(
+    "d2_dedup_ngram_jaccard",
+    "3-gram Jaccard ≥ 0.8 near-dup pairs via inverted shingle index.",
+    s"""WITH $shinglesSqlCte,
+       |cnt AS (SELECT doc_id, len(s) AS nsh FROM sh WHERE len(s) > 0),
+       |ex AS (SELECT doc_id, UNNEST(s) AS s FROM sh WHERE len(s) > 0),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b,
+       |  ROUND(CAST(c.n_common AS DOUBLE) / (ca.nsh + cb.nsh - c.n_common), 6) AS jaccard
+       |FROM common c
+       |JOIN cnt ca ON c.doc_a = ca.doc_id
+       |JOIN cnt cb ON c.doc_b = cb.doc_id
+       |WHERE CAST(c.n_common AS DOUBLE) / (ca.nsh + cb.nsh - c.n_common) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("s"))
+      .filter(size(col("s")) > 0)
+    val cnt = docs.select(col("doc_id"), size(col("s")).as("nsh"))
+    val ex = docs.select(col("doc_id"), explode(col("s")).as("s"))
+    val common = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common").cast("double") /
+      (col("ca.nsh") + col("cb.nsh") - col("n_common"))
+    common
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .filter(jac >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val K = 32 // minhash functions
+  private val BANDS = 8 // bands of 4 rows each
+  private val R = K / BANDS
+
+  /** MinHash + LSH banding. Signature = 32 md5-derived min-hashes; 8
+    * bands of 4 → candidate pairs share a (band, band-hash) shuffle key.
+    * Candidates are then verified with exact Jaccard — output carries the
+    * verified similarity, flagged at the 0.7 dedup threshold.
+    *
+    * The oracle replicates the *entire* pipeline (hashes included), so
+    * the check is exact even for borderline candidates LSH could
+    * probabilistically drop.
+    */
+  val d3MinHashLsh: Q = Q.sql(
+    "d3_dedup_minhash_lsh",
+    s"MinHash($K) + LSH($BANDS bands × $R) candidates, exact-Jaccard verified.",
+    s"""WITH $shinglesSqlCte,
+       |cnt AS (SELECT doc_id, len(s) AS nsh FROM sh WHERE len(s) > 0),
+       |ex AS (SELECT doc_id, UNNEST(s) AS s FROM sh WHERE len(s) > 0),
+       |hi AS (
+       |  SELECT doc_id, i.i AS i,
+       |         MIN(('0x' || substring(md5(CAST(i.i AS VARCHAR) || '|' || s), 1, 15))::BIGINT) AS mh
+       |  FROM ex CROSS JOIN (SELECT UNNEST(range($K)) AS i) i
+       |  GROUP BY doc_id, i.i),
+       |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hi GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b.b AS band,
+       |         md5(array_to_string(list_transform(sig[b.b*$R+1 : b.b*$R+$R], x -> CAST(x AS VARCHAR)), ',')) AS bh
+       |  FROM sig CROSS JOIN (SELECT UNNEST(range($BANDS)) AS b) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |           / (ca.nsh + cb.nsh - len(list_intersect(sa.s, sb.s))) AS j
+       |  FROM cand c
+       |  JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id
+       |  JOIN cnt ca ON c.doc_a = ca.doc_id JOIN cnt cb ON c.doc_b = cb.doc_id)
+       |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard,
+       |       CASE WHEN j >= 0.7 THEN 1 ELSE 0 END AS is_dup
+       |FROM verified ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("s"))
+      .filter(size(col("s")) > 0)
+    val cnt = docs.select(col("doc_id"), size(col("s")).as("nsh"))
+    val ex = docs.select(col("doc_id"), explode(col("s")).as("s"))
+    // (doc, i, h) → min per (doc, i) → signature array ordered by i
+    val hi = ex
+      .select(col("doc_id"), explode(transform(sequence(lit(0), lit(K - 1)), i =>
+        struct(i.as("i"), DetHash.md5Long60(concat(i, lit("|"), col("s"))).as("h")))).as("x"))
+      .groupBy(col("doc_id"), col("x.i").as("i"))
+      .agg(min(col("x.h")).as("mh"))
+    val sig = hi.groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        x => x.getField("mh")).as("sig"))
+    val bands = sig
+      .select(col("doc_id"), explode(transform(sequence(lit(0), lit(BANDS - 1)), b =>
+        struct(b.as("band"),
+          md5(concat_ws(",", transform(slice(col("sig"), b * R + 1, lit(R)),
+            x => x.cast("string")))).as("bh")))).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val nCommon = size(array_intersect(col("sa.s"), col("sb.s")))
+    val j = nCommon.cast("double") / (col("ca.nsh") + col("cb.nsh") - nCommon)
+    cand
+      .join(docs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(docs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"),
+        when(j >= 0.7, 1).otherwise(0).as("is_dup"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val SIM_BITS = 60
+  private val SIM_BANDS = 10 // 10 bands of 6 bits; hamming ≤ 8 ⇒ ≥ 2 clean bands
+  private val HAMMING_MAX = 8
+
+  /** SimHash near-dup: 60-bit signature from md5 token hashes (bit b is
+    * the sign of Σ ±1 over tokens), banded equi-join for candidates, exact
+    * hamming verify. The oracle brute-forces all pairs — sound because the
+    * pigeonhole bound makes the banded join lossless for hamming ≤ 8.
+    */
+  val d4SimHash: Q = Q.sql(
+    "d4_dedup_simhash",
+    s"SimHash($SIM_BITS-bit) near-dup pairs with hamming ≤ $HAMMING_MAX (banded join, pigeonhole-lossless).",
+    s"""WITH tok AS (
+       |  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS t FROM documents),
+       |th AS (SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id, b.b AS b,
+       |         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM th CROSS JOIN (SELECT UNNEST(range($SIM_BITS)) AS b) b
+       |  GROUP BY doc_id, b.b),
+       |sim AS (
+       |  SELECT doc_id,
+       |         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HAMMING_MAX
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val sim = simHashes(spark, dir)
+    val bandsPerDoc = sim
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(SIM_BANDS - 1))).as("band"))
+      .withColumn("bv", expr(s"shiftright(simhash, cast(band * 6 as int)) & 63"))
+    val cand = bandsPerDoc.as("a").join(bandsPerDoc.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
+        col("b.doc_id").as("doc_b"), col("b.simhash").as("sim_b"))
+      .distinct()
+    val hamming = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+    cand.filter(hamming <= HAMMING_MAX)
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** (doc_id, simhash) — shared by d4 and its spec. */
+  def simHashes(spark: SparkSession, dir: String): DataFrame = {
+    val th = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+      .select(col("doc_id"), DetHash.md5Long60(col("t")).as("h"))
+    th.crossJoin(broadcast(spark.range(SIM_BITS).select(col("id").cast("int").as("b"))))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(when(expr("(h >> b) & 1") === 1, 1).otherwise(-1)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Embedding-cosine near-dup pairs (threshold 0.4 on this corpus).
+    * Exact thresholded pair join — both sides fold the dot product
+    * left-to-right in double, so values are bit-identical. The bucketed
+    * scale path for this operator is Similarity.s2AnnLsh.
+    */
+  val d5EmbeddingCosine: Q = Q.sql(
+    "d5_dedup_embedding",
+    "Embedding cosine ≥ 0.4 near-dup pairs (exact; LSH variant in s2_ann_lsh).",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
+       |  FROM e),
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
+       |           / (a.nrm * b.nrm) AS cos
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine
+       |FROM p WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin) { (spark, dir) =>
+    val n = normedVectors(spark, dir)
+    val cos = cosineCol(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
+    n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cos.as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** embeddings as (vec_id, v: array<double>, nrm, label). */
+  def normedVectors(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("nrm", sqrt(aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)))
+  }
+
+  /** Left-fold cosine — identical op order to the DuckDB oracle. */
+  def cosineCol(va: Column, vb: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) / (na * nb)
+
+  val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash, d5EmbeddingCosine)
+}

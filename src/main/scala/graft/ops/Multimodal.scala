@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.functions.DetHash
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride through the engine as
+  * opaque `binary` columns with typed metadata structs; decode /
+  * feature-extraction runs batched per partition (`mapPartitions` on a
+  * typed Dataset — the Scala analog of arrow-batched pandas UDFs), so a
+  * real codec drops in without touching the plan shape.
+  *
+  * No image/audio codecs exist in this container, so `decodeStub` is a
+  * clearly-marked deterministic fake; everything around it — schema,
+  * binary column handling, partition-batched UDF signature, metadata
+  * derivation — is real and tested.
+  *
+  * `m1_multimodal_meta` is the oracle-checked slice: pure-arithmetic
+  * metadata derivation over the binary payload (octet lengths + md5
+  * fingerprint), expressible in any engine.
+  */
+object Multimodal {
+
+  /** Typed media row: payload + metadata struct. */
+  final case class MediaMeta(mediaType: String, nBytes: Long, width: Int,
+      height: Int, frames: Int)
+  final case class MediaAsset(doc_id: Long, content: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(doc_id: Long, mediaType: String, nBytes: Long,
+      meanByte: Double, featureDim: Int)
+
+  /** documents → opaque binary assets with typed metadata (the ingest
+    * edge: in production `content` would come off object storage).
+    */
+  def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val bytes = text.getBytes("UTF-8")
+        val mt = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
+        MediaAsset(id, bytes,
+          MediaMeta(mt, bytes.length.toLong,
+            width = 64 + (id % 577).toInt,
+            height = 64 + (id % 331).toInt,
+            frames = (nChars % 24).toInt + 1))
+      }
+  }
+
+  /** Partition-batched decode / feature-extract.
+    *
+    * STUB: a real implementation would decode `content` with an image /
+    * audio codec and emit embeddings; this deterministic fake (mean byte
+    * value + fixed feature dim) keeps the dataflow — batch iteration,
+    * typed output, per-partition setup cost amortization — faithful.
+    */
+  def decodeStub(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      // per-partition setup (codec init in a real impl) happens here, once
+      batch.map { a =>
+        val mean =
+          if (a.content.isEmpty) 0.0
+          else a.content.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble / a.content.length
+        MediaFeatures(a.doc_id, a.meta.mediaType, a.meta.nBytes, mean, featureDim = 64)
+      }
+    }
+  }
+
+  /** Oracle-checked metadata slice: binary payload length, md5 content
+    * fingerprint, and deterministic shape metadata — all engine-portable
+    * arithmetic (per-row map stage; nothing shuffles).
+    */
+  val m1Meta: Q = Q.sql(
+    "m1_multimodal_meta",
+    "Binary-payload metadata: octet length, md5 fingerprint, derived shape.",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  ('0x' || substring(md5(text), 1, 7))::BIGINT % 256 AS content_fp,
+      |  64 + doc_id % 577 AS width,
+      |  64 + doc_id % 331 AS height,
+      |  n_chars % 24 + 1 AS frames
+      |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        (DetHash.md5Long28(col("text")) % 256).as("content_fp"),
+        (lit(64) + col("doc_id") % 577).as("width"),
+        (lit(64) + col("doc_id") % 331).as("height"),
+        (col("n_chars") % 24 + 1).as("frames"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(m1Meta)
+}

@@ -1,0 +1,417 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator suite over the TPC-H-ish test tables.
+  *
+  * Determinism discipline (needed for the DuckDB-oracle hash gate, and a
+  * good idea at 100 TB anyway): every floating-point REDUCTION goes
+  * through an exact decimal accumulator and is cast to double at the end
+  * (per-row double arithmetic is deterministic; only reduction order
+  * isn't), and every query ends in a total ORDER BY.
+  *
+  * Scale notes are per-query; the common ones: filters/projections sit
+  * directly on the parquet scan (pushdown + pruning), dimension joins are
+  * broadcast, and fact-fact work shuffles on the aggregation key only
+  * once.
+  */
+object Relational {
+
+  private def dec(c: Column, t: String = "decimal(18,2)"): Column = c.cast(t)
+
+  /** SURVEY §2 A1-adjacent classic agg: TPC-H-Q1-shaped group-by over the
+    * fact table. One shuffle on (returnflag, linestatus); partial
+    * aggregation map-side keeps shuffle bytes ~ #groups, not #rows.
+    */
+  val q1Agg: Q = Q.sql(
+    "q1_agg",
+    "Full-scan group-by aggregate over lineitem (TPC-H Q1 shape).",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice"), "decimal(12,2)") *
+            (lit(1) - dec(col("l_discount"), "decimal(4,2)")))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice"), "decimal(12,2)") *
+            (lit(1) - dec(col("l_discount"), "decimal(4,2)")) *
+            (lit(1) + dec(col("l_tax"), "decimal(4,2)")))
+          .cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Selective filter + narrow projection (TPC-H Q6 shape). The whole
+    * predicate and the 2-column read schema reach the parquet scan
+    * (PushedFilters / ReadSchema) — at 100 TB this is the difference
+    * between scanning 2 columns of a year and the whole table.
+    */
+  val q2Filter: Q = Q.sql(
+    "q2_filter_pushdown",
+    "Selective scan with predicate pushdown (TPC-H Q6 shape).",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sum(dec(col("l_extendedprice"), "decimal(12,2)") * dec(col("l_discount"), "decimal(4,2)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Fact⋈dim join with an explicit broadcast of the dimension — no
+    * shuffle of the orders fact side at all; the only exchange is the
+    * final group-by on 5 segments.
+    */
+  val q3Join: Q = Q.sql(
+    "q3_broadcast_join",
+    "orders ⋈ broadcast(customer), revenue per market segment.",
+    """SELECT c.c_mktsegment,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** 5-table snowflake join (TPC-H Q5 shape). region/nation/customer are
+    * broadcast; lineitem⋈orders is the only shuffle join (on orderkey),
+    * and AQE is free to turn it into a broadcast if the filtered orders
+    * side is small enough at runtime.
+    */
+  val q4MultiJoin: Q = Q.sql(
+    "q4_multi_join",
+    "region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem revenue rollup (TPC-H Q5 shape).",
+    """SELECT r.r_name, n.n_name,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin) { (spark, dir) =>
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice"), "decimal(12,2)") *
+            (lit(1) - dec(col("l_discount"), "decimal(4,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Top-k pattern: aggregate then `ORDER BY … LIMIT k`, which Spark
+    * executes as TakeOrderedAndProject — each partition keeps only its
+    * local top-k, so no global sort of the aggregate output happens.
+    */
+  val q5TopK: Q = Q.sql(
+    "q5_topk",
+    "Top-10 customers by order revenue (agg → TakeOrderedAndProject).",
+    """SELECT o.o_custkey, c.c_name,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY o.o_custkey, c.c_name
+      |ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_custkey"), col("c_name"))
+      .agg(
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+      .limit(10)
+  }
+
+  /** Window functions: per-customer order sequence with row_number, a
+    * running decimal-exact total, and lag. One shuffle on the partition
+    * key; all three windows share a single sort.
+    */
+  val q6Window: Q = Q.sql(
+    "q6_window",
+    "row_number / running sum / lag over per-customer order history.",
+    """SELECT o_orderkey, o_custkey,
+      |  ROW_NUMBER() OVER w AS order_seq,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend,
+      |  CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS prev_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, order_seq""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).as("order_seq"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_spend"),
+        lag(dec(col("o_totalprice")), 1).over(w).cast("double").as("prev_price"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  /** Exact distinct aggregation — Spark expands count(distinct) into a
+    * two-phase aggregate (partial distinct per partition, then merge), so
+    * the shuffle carries distinct (priority, custkey) pairs, not rows.
+    */
+  val q7Distinct: Q = Q.sql(
+    "q7_distinct",
+    "count + exact count(distinct) per order priority.",
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+      |  CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        min(col("o_totalprice")).cast("double").as("min_price"),
+        max(col("o_totalprice")).cast("double").as("max_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Set operations over two derived key sets: rich customers vs. recent
+    * buyers. INTERSECT/EXCEPT both compile to aggregate-based plans (no
+    * row-by-row driver logic), tagged and unioned into one result.
+    */
+  val q8SetOps: Q = Q.sql(
+    "q8_setops",
+    "INTERSECT / EXCEPT / UNION over two customer key sets.",
+    """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 4000),
+      |recent AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+      |SELECT 'both' AS tag, c_custkey FROM (SELECT c_custkey FROM rich INTERSECT SELECT c_custkey FROM recent) t
+      |UNION ALL
+      |SELECT 'rich_only' AS tag, c_custkey FROM (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM recent) t
+      |ORDER BY tag, c_custkey""".stripMargin) { (spark, dir) =>
+    val rich = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 4000).select("c_custkey")
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val both = rich.intersect(recent).select(lit("both").as("tag"), col("c_custkey"))
+    val richOnly = rich.except(recent).select(lit("rich_only").as("tag"), col("c_custkey"))
+    both.unionAll(richOnly).orderBy("tag", "c_custkey")
+  }
+
+  /** Semi/anti joins (EXISTS / NOT EXISTS). Both run as broadcast or
+    * shuffled hash joins that never materialize the probe side's payload
+    * — the classic way to express "has/has-no matching fact rows".
+    */
+  val q9SemiAnti: Q = Q.sql(
+    "q9_anti_semi",
+    "left_semi / left_anti joins: customers with vs. without urgent orders.",
+    """SELECT 'has_urgent' AS tag, c_custkey FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |              AND o.o_orderpriority = '1-URGENT')
+      |UNION ALL
+      |SELECT 'no_urgent' AS tag, c_custkey FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                  AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY tag, c_custkey""".stripMargin) { (spark, dir) =>
+    val c = Tables.customer(spark, dir)
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    val semi = c.join(urgent, Seq("c_custkey"), "left_semi")
+      .select(lit("has_urgent").as("tag"), col("c_custkey"))
+    val anti = c.join(urgent, Seq("c_custkey"), "left_anti")
+      .select(lit("no_urgent").as("tag"), col("c_custkey"))
+    semi.unionAll(anti).orderBy("tag", "c_custkey")
+  }
+
+  /** ROLLUP grouping sets; NULL subtotal markers are coalesced to 'ALL'
+    * so the oracle compare is collation-independent.
+    */
+  val q10Rollup: Q = Q.sql(
+    "q10_rollup",
+    "ROLLUP(returnflag, linestatus) with subtotals and grand total.",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  /** Conditional aggregation (TPC-H Q12 shape): CASE WHEN inside SUM,
+    * fully codegen'd — one pass, no extra shuffle beyond the group-by.
+    */
+  val q11CaseAgg: Q = Q.sql(
+    "q11_case_agg",
+    "CASE-WHEN conditional counts per linestatus (TPC-H Q12 shape).",
+    """SELECT l.l_linestatus,
+      |  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      |  SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY l.l_linestatus ORDER BY l.l_linestatus""".stripMargin) { (spark, dir) =>
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(high, 1).otherwise(0)).as("high_line_count"),
+        sum(when(!high, 1).otherwise(0)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Date bucketing + trend aggregation; `date_format` runs inside
+    * whole-stage codegen, grouping key cardinality is #months.
+    */
+  val q12DateAgg: Q = Q.sql(
+    "q12_date_agg",
+    "Monthly order revenue trend (date_format bucketing).",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY month""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("month")
+  }
+
+  /** Scalar-subquery pattern (TPC-H Q17 shape): per-part average builds a
+    * threshold the fact rows are filtered against. The per-part aggregate
+    * is tiny (#parts rows) and broadcast back against lineitem.
+    */
+  val q13ScalarSubquery: Q = Q.sql(
+    "q13_scalar_subquery",
+    "Filter fact rows under a per-part avg-quantity threshold (TPC-H Q17 shape).",
+    """WITH t AS (
+      |  SELECT l_partkey,
+      |    0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS thr
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS below_thr_revenue,
+      |       COUNT(*) AS n
+      |FROM lineitem l JOIN t ON l.l_partkey = t.l_partkey
+      |WHERE l.l_quantity < t.thr""".stripMargin) { (spark, dir) =>
+    val l = Tables.lineitem(spark, dir)
+    val thr = l.groupBy(col("l_partkey").as("p_key"))
+      .agg((lit(0.5) * sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("thr"))
+    l.join(broadcast(thr), l("l_partkey") === thr("p_key"))
+      .filter(col("l_quantity") < col("thr"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("below_thr_revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** String-function pipeline: split/element_at/upper/substring/length,
+    * all codegen'd row-local work before a small aggregate.
+    */
+  val q14Strings: Q = Q.sql(
+    "q14_string_funcs",
+    "String ops (split, substring, upper, length) + aggregate over part.",
+    """SELECT string_split(p_type, ' ')[1] AS type_head,
+      |       UPPER(SUBSTRING(p_brand, 1, 5)) AS brand_head,
+      |  COUNT(*) AS n,
+      |  SUM(LENGTH(p_name)) AS name_chars,
+      |  CAST(MIN(p_retailprice) AS DOUBLE) AS min_price
+      |FROM part GROUP BY 1, 2 ORDER BY type_head, brand_head""".stripMargin) { (spark, dir) =>
+    Tables.part(spark, dir)
+      .groupBy(
+        split(col("p_type"), " ").getItem(0).as("type_head"),
+        upper(substring(col("p_brand"), 1, 5)).as("brand_head"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("p_name"))).as("name_chars"),
+        min(col("p_retailprice")).cast("double").as("min_price"))
+      .orderBy("type_head", "brand_head")
+  }
+
+  /** Conditional-aggregate funnel over the events stream table: per user,
+    * first signup vs first purchase timestamp and the gap in micros.
+    * min(CASE WHEN …) avoids a self-join — one shuffle on user_id.
+    */
+  val q15Funnel: Q = Q.sql(
+    "q15_funnel",
+    "signup→purchase funnel per user via filtered min() — no self-join.",
+    """SELECT user_id,
+      |  MIN(ts) FILTER (WHERE event_type = 'signup') AS first_signup,
+      |  MIN(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase,
+      |  epoch_us(MIN(ts) FILTER (WHERE event_type = 'purchase'))
+      |    - epoch_us(MIN(ts) FILTER (WHERE event_type = 'signup')) AS micros_between,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val firstSignup = min(when(col("event_type") === "signup", col("ts")))
+    val firstPurchase = min(when(col("event_type") === "purchase", col("ts")))
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        firstSignup.as("first_signup"),
+        firstPurchase.as("first_purchase"),
+        (unix_micros(firstPurchase) - unix_micros(firstSignup)).as("micros_between"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** HLL++ approximate distinct — engine-specific sketch values, so no
+    * SQL oracle (driver records rows-only). At 100 TB this replaces the
+    * exact-distinct shuffle with fixed-size mergeable sketches.
+    */
+  val q16ApproxDistinct: Q = Q.rowsOnly(
+    "q16_approx_distinct",
+    "approx_count_distinct (HLL++) per event_type; sketch values are engine-specific.") { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
+    q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
+    q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct)
+}

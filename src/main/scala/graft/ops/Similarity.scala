@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.Q
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * s1 is the exact baseline: brute-force cosine top-k for a probe set —
+  * a broadcast of the probes against a single scan of the corpus, so it
+  * scales to any corpus size that one pass can read (the probe side, not
+  * the corpus, is the thing that must stay small).
+  *
+  * s2 is the scale path: deterministic random-hyperplane LSH buckets the
+  * corpus once (map stage), and each probe only scans its own bucket —
+  * the 100 TB shape where the bucketing shuffle key replaces the cross
+  * join. Hyperplane weights are md5-derived integers computed at plan
+  * build time and inlined into both the Spark plan and the oracle SQL, so
+  * both engines use bit-identical planes.
+  */
+object Similarity {
+
+  private val DIMS = 64
+  private val PLANES = 4
+  private val TOP_K = 10
+  private val BUCKET_K = 5
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** plane p, dim d → integer weight in [-500, 499], md5-derived. */
+  private def planeWeight(p: Int, d: Int): Double =
+    (java.lang.Long.parseLong(md5Hex(s"hp-$p-$d").substring(0, 8), 16) % 1000L - 500L).toDouble
+
+  private val planes: Seq[Seq[Double]] =
+    (0 until PLANES).map(p => (0 until DIMS).map(d => planeWeight(p, d)))
+
+  /** Exact top-k: probes (vec_id < 10) broadcast against the corpus, rank
+    * by cosine. One corpus scan; rank via a window partitioned by probe.
+    */
+  val s1AnnBruteForce: Q = Q.sql(
+    "s1_ann_bruteforce",
+    s"Exact cosine top-$TOP_K neighbors for 10 probe vectors (broadcast probes).",
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, v,
+       |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
+       |  FROM e),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(p.v) + 1), i -> p.v[i] * c.v[i])), (x, y) -> x + y)
+       |           / (p.nrm * c.nrm) AS cos
+       |  FROM n p JOIN n c ON p.vec_id < 10 AND c.vec_id <> p.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id, neighbor_label, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, neighbor_id, neighbor_label, ROUND(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= $TOP_K ORDER BY probe_id, rank""".stripMargin) { (spark, dir) =>
+    val n = Dedup.normedVectors(spark, dir)
+    val probes = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val cos = Dedup.cosineCol(col("pv"), col("v"), col("pnrm"), col("nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes).join(n, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOP_K)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        col("neighbor_label"), round(col("cos"), 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  private def planeSqlArray(p: Int): String =
+    planes(p).map(w => s"CAST($w AS DOUBLE)").mkString("[", ", ", "]")
+
+  private def planeCol(p: Int) =
+    array(planes(p).map(w => lit(w)): _*)
+
+  /** LSH-bucketed ANN: 4 random hyperplanes → 16 buckets; probes search
+    * only their own bucket. The corpus is bucketed in one map stage and
+    * the probe⋈bucket join is an equi-join on the bucket id — the shape
+    * that survives a 1000-executor corpus where s1's broadcast-vs-scan
+    * still reads everything per probe set.
+    */
+  val s2AnnLsh: Q = Q.sql(
+    "s2_ann_lsh",
+    s"Hyperplane-LSH bucketed ANN: top-$BUCKET_K in-bucket neighbors per probe.",
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, v,
+       |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm,
+       |         ${(0 until PLANES).map(p =>
+            s"""CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               |           list_transform(range(1, len(v) + 1), i -> v[i] * (${planeSqlArray(p)})[i])), (x, y) -> x + y) > 0
+               |      THEN ${1 << p} ELSE 0 END""".stripMargin).mkString(" + ")} AS bucket
+       |  FROM e),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, p.bucket, c.vec_id AS neighbor_id,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(p.v) + 1), i -> p.v[i] * c.v[i])), (x, y) -> x + y)
+       |           / (p.nrm * c.nrm) AS cos
+       |  FROM n p JOIN n c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
+       |  WHERE p.vec_id < 10),
+       |ranked AS (
+       |  SELECT probe_id, bucket, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, bucket, rank, neighbor_id, ROUND(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= $BUCKET_K ORDER BY probe_id, rank""".stripMargin) { (spark, dir) =>
+    val n0 = Dedup.normedVectors(spark, dir)
+    val bucket = (0 until PLANES).map { p =>
+      when(aggregate(zip_with(col("v"), planeCol(p), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val n = n0.withColumn("bucket", bucket)
+    val probes = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("bucket"),
+        col("v").as("pv"), col("nrm").as("pnrm"))
+    val cos = Dedup.cosineCol(col("pv"), col("v"), col("pnrm"), col("nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes).join(n.drop("bucket").withColumn("bucket2", bucket),
+        col("bucket") === col("bucket2") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("bucket"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= BUCKET_K)
+      .select(col("probe_id"), col("bucket"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh)
+}

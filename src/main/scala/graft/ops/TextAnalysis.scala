@@ -1,0 +1,157 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.functions.DetHash
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline staples: language ID, quality scoring, token
+  * statistics, and document fingerprinting.
+  *
+  * Everything is expression-only (whole-stage codegen, no UDFs) and
+  * per-row, so it scales linearly: at 100 TB these are embarrassingly
+  * parallel map stages; only the token-stats aggregate shuffles, keyed on
+  * token with map-side partial aggregation.
+  */
+object TextAnalysis {
+
+  private val words: Column = split(col("text"), " ")
+
+  private def stopHits(langWords: Seq[String]): Column =
+    size(filter(words, t => t.isInCollection(langWords)))
+
+  private val enStops = Seq("the", "a", "and", "of", "to", "in", "is")
+  private val deStops = Seq("der", "die", "das", "und", "ist", "ein")
+  private val esStops = Seq("el", "la", "de", "que", "y", "en")
+  private val frStops = Seq("le", "la", "et", "les", "des", "un")
+
+  private def inList(ws: Seq[String]): String = ws.map("'" + _ + "'").mkString("(", ",", ")")
+
+  /** Stopword-profile language ID. A real corpus would use char-n-gram
+    * profiles; the deterministic stopword-count heuristic keeps the same
+    * shape (per-language score → argmax with fixed precedence) while
+    * remaining bit-reproducible in any engine. CJK codepoints short-curcuit
+    * to 'zh'.
+    */
+  val t1LangId: Q = Q.sql(
+    "t1_langid",
+    "Heuristic language ID: per-language stopword scores → argmax.",
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |    len(list_filter(string_split(text, ' '), t -> t IN ${inList(enStops)})) AS s_en,
+       |    len(list_filter(string_split(text, ' '), t -> t IN ${inList(deStops)})) AS s_de,
+       |    len(list_filter(string_split(text, ' '), t -> t IN ${inList(esStops)})) AS s_es,
+       |    len(list_filter(string_split(text, ' '), t -> t IN ${inList(frStops)})) AS s_fr,
+       |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 1 ELSE 0 END AS s_zh
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |  CASE WHEN s_zh > 0 THEN 'zh'
+       |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS pred_lang,
+       |  s_en, s_de, s_es, s_fr
+       |FROM s ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val zh = when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), 1).otherwise(0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        stopHits(enStops).as("s_en"), stopHits(deStops).as("s_de"),
+        stopHits(esStops).as("s_es"), stopHits(frStops).as("s_fr"),
+        zh.as("s_zh"))
+      .select(col("doc_id"), col("lang"),
+        when(col("s_zh") > 0, "zh")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr").as("pred_lang"),
+        col("s_en"), col("s_de"), col("s_es"), col("s_fr"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: token count, distinct-token ratio, stopword ratio,
+    * mean word length — combined into a bounded [0,1] score. Pure per-row
+    * double arithmetic (deterministic), no reduction.
+    */
+  val t2Quality: Q = Q.sql(
+    "t2_quality",
+    "Per-document quality score from length/diversity/stopword signals.",
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       |    len(list_filter(string_split(text, ' '), t -> t IN ${inList(enStops)})) AS n_stop,
+       |    LENGTH(text) AS n_chars
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, n_distinct, n_stop, n_chars,
+       |  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+       |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |  ROUND(
+       |    0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+       |  + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+       |  + 0.3 * LEAST(CAST(n_stop AS DOUBLE) / n_tokens / 0.4, 1.0), 6) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(words).as("n_tokens"),
+        size(array_distinct(words)).as("n_distinct"),
+        stopHits(enStops).as("n_stop"),
+        length(col("text")).as("n_chars"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_stop"), col("n_chars"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        round(
+          lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
+            + lit(0.3) * (col("n_distinct").cast("double") / col("n_tokens"))
+            + lit(0.3) * least(col("n_stop").cast("double") / col("n_tokens") / 0.4, lit(1.0)),
+          6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus token statistics: explode → count + doc-frequency → top 50.
+    * The shuffle key is the token; partial aggregation means shuffle
+    * volume ~ vocabulary size per partition, not corpus size. Final top-k
+    * is TakeOrderedAndProject (no global sort).
+    */
+  val t3TokenStats: Q = Q.sql(
+    "t3_token_stats",
+    "Top-50 corpus tokens by frequency with doc-frequency.",
+    """SELECT t.token, COUNT(*) AS n, COUNT(DISTINCT t.doc_id) AS doc_freq
+      |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents) t
+      |GROUP BY t.token ORDER BY n DESC, token LIMIT 50""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+  }
+
+  /** Document fingerprint: left-fold polynomial rolling hash over md5
+    * token hashes, mod 2^31-1. The 28-bit token hash keeps
+    * `acc*1000003 + h` inside exact long range, so the fold is
+    * bit-identical in any engine that folds left (DuckDB list_reduce).
+    * Per-row only — a 100 TB corpus fingerprints in one map stage.
+    */
+  val t4Fingerprint: Q = Q.sql(
+    "t4_fingerprint",
+    "Order-sensitive rolling-hash document fingerprint (md5-derived, engine-portable).",
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ' '),
+      |        t -> ('0x' || substring(md5(t), 1, 7))::BIGINT)),
+      |    (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        aggregate(
+          transform(words, t => DetHash.md5Long28(t)),
+          lit(0L),
+          (acc, h) => (acc * lit(1000003L) + h) % lit(2147483647L)
+        ).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(t1LangId, t2Quality, t3TokenStats, t4Fingerprint)
+}
