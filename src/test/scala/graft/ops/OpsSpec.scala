@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.{SparkEntry, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executes every registered query at sf0.001 (smoke: runs + schema
+  * sanity) plus targeted hand-checked assertions per operator family.
+  * Full value-level correctness is the DuckDB-oracle gate
+  * (tools/check_oracle.py at sf0.01); these specs protect the invariants
+  * the oracle can't see (plan shapes, internal consistency).
+  */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("registry names are unique and every query has distinct columns") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size === names.size)
+  }
+
+  for (q <- SparkEntry.registry) {
+    test(s"${q.name} executes at sf0.001") {
+      val df = q.run(spark, sf)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("q1_agg: 6 (returnflag, linestatus) groups, counts sum to table size") {
+    val rows = Relational.q1Agg.run(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total === graft.Tables.lineitem(spark, sf).count())
+  }
+
+  test("q5_topk returns exactly 10 descending revenues") {
+    val revs = Relational.q5TopK.run(spark, sf).collect().map(_.getAs[Double]("revenue"))
+    assert(revs.length === 10)
+    assert(revs.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("q9: semi + anti partition the customer table") {
+    val rows = Relational.q9SemiAnti.run(spark, sf)
+    assert(rows.count() === graft.Tables.customer(spark, sf).count())
+  }
+
+  test("c2: every attempt collects exactly its events (Σ sizes = event count)") {
+    val g = Caliper.c2GroupedAttempts.run(spark, sf).collect()
+    val total = g.map(_.getAs[Long]("n_events")).sum
+    assert(total === graft.Tables.events(spark, sf).count())
+  }
+
+  test("c3: fan-out multiplies rows by exactly 3") {
+    assert(Caliper.c3Fanout.run(spark, sf).count() ===
+      3 * graft.Tables.orders(spark, sf).count())
+  }
+
+  test("d4: reported pairs all satisfy the hamming bound") {
+    val pairs = Dedup.d4SimHash.run(spark, sf).collect()
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 8))
+  }
+
+  test("d2/d3 agree: LSH-verified dups ⊇ exact-Jaccard pairs at 0.8") {
+    val exact = Dedup.d2NgramJaccard.run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val lsh = Dedup.d3MinHashLsh.run(spark, sf).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.8)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(exact.subsetOf(lsh))
+  }
+
+  test("s1: each probe gets exactly top-10, ranks 1..10, cosine non-increasing") {
+    val rows = Similarity.s1AnnBruteForce.run(spark, sf).collect()
+    val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.size === 10)
+    byProbe.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 10))
+      val cos = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.sliding(2).forall(p => p(0) >= p(1)))
+    }
+  }
+
+  test("w2: session counts sum to the event count") {
+    val s = EventWindows.w2Session.run(spark, sf).collect()
+    assert(s.map(_.getAs[Long]("n_events")).sum ===
+      graft.Tables.events(spark, sf).count())
+  }
+
+  test("multimodal decode stub: typed pipeline preserves ids and byte lengths") {
+    val feats = Multimodal.decodeStub(Multimodal.assets(spark, sf)).collect()
+    val docs = graft.Tables.documents(spark, sf).count()
+    assert(feats.length === docs)
+    assert(feats.forall(f => f.meanByte >= 0 && f.meanByte < 256))
+  }
+
+  test("entry flagship returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
