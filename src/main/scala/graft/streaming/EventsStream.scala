@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines over the events schema — the streaming
+  * twins of `graft.ops.EventWindows` (same transforms, plus watermarks)
+  * and a custom stateful sessionizer via `flatMapGroupsWithState`.
+  *
+  * All transforms take/return DataFrames so they run identically on a
+  * batch frame (tested that way) and on `spark.readStream` input — the
+  * Structured Streaming contract. At scale the state store shards by
+  * group key across executors; watermarks bound state growth.
+  */
+object EventsStream {
+
+  final case class Event(event_id: Long, ts: java.time.Instant, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class SessionOut(user_id: Long, session_start: java.time.Instant,
+      session_end: java.time.Instant, n_events: Long)
+
+  /** µs-precision epoch arithmetic — Timestamp.getTime would truncate to
+    * ms and drift session bounds off the native session_window values.
+    */
+  private def us(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  private def instant(us: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+
+  /** state-store record for statefulSessions (public: encoder codegen needs the ctor) */
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Streaming source over a parquet directory of events files. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1h counts with a 10-minute watermark — late events beyond
+    * the watermark are dropped; state per (window, event_type) only.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Native session windows (30-minute gap) per user with watermark. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Custom stateful sessionization: one SessionState per user in the
+    * state store; a session closes (and is emitted) when the processing
+    * timeout fires or an event arrives past the 30-minute gap. This is
+    * the `flatMapGroupsWithState` shape for session logic
+    * `session_window` can't express (e.g. emitting on close with
+    * custom payloads).
+    */
+  def statefulSessions(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // events arrive unordered within the batch; sort this user's slice
+          val sorted = rows.toSeq.sortBy(e => us(e.ts))
+          var closed = List.empty[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = us(e.ts)
+            cur match {
+              case Some(s) if t - s.last < gapUs =>
+                cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+              case Some(s) =>
+                closed ::= SessionOut(userId, instant(s.start), instant(s.last + gapUs), s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverseIterator
+      }
+  }
+
+  /** Drain any pending session state as final rows (batch-mode finisher —
+    * in a live stream these stay open awaiting more events).
+    */
+  def finalizeSessions(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroups { (userId: Long, rows: Iterator[Event]) =>
+        val sorted = rows.toSeq.sortBy(e => us(e.ts))
+        val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+        var cur: Option[SessionState] = None
+        sorted.foreach { e =>
+          val t = us(e.ts)
+          cur match {
+            case Some(s) if t - s.last < gapUs =>
+              cur = Some(s.copy(last = t, n = s.n + 1))
+            case Some(s) =>
+              out += SessionOut(userId, instant(s.start), instant(s.last + gapUs), s.n)
+              cur = Some(SessionState(t, t, 1))
+            case None => cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach(s => out += SessionOut(userId, instant(s.start), instant(s.last + gapUs), s.n))
+        out.iterator
+      }
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming pipelines driven synchronously over the sf0.001 events
+  * parquet (file-source stream + memory sink), cross-checked against the
+  * batch equivalents — streaming and batch must agree on a bounded input.
+  */
+class EventsStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  /** file-source streams need a directory of files, not a single file */
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      d.resolve("part-000.parquet"))
+    d.toString
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("streaming tumbling counts equal the batch window aggregate") {
+    val stream = EventsStream.read(spark, eventsDir)
+    runToMemory(EventsStream.tumblingCounts(stream), "tumbling_out", mode = "complete")
+    val streamed = spark.table("tumbling_out")
+      .orderBy("window_start", "event_type").collect()
+    val batch = graft.ops.EventWindows.w1Tumbling.run(spark, sf)
+      .select("window_start", "event_type", "n", "sum_value")
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.zip(batch).forall { case (s, b) => s == b })
+  }
+
+  test("streaming session windows equal the batch session_window aggregate") {
+    val stream = EventsStream.read(spark, eventsDir)
+    runToMemory(EventsStream.sessionCounts(stream), "session_out", mode = "complete")
+    val streamed = spark.table("session_out")
+      .orderBy("user_id", "session_start").collect()
+    val batch = graft.ops.EventWindows.w2Session.run(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start").collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.zip(batch).forall { case (s, b) => s == b })
+  }
+
+  test("custom stateful sessionizer agrees with session_window on closed+drained sessions") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf).as[EventsStream.Event]
+    val custom = EventsStream.finalizeSessions(events)
+      .toDF().orderBy("user_id", "session_start").collect()
+    val native = graft.ops.EventWindows.w2Session.run(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start").collect()
+    assert(custom.length === native.length)
+    assert(custom.zip(native).forall { case (c, n) => c == n })
+  }
+
+  test("stateful sessionizer emits closed sessions incrementally on a stream") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf).as[EventsStream.Event]
+    // run flatMapGroupsWithState over a real (bounded) stream: closed
+    // sessions only — the last session per user stays open in state
+    val streamed = EventsStream.statefulSessions(
+      EventsStream.read(spark, eventsDir).as[EventsStream.Event])
+    runToMemory(streamed.toDF(), "stateful_out")
+    val closed = spark.table("stateful_out").count()
+    val all = EventsStream.finalizeSessions(events).count()
+    val users = events.select("user_id").distinct().count()
+    // every session except each user's still-open last one is emitted
+    assert(closed === all - users)
+  }
+}
