@@ -1,7 +1,8 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import graft.functions.DetHash
+import graft.functions.GraftExpressions
+import graft.functions.GraftExpressions.{dot, minhash, shingles, simhash}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,28 +14,26 @@ import org.apache.spark.sql.functions._
   *  - exact:      one hash-shuffle on the normalized text key.
   *  - n-gram:     inverted shingle index → pairs share a shuffle key
   *                (the shingle), never a cross join.
-  *  - MinHash:    signatures are a map stage; candidate pairs come from a
-  *                band-bucket equi-join (shuffle on band hash).
-  *  - SimHash:    60-bit signature map stage; banded equi-join with a
-  *                pigeonhole guarantee (10 bands ⇒ hamming ≤ 8 always
-  *                shares ≥2 clean bands), then exact hamming verify.
-  *  - cosine:     thresholded pair join — kept exact here (the LSH-bucketed
-  *                scale path is `graft.ops.Similarity.s2AnnLsh`).
+  *  - MinHash:    one-pass signature kernel ([[GraftExpressions.MinHashSig]],
+  *                map stage); candidate pairs come from a band-bucket
+  *                equi-join (shuffle on band hash), then exact-Jaccard
+  *                verification of candidates only.
+  *  - SimHash:    one-pass 60-bit signature kernel; banded equi-join with
+  *                a pigeonhole guarantee (3 bands of 20 bits ⇒ hamming ≤ 2
+  *                always shares a clean band), then exact hamming verify.
+  *  - cosine:     thresholded pair join over the codegen'd dot-product
+  *                kernel (the LSH-bucketed scale path is
+  *                `graft.ops.Similarity.s2AnnLsh`).
   *
-  * All hash material is md5-derived (see DetHash) so the DuckDB oracle
-  * reproduces every bit.
+  * All hash material is md5-derived, so the DuckDB oracle reproduces
+  * every bit; the custom kernels change the cost, never the value.
   */
 object Dedup {
 
-  /** Distinct 3-word shingles of the (space-tokenized) text. */
-  private def shingles(text: Column): Column = {
-    val w = split(text, " ")
-    when(size(w) >= 3,
-      array_distinct(transform(sequence(lit(0), size(w) - 3), i =>
-        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
-      .otherwise(array().cast("array<string>"))
-  }
-
+  /** shared shingle CTE for the SQL oracles (string_split keeps empty
+    * tokens, list comprehension = 3-gram window, list_distinct =
+    * first-occurrence distinct — all matching WordShingles exactly)
+    */
   private val shinglesSqlCte: String =
     """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT doc_id,
@@ -62,9 +61,26 @@ object Dedup {
       .orderBy("keep_doc_id")
   }
 
+  /** (doc_id, s: array<string> of distinct 3-shingles), empty docs
+    * dropped. Persisted: the self-joins in d2/d3 reference this frame up
+    * to 5× and Spark recomputes unpersisted subtrees per reference — at
+    * 100 TB this materialization is the shingle index you'd write to
+    * storage once and reuse across the dedup suite.
+    */
+  private def shingledDocs(spark: SparkSession, dir: String): DataFrame = {
+    GraftExpressions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text"), 3).as("s"))
+      .filter(size(col("s")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Exact n-gram Jaccard near-dup via inverted shingle index: explode
     * distinct shingles, self-equi-join on the shingle (never a cross
     * join), count common shingles per pair, Jaccard = |∩| / |∪|.
+    * At 100 TB the add-on is prefix filtering (index only each doc's
+    * (1-t)·n rarest shingles for candidate generation) — the shuffle
+    * shape stays the same.
     */
   val d2NgramJaccard: Q = Q.sql(
     "d2_dedup_ngram_jaccard",
@@ -83,9 +99,7 @@ object Dedup {
        |JOIN cnt cb ON c.doc_b = cb.doc_id
        |WHERE CAST(c.n_common AS DOUBLE) / (ca.nsh + cb.nsh - c.n_common) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("s"))
-      .filter(size(col("s")) > 0)
+    val docs = shingledDocs(spark, dir)
     val cnt = docs.select(col("doc_id"), size(col("s")).as("nsh"))
     val ex = docs.select(col("doc_id"), explode(col("s")).as("s"))
     val common = ex.as("a").join(ex.as("b"),
@@ -106,10 +120,11 @@ object Dedup {
   private val BANDS = 8 // bands of 4 rows each
   private val R = K / BANDS
 
-  /** MinHash + LSH banding. Signature = 32 md5-derived min-hashes; 8
-    * bands of 4 → candidate pairs share a (band, band-hash) shuffle key.
-    * Candidates are then verified with exact Jaccard — output carries the
-    * verified similarity, flagged at the 0.7 dedup threshold.
+  /** MinHash + LSH banding. Signature = one-pass Carter-Wegman kernel
+    * (1 md5 per shingle → 32 hashes); 8 bands of 4 → candidate pairs
+    * share a (band, band-hash) shuffle key. Candidates are then verified
+    * with exact Jaccard — output carries the verified similarity, flagged
+    * at the 0.7 dedup threshold.
     *
     * The oracle replicates the *entire* pipeline (hashes included), so
     * the check is exact even for borderline candidates LSH could
@@ -123,7 +138,8 @@ object Dedup {
        |ex AS (SELECT doc_id, UNNEST(s) AS s FROM sh WHERE len(s) > 0),
        |hi AS (
        |  SELECT doc_id, i.i AS i,
-       |         MIN(('0x' || substring(md5(CAST(i.i AS VARCHAR) || '|' || s), 1, 15))::BIGINT) AS mh
+       |         MIN((('0x' || substring(md5(s), 1, 7))::BIGINT
+       |              + i.i * ('0x' || substring(md5(s), 8, 7))::BIGINT) % ${GraftExpressions.MinHashSig.M}) AS mh
        |  FROM ex CROSS JOIN (SELECT UNNEST(range($K)) AS i) i
        |  GROUP BY doc_id, i.i),
        |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hi GROUP BY doc_id),
@@ -144,20 +160,12 @@ object Dedup {
        |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard,
        |       CASE WHEN j >= 0.7 THEN 1 ELSE 0 END AS is_dup
        |FROM verified ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("s"))
-      .filter(size(col("s")) > 0)
+    val docs = shingledDocs(spark, dir)
     val cnt = docs.select(col("doc_id"), size(col("s")).as("nsh"))
-    val ex = docs.select(col("doc_id"), explode(col("s")).as("s"))
-    // (doc, i, h) → min per (doc, i) → signature array ordered by i
-    val hi = ex
-      .select(col("doc_id"), explode(transform(sequence(lit(0), lit(K - 1)), i =>
-        struct(i.as("i"), DetHash.md5Long60(concat(i, lit("|"), col("s"))).as("h")))).as("x"))
-      .groupBy(col("doc_id"), col("x.i").as("i"))
-      .agg(min(col("x.h")).as("mh"))
-    val sig = hi.groupBy(col("doc_id"))
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-        x => x.getField("mh")).as("sig"))
+    // persisted: the band self-join would otherwise recompute the
+    // signature kernel once per join branch
+    val sig = docs.select(col("doc_id"), col("s"), minhash(col("s"), K).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sig
       .select(col("doc_id"), explode(transform(sequence(lit(0), lit(BANDS - 1)), b =>
         struct(b.as("band"),
@@ -182,13 +190,14 @@ object Dedup {
   }
 
   private val SIM_BITS = 60
-  private val SIM_BANDS = 10 // 10 bands of 6 bits; hamming ≤ 8 ⇒ ≥ 2 clean bands
-  private val HAMMING_MAX = 8
+  private val SIM_BANDS = 3 // 3 bands of 20 bits; hamming ≤ 2 ⇒ ≥ 1 clean band
+  private val HAMMING_MAX = 2
 
-  /** SimHash near-dup: 60-bit signature from md5 token hashes (bit b is
-    * the sign of Σ ±1 over tokens), banded equi-join for candidates, exact
-    * hamming verify. The oracle brute-forces all pairs — sound because the
-    * pigeonhole bound makes the banded join lossless for hamming ≤ 8.
+  /** SimHash near-dup: one-pass 60-bit signature kernel over distinct
+    * tokens (bit b = sign of Σ±1), banded equi-join for candidates, exact
+    * hamming verify. The oracle brute-forces all pairs — sound because
+    * the pigeonhole bound makes the banded join lossless for
+    * hamming ≤ [[HAMMING_MAX]].
     */
   val d4SimHash: Q = Q.sql(
     "d4_dedup_simhash",
@@ -214,7 +223,7 @@ object Dedup {
     val bandsPerDoc = sim
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(SIM_BANDS - 1))).as("band"))
-      .withColumn("bv", expr(s"shiftright(simhash, cast(band * 6 as int)) & 63"))
+      .withColumn("bv", expr("shiftright(simhash, cast(band * 20 as int)) & 1048575"))
     val cand = bandsPerDoc.as("a").join(bandsPerDoc.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -227,23 +236,18 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** (doc_id, simhash) — shared by d4 and its spec. */
+  /** (doc_id, simhash) via the one-pass kernel — shared by d4 and specs. */
   def simHashes(spark: SparkSession, dir: String): DataFrame = {
-    val th = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
-      .select(col("doc_id"), DetHash.md5Long60(col("t")).as("h"))
-    th.crossJoin(broadcast(spark.range(SIM_BITS).select(col("id").cast("int").as("b"))))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(when(expr("(h >> b) & 1") === 1, 1).otherwise(-1)).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)"))
-        .otherwise(0L)).as("simhash"))
+    GraftExpressions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), simhash(shingles(col("text"), 1), SIM_BITS).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Embedding-cosine near-dup pairs (threshold 0.4 on this corpus).
-    * Exact thresholded pair join — both sides fold the dot product
-    * left-to-right in double, so values are bit-identical. The bucketed
-    * scale path for this operator is Similarity.s2AnnLsh.
+    * Exact thresholded pair join over the codegen'd dot-product kernel —
+    * both engines fold left-to-right in double, so values are
+    * bit-identical. The bucketed scale path is Similarity.s2AnnLsh.
     */
   val d5EmbeddingCosine: Q = Q.sql(
     "d5_dedup_embedding",
@@ -274,16 +278,16 @@ object Dedup {
 
   /** embeddings as (vec_id, v: array<double>, nrm, label). */
   def normedVectors(spark: SparkSession, dir: String): DataFrame = {
+    GraftExpressions.register(spark)
     val v = col("embedding").cast("array<double>")
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), v.as("v"))
-      .withColumn("nrm", sqrt(aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
   }
 
-  /** Left-fold cosine — identical op order to the DuckDB oracle. */
+  /** Codegen'd left-fold cosine — identical op order to the DuckDB oracle. */
   def cosineCol(va: Column, vb: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) / (na * nb)
+    dot(va, vb) / (na * nb)
 
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash, d5EmbeddingCosine)
 }

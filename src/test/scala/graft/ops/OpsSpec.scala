@@ -57,7 +57,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("d4: reported pairs all satisfy the hamming bound") {
     val pairs = Dedup.d4SimHash.run(spark, sf).collect()
-    assert(pairs.forall(_.getAs[Int]("hamming") <= 8))
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 2))
   }
 
   test("d2/d3 agree: LSH-verified dups ⊇ exact-Jaccard pairs at 0.8") {
