@@ -68,6 +68,33 @@ object Multimodal {
     }
   }
 
+  /** Resize: recompute target dimensions preserving aspect ratio
+    * (metadata transform; a real impl would also transform `content`).
+    * STUB: payload passes through untouched.
+    */
+  def resizeStub(assets: Dataset[MediaAsset], maxSide: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.map { a =>
+      val scale = maxSide.toDouble / math.max(a.meta.width, a.meta.height)
+      if (scale >= 1.0) a
+      else a.copy(meta = a.meta.copy(
+        width = math.max(1, (a.meta.width * scale).toInt),
+        height = math.max(1, (a.meta.height * scale).toInt)))
+    }
+  }
+
+  /** Frame sampling for video assets: pick every k-th frame index
+    * (deterministic). Non-video assets yield no frames. The output is
+    * (doc_id, frame_idx) — the explode shape a real decoder would feed
+    * downstream feature extraction.
+    */
+  def sampleFrames(assets: Dataset[MediaAsset], everyK: Int): DataFrame =
+    assets.toDF()
+      .filter(col("meta.mediaType") === "video")
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("meta.frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % everyK === 0)
+
   /** Oracle-checked metadata slice: binary payload length, md5 content
     * fingerprint, and deterministic shape metadata — all engine-portable
     * arithmetic (per-row map stage; nothing shuffles).

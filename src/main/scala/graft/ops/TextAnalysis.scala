@@ -153,5 +153,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(t1LangId, t2Quality, t3TokenStats, t4Fingerprint)
+  /** BPE-ish subword tokenization via regex: alpha runs, digit runs, and
+    * single punctuation marks become separate tokens (the pre-tokenizer
+    * shape real BPE vocabularies assume). Per-doc counts plus a corpus
+    * histogram bucket — regex kept to the portable subset (char classes,
+    * `+`) so Java regex and DuckDB's RE2 agree.
+    */
+  val t5BpeTokens: Q = Q.sql(
+    "t5_bpe_tokens",
+    "Regex pre-tokenizer (alpha/digit/punct runs): per-doc token & subword counts.",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_tokens,
+      |  len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS bpe_distinct,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS subword_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    val bpe = regexp_extract_all(col("text"), lit(pat), lit(0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(words).as("ws_tokens"),
+        size(bpe).as("bpe_tokens"),
+        size(array_distinct(bpe)).as("bpe_distinct"),
+        (size(bpe).cast("double") / size(words)).as("subword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(t1LangId, t2Quality, t3TokenStats, t4Fingerprint, t5BpeTokens)
 }

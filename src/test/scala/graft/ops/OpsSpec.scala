@@ -86,6 +86,21 @@ class OpsSpec extends AnyFunSuite {
       graft.Tables.events(spark, sf).count())
   }
 
+  test("multimodal resize stub: aspect ratio preserved, payload untouched") {
+    val resized = Multimodal.resizeStub(Multimodal.assets(spark, sf), maxSide = 128).collect()
+    assert(resized.forall(a => a.meta.width <= 128 && a.meta.height <= 128))
+    assert(resized.forall(a => a.content.nonEmpty))
+  }
+
+  test("multimodal frame sampling: every 4th frame of video assets only") {
+    val assets = Multimodal.assets(spark, sf)
+    val frames = Multimodal.sampleFrames(assets, everyK = 4).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getAs[Int]("frame_idx") % 4 === 0))
+    val videoIds = assets.filter(_.meta.mediaType == "video").collect().map(_.doc_id).toSet
+    assert(frames.map(_.getAs[Long]("doc_id")).toSet.subsetOf(videoIds))
+  }
+
   test("multimodal decode stub: typed pipeline preserves ids and byte lengths") {
     val feats = Multimodal.decodeStub(Multimodal.assets(spark, sf)).collect()
     val docs = graft.Tables.documents(spark, sf).count()

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that decide whether these
+  * queries survive a 100× scale-up — filters reaching the parquet scan,
+  * dimensions broadcast instead of shuffled, top-k never globally
+  * sorting, codegen covering the hot path. `.count()`-level correctness
+  * can hide all of these; this spec can't.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def plan(q: graft.Q): String = {
+    val df = q.run(spark, sf)
+    df.collect() // materialize THIS frame so AQE finalizes and codegen spans appear
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2: predicate and projection are pushed into the parquet scan") {
+    val p = plan(Relational.q2Filter)
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("l_shipdate"), "shipdate filter not pushed")
+    // only the 4 referenced columns are read, not all 11
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_orderkey"), "scan reads unneeded columns")
+  }
+
+  test("q3: dimension join is a broadcast, not a shuffle") {
+    val p = plan(Relational.q3Join)
+    assert(p.contains("BroadcastHashJoin"), s"customer not broadcast in:\n$p")
+  }
+
+  test("q4: snowflake dims are all broadcast (single fact shuffle at most)") {
+    val p = plan(Relational.q4MultiJoin)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected >=3 broadcast joins in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q5: top-k runs as TakeOrderedAndProject (no global sort)") {
+    val p = plan(Relational.q5TopK)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to sort in:\n$p")
+  }
+
+  test("q1: aggregation is two-phase (map-side partial before the shuffle)") {
+    val p = plan(Relational.q1Agg)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation in:\n$p")
+  }
+
+  test("c1: event construction stays inside whole-stage codegen") {
+    val p = plan(Caliper.c1ItemEvents)
+    // codegen spans render as "*(n) Project" in the finalized plan tree
+    assert(p.contains("*("), s"no codegen span in:\n$p")
+  }
+
+  test("d2: inverted-index join is an equi-join on the shingle, not a cross join") {
+    val p = plan(Dedup.d2NgramJaccard)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join in:\n$p")
+  }
+
+  test("s1: probe side is broadcast (corpus is scanned once, never shuffled)") {
+    val p = plan(Similarity.s1AnnBruteForce)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probes not broadcast in:\n$p")
+  }
+
+  test("s2: bucketed ANN joins on the bucket id (equi-join, no cross join)") {
+    val p = plan(Similarity.s2AnnLsh)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q9: semi/anti joins plan as join strategies, not subquery re-execution") {
+    val p = plan(Relational.q9SemiAnti)
+    assert(p.contains("LeftSemi") || p.contains("LeftAnti"), s"no semi/anti in:\n$p")
+  }
+}
