@@ -75,12 +75,37 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Exact n-gram Jaccard near-dup via inverted shingle index: explode
-    * distinct shingles, self-equi-join on the shingle (never a cross
-    * join), count common shingles per pair, Jaccard = |∩| / |∪|.
-    * At 100 TB the add-on is prefix filtering (index only each doc's
-    * (1-t)·n rarest shingles for candidate generation) — the shuffle
-    * shape stays the same.
+  /** Candidate pairs by prefix filtering (AllPairs/PPJoin): with a global
+    * canonical shingle order (ascending document frequency, then shingle),
+    * two sets with jaccard ≥ t must share an element inside each other's
+    * first `n - ceil(t·n) + 1` shingles — because j ≥ t ⇒
+    * |A∩B| ≥ t·|A∪B| ≥ ceil(t·max(|A|,|B|)), and missing the whole prefix
+    * would cap the intersection below that. So indexing ONLY the prefixes
+    * (rarest ~(1-t)·n shingles per doc) is lossless for the threshold,
+    * and candidate volume stops scaling with hot-shingle df² — the thing
+    * that kills a naive inverted index at corpus scale.
+    */
+  private def prefixCandidates(docs: DataFrame, t: Double): DataFrame = {
+    val ex = docs.select(col("doc_id"), size(col("s")).as("nsh"),
+      explode(col("s")).as("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefixes = ex.join(dfreq, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("nsh") - ceil(col("nsh") * t) + 1)
+      .select(col("doc_id"), col("s"))
+    prefixes.as("a").join(prefixes.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs at threshold 0.8: prefix-filter
+    * candidate generation (lossless, see [[prefixCandidates]]) + exact
+    * intersection verify on the candidate pairs only. Output is identical
+    * to a full inverted-index join (the oracle computes it that way;
+    * `OpsSpec` cross-checks the naive index too).
     */
   val d2NgramJaccard: Q = Q.sql(
     "d2_dedup_ngram_jaccard",
@@ -100,20 +125,56 @@ object Dedup {
        |WHERE CAST(c.n_common AS DOUBLE) / (ca.nsh + cb.nsh - c.n_common) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     val docs = shingledDocs(spark, dir)
-    val cnt = docs.select(col("doc_id"), size(col("s")).as("nsh"))
+    // cost-based candidate strategy: the full inverted index wins while
+    // the corpus is small (prefix filtering adds a df-join + per-doc
+    // sort); past ~50k docs hot-shingle df² growth flips the balance.
+    // Both strategies are exact (OpsSpec proves set equality), so the
+    // choice never changes the result.
+    val nDocs = docs.count()
+    val cand =
+      if (nDocs < 50000)
+        docs.select(col("doc_id"), explode(col("s")).as("s")).as("a")
+          .join(docs.select(col("doc_id"), explode(col("s")).as("s")).as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+      else prefixCandidates(docs, 0.8)
+    jaccardVerify(docs, cand, 0.8).orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact Jaccard over candidate pairs: join back the full shingle sets,
+    * intersect, threshold. (doc_a, doc_b, jaccard ≥ t.)
+    */
+  private def jaccardVerify(docs: DataFrame, cand: DataFrame, t: Double): DataFrame = {
+    val nCommon = size(array_intersect(col("sa.s"), col("sb.s")))
+    val j = nCommon.cast("double") /
+      (size(col("sa.s")) + size(col("sb.s")) - nCommon)
+    cand
+      .join(docs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(docs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(j >= t)
+      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+  }
+
+  /** Prefix-filtered pair pipeline (the ≥50k-doc strategy), exposed for
+    * the losslessness cross-check in OpsSpec.
+    */
+  def jaccardPairsPrefix(spark: SparkSession, dir: String, t: Double): DataFrame = {
+    val docs = shingledDocs(spark, dir)
+    jaccardVerify(docs, prefixCandidates(docs, t), t)
+  }
+
+  /** The naive full inverted-index pair join (all shingles indexed) —
+    * kept as the cross-check reference for [[prefixCandidates]].
+    */
+  def jaccardPairsNaive(spark: SparkSession, dir: String, t: Double): DataFrame = {
+    val docs = shingledDocs(spark, dir)
     val ex = docs.select(col("doc_id"), explode(col("s")).as("s"))
-    val common = ex.as("a").join(ex.as("b"),
+    val cand = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val jac = col("n_common").cast("double") /
-      (col("ca.nsh") + col("cb.nsh") - col("n_common"))
-    common
-      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .filter(jac >= 0.8)
-      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardVerify(docs, cand, t)
   }
 
   private val K = 32 // minhash functions

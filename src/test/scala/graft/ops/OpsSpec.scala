@@ -60,6 +60,14 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.forall(_.getAs[Int]("hamming") <= 2))
   }
 
+  test("d2 prefix filtering is lossless: equals the naive full inverted index") {
+    val pref = Dedup.jaccardPairsPrefix(spark, sf, 0.8).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
+    val naive = Dedup.jaccardPairsNaive(spark, sf, 0.8).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
+    assert(pref === naive)
+  }
+
   test("d2/d3 agree: LSH-verified dups ⊇ exact-Jaccard pairs at 0.8") {
     val exact = Dedup.d2NgramJaccard.run(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
