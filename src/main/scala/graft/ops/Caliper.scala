@@ -175,5 +175,27 @@ object Caliper {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(c1ItemEvents, c2GroupedAttempts, c3Fanout, c4Limit, c5MalformedDrop)
+  /** A2: group iteration with a sequence number — the reference's output
+    * counter `i` over map entries (`etl.js:56-60`, used in filenames) as
+    * a deterministic row_number over the grouped attempts.
+    */
+  val c6AttemptSeq: Q = Q.sql(
+    "c6_attempt_seq",
+    "Sequence number per attempt group (the reference's output counter, A2).",
+    """WITH g AS (
+      |  SELECT 'attempt-' || CAST(CAST(FLOOR(event_id / 10) AS BIGINT) AS VARCHAR) AS attempt_id,
+      |         COUNT(*) AS n_events
+      |  FROM events GROUP BY 1)
+      |SELECT ROW_NUMBER() OVER (ORDER BY attempt_id) - 1 AS seq, attempt_id, n_events
+      |FROM g ORDER BY seq""".stripMargin) { (spark, dir) =>
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("attempt_id"))
+    Tables.events(spark, dir)
+      .groupBy(attemptId.as("attempt_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select((row_number().over(w) - 1).as("seq"), col("attempt_id"), col("n_events"))
+      .orderBy("seq")
+  }
+
+  val all: Seq[Q] = Seq(c1ItemEvents, c2GroupedAttempts, c3Fanout, c4Limit,
+    c5MalformedDrop, c6AttemptSeq)
 }

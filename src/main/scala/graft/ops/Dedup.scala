@@ -125,21 +125,36 @@ object Dedup {
        |WHERE CAST(c.n_common AS DOUBLE) / (ca.nsh + cb.nsh - c.n_common) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     val docs = shingledDocs(spark, dir)
-    // cost-based candidate strategy: the full inverted index wins while
-    // the corpus is small (prefix filtering adds a df-join + per-doc
-    // sort); past ~50k docs hot-shingle df² growth flips the balance.
+    // cost-based candidate strategy: the full inverted index (with
+    // n_common counted inside the join's group-by — no per-pair
+    // intersection) wins while the corpus is small; past ~50k docs
+    // hot-shingle df² growth flips the balance to prefix filtering.
     // Both strategies are exact (OpsSpec proves set equality), so the
     // choice never changes the result.
     val nDocs = docs.count()
-    val cand =
-      if (nDocs < 50000)
-        docs.select(col("doc_id"), explode(col("s")).as("s")).as("a")
-          .join(docs.select(col("doc_id"), explode(col("s")).as("s")).as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-      else prefixCandidates(docs, 0.8)
-    jaccardVerify(docs, cand, 0.8).orderBy("doc_a", "doc_b")
+    val pairs =
+      if (nDocs < 50000) jaccardPairsCounted(docs, 0.8)
+      else jaccardVerify(docs, prefixCandidates(docs, 0.8), 0.8)
+    pairs.orderBy("doc_a", "doc_b")
+  }
+
+  /** Inverted-index Jaccard where |∩| falls out of the shingle join's
+    * group-by directly (one aggregation, no per-pair set intersection).
+    */
+  private def jaccardPairsCounted(docs: DataFrame, t: Double): DataFrame = {
+    val cnt = docs.select(col("doc_id"), size(col("s")).as("nsh"))
+    val ex = docs.select(col("doc_id"), explode(col("s")).as("s"))
+    val common = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common").cast("double") /
+      (col("ca.nsh") + col("cb.nsh") - col("n_common"))
+    common
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .filter(jac >= t)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
   }
 
   /** Exact Jaccard over candidate pairs: join back the full shingle sets,

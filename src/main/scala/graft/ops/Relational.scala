@@ -411,7 +411,41 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Skew-safe two-stage aggregation with explicit salting: events has
+    * only 5 event_type keys, so a direct groupBy lands all 100k+ rows of
+    * a hot key on one reducer. Stage 1 aggregates (key, salt) across 16
+    * salted sub-keys (uniform spread); stage 2 merges the 5×16 partials.
+    * Same result as the direct group-by — the oracle computes it that
+    * way — at 1/16th the per-reducer skew. (AQE's skew handling covers
+    * joins; salting is the aggregation-side counterpart.)
+    */
+  val q17SaltedAgg: Q = Q.sql(
+    "q17_salted_agg",
+    "Two-stage salted aggregation over a 5-key hot distribution.",
+    """SELECT event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+      |  CAST(MIN(value) AS DOUBLE) AS min_value,
+      |  CAST(MAX(value) AS DOUBLE) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val salted = Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).as("sv"),
+        min(col("value")).as("mn"),
+        max(col("value")).as("mx"))
+    salted.groupBy(col("event_type"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sv")).cast("double").as("sum_value"),
+        min(col("mn")).cast("double").as("min_value"),
+        max(col("mx")).cast("double").as("max_value"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
-    q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct)
+    q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg)
 }

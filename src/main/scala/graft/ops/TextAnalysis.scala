@@ -180,5 +180,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(t1LangId, t2Quality, t3TokenStats, t4Fingerprint, t5BpeTokens)
+  /** Per-language heavy hitters via a custom mergeable Aggregator
+    * ([[graft.functions.TopTokens]]): per-partition token-count maps
+    * merged across executors, finished as the deterministic top-3 — the
+    * user-defined-aggregate shape (partial state + merge) that at 100 TB
+    * becomes a SpaceSaving/CMS sketch with bounded state. The oracle
+    * computes the same answer relationally (group → rank → string_agg).
+    */
+  val t6HeavyHitters: Q = Q.sql(
+    "t6_heavy_hitters",
+    "Top-3 tokens per language via a custom mergeable Aggregator.",
+    """WITH tok AS (SELECT lang, UNNEST(string_split(text, ' ')) AS t FROM documents),
+      |c AS (SELECT lang, t, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+      |r AS (SELECT lang, t, n,
+      |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, t) AS rn
+      |      FROM c)
+      |SELECT lang, string_agg(t, ',' ORDER BY rn) AS top_tokens
+      |FROM r WHERE rn <= 3 GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val topTokens = udaf(graft.functions.TopTokens(3), org.apache.spark.sql.Encoders.STRING)
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(words).as("token"))
+      .groupBy(col("lang"))
+      .agg(topTokens(col("token")).as("top_tokens"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(t1LangId, t2Quality, t3TokenStats, t4Fingerprint,
+    t5BpeTokens, t6HeavyHitters)
 }

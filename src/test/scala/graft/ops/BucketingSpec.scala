@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketing: the co-located fact⋈fact join. Writing both sides bucketed
+  * (and sorted) by the join key lets Spark sort-merge-join them with ZERO
+  * exchanges — at 100 TB this converts the biggest shuffle in the
+  * pipeline into a pure map-side merge, paid once at write time.
+  */
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bucketed lineitem ⋈ orders sort-merge-joins with no Exchange") {
+    val sf = TestSpark.sf0001
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    Tables.lineitem(spark, sf)
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    Tables.orders(spark, sf)
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("ord_bucketed")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.table("li_bucketed")
+      val ord = spark.table("ord_bucketed")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      joined.collect()
+      // look only at AQE's final plan (toString appends the pre-AQE
+      // "Initial Plan" section too)
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scans not bucketed in:\n$plan")
+      // the join consumes bucketed scans directly — the only exchange in
+      // the whole query is the post-join group-by on o_orderpriority
+      val exchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(exchanges === Seq("o_orderpriority"),
+        s"join inputs were shuffled despite bucketing: $exchanges\n$plan")
+
+      // cross-check the result against the unbucketed path
+      val direct = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val bucketed = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(bucketed === direct)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}
