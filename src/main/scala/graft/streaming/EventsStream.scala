@@ -62,6 +62,17 @@ object EventsStream {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact dedup on event_id with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps each key only until the
+    * watermark passes it, so state size tracks the late-data horizon
+    * instead of the whole stream — the streaming counterpart of
+    * `d1_dedup_exact`.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom stateful sessionization: one SessionState per user in the
     * state store; a session closes (and is emitted) when the processing
     * timeout fires or an event arrives past the 30-minute gap. This is

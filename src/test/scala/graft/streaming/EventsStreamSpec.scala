@@ -53,6 +53,20 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(streamed.zip(batch).forall { case (s, b) => s == b })
   }
 
+  test("streaming dedup with watermark drops repeated event_ids") {
+    // duplicate the whole input: same events file twice in the stream dir
+    val d = java.nio.file.Files.createTempDirectory("events-dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), d.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), d.resolve("b.parquet"))
+    val stream = EventsStream.read(spark, d.toString)
+    runToMemory(EventsStream.dedupedEvents(stream), "dedup_out")
+    val unique = graft.Tables.events(spark, sf).count()
+    assert(spark.table("dedup_out").count() === unique)
+    assert(spark.table("dedup_out").select("event_id").distinct().count() === unique)
+  }
+
   test("custom stateful sessionizer agrees with session_window on closed+drained sessions") {
     import spark.implicits._
     val events = Tables.events(spark, sf).as[EventsStream.Event]
