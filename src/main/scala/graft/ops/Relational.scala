@@ -445,7 +445,56 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** As-of join — the canonical "operator Spark lacks" — composed from
+    * built-ins (preference (a) in the extension ladder): tag both sides,
+    * union, and carry the latest right-side row forward with a
+    * `last(…, ignoreNulls)` running window per key; equal timestamps sort
+    * the right side first to get the inclusive `p.ts >= s.ts` boundary.
+    * One shuffle on the key, no range cross-join. The oracle is DuckDB's
+    * *native* ASOF JOIN — a fully independent implementation agreeing
+    * row-for-row. (Right side is deduped to one row per (key, ts) first,
+    * which both formulations need for deterministic matches.)
+    */
+  val q18AsofJoin: Q = Q.sql(
+    "q18_asof_join",
+    "As-of join (purchase → latest prior signup) via union + carry-forward window.",
+    """WITH s AS (
+      |  SELECT user_id, ts, MAX(event_id) AS signup_id
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+      |       s.signup_id, s.ts AS signup_ts,
+      |       epoch_us(p.ts) - epoch_us(s.ts) AS micros_since_signup
+      |FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY purchase_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("signup_id"))
+      .select(col("user_id"), col("ts"), lit(1).as("is_right"),
+        col("signup_id"), lit(null).cast("long").as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("is_right"),
+        lit(null).cast("long").as("signup_id"), col("event_id").as("purchase_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_right").desc,
+        coalesce(col("signup_id"), col("purchase_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    signups.unionAll(purchases)
+      .withColumn("m_signup_id", last(col("signup_id"), ignoreNulls = true).over(w))
+      .withColumn("m_signup_ts",
+        last(when(col("is_right") === 1, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("is_right") === 0 && col("m_signup_id").isNotNull)
+      .select(col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("m_signup_id").as("signup_id"), col("m_signup_ts").as("signup_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("m_signup_ts"))).as("micros_since_signup"))
+      .orderBy("purchase_id")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
-    q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg)
+    q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
+    q18AsofJoin)
 }
