@@ -151,8 +151,8 @@ object Dedup {
     val jac = col("n_common").cast("double") /
       (col("ca.nsh") + col("cb.nsh") - col("n_common"))
     common
-      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .join(broadcast(cnt.as("ca")), col("doc_a") === col("ca.doc_id"))
+      .join(broadcast(cnt.as("cb")), col("doc_b") === col("cb.doc_id"))
       .filter(jac >= t)
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
   }
@@ -165,8 +165,8 @@ object Dedup {
     val j = nCommon.cast("double") /
       (size(col("sa.s")) + size(col("sb.s")) - nCommon)
     cand
-      .join(docs.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(docs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(broadcast(docs.as("sa")), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(docs.as("sb")), col("doc_b") === col("sb.doc_id"))
       .filter(j >= t)
       .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
   }
@@ -256,10 +256,10 @@ object Dedup {
     val nCommon = size(array_intersect(col("sa.s"), col("sb.s")))
     val j = nCommon.cast("double") / (col("ca.nsh") + col("cb.nsh") - nCommon)
     cand
-      .join(docs.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(docs.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .join(broadcast(docs.as("sa")), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(docs.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .join(broadcast(cnt.as("ca")), col("doc_a") === col("ca.doc_id"))
+      .join(broadcast(cnt.as("cb")), col("doc_b") === col("cb.doc_id"))
       .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"),
         when(j >= 0.7, 1).otherwise(0).as("is_dup"))
       .orderBy("doc_a", "doc_b")
