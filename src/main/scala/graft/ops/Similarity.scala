@@ -135,5 +135,80 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
-  val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh)
+  private val N_CELLS = 8
+  private val IVF_K = 5
+
+  /** IVF-style ANN: the corpus is partitioned into Voronoi cells around
+    * deterministic centroids (the first [[N_CELLS]] vectors — a real
+    * build would k-means these), each vector assigned to its
+    * max-cosine centroid; probes search only their own cell (nprobe=1).
+    * Cell assignment is one broadcast pass; the probe⋈cell join is an
+    * equi-join on the cell id — like s2 but with data-adaptive regions
+    * instead of fixed hyperplanes. Oracle replicates the assignment
+    * arithmetic exactly.
+    */
+  val s3AnnIvf: Q = Q.sql(
+    "s3_ann_ivf",
+    s"IVF-cell ANN ($N_CELLS Voronoi cells, nprobe=1): top-$IVF_K in-cell neighbors per probe.",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
+       |  FROM e),
+       |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $N_CELLS),
+       |assigned AS (
+       |  SELECT vec_id, cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+       |  FROM (
+       |    SELECT n.vec_id, cent.cent_id,
+       |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |             list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cent.cv[i])), (x, y) -> x + y)
+       |             / (n.nrm * cent.cnrm) AS cos
+       |    FROM n CROSS JOIN cent)),
+       |cells AS (SELECT vec_id, cent_id AS cell FROM assigned WHERE rn = 1),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, pc.cell, c.vec_id AS neighbor_id,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(p.v) + 1), i -> p.v[i] * c.v[i])), (x, y) -> x + y)
+       |           / (p.nrm * c.nrm) AS cos
+       |  FROM n p JOIN cells pc ON p.vec_id = pc.vec_id
+       |  JOIN cells cc ON pc.cell = cc.cell AND cc.vec_id <> p.vec_id
+       |  JOIN n c ON c.vec_id = cc.vec_id
+       |  WHERE p.vec_id < 10),
+       |ranked AS (
+       |  SELECT probe_id, cell, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, cell, rank, neighbor_id, ROUND(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= $IVF_K ORDER BY probe_id, rank""".stripMargin) { (spark, dir) =>
+    val n = Dedup.normedVectors(spark, dir)
+    val cent = n.filter(col("vec_id") < N_CELLS)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assignW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+    val cells = n.crossJoin(broadcast(cent))
+      .withColumn("ccos", Dedup.cosineCol(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val withCell = n.join(cells, "vec_id")
+    val probes = withCell.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("cell"),
+        col("v").as("pv"), col("nrm").as("pnrm"))
+    val cos = Dedup.cosineCol(col("pv"), col("v"), col("pnrm"), col("nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes)
+      .join(withCell.withColumnRenamed("cell", "cell2"),
+        col("cell") === col("cell2") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cell"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= IVF_K)
+      .select(col("probe_id"), col("cell"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf)
 }
