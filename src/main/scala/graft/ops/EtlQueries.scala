@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.Q
+import graft.etl.{AssessmentEvents, ItemEvents}
+import org.apache.spark.sql.functions._
+
+/** The reference CSV pipelines themselves (graft.etl), registered under
+  * the DuckDB-oracle gate: the oracle re-derives the full nested-event
+  * JSON from the same fixture CSVs with `read_csv` + `struct_pack`, so
+  * the end-to-end dataflow — csv parse, empty/malformed handling, struct
+  * construction, `;`-split, group-collect, 1→3 fan-out — is checked
+  * against an independent engine, not just against hand-written specs.
+  */
+object EtlQueries {
+
+  private val itemsCsv = "/root/repo/src/test/resources/items.csv"
+  private val assessCsv = "/root/repo/src/test/resources/assessments.csv"
+
+  /** Item-level pipeline end-to-end (read → events → group-collect),
+    * fixture-driven (sfDir unused — the operator under test is the CSV
+    * pipeline, SURVEY §3.1).
+    */
+  val e1ItemPipeline: Q = Q.sql(
+    "e1_item_pipeline_csv",
+    "ItemEvents csv pipeline vs DuckDB re-derivation of the grouped event JSON.",
+    s"""WITH src AS (
+       |  SELECT * FROM read_csv('$itemsCsv', header=true, all_varchar=true, null_padding=true)
+       |  WHERE attempt_id IS NOT NULL),
+       |ev AS (
+       |  SELECT attempt_id, to_json(struct_pack(
+       |    "type" := 'OutcomeEvent',
+       |    "values" := struct_pack(
+       |      action := 'GRADED',
+       |      actor := struct_pack(id := COALESCE(identity_id, '')),
+       |      target := struct_pack(
+       |        id := COALESCE(assmtitem_id, ''),
+       |        learningObjectives := list_transform(
+       |          string_split(trim(COALESCE(masterobjectivesid, '')), ';'),
+       |          x -> struct_pack(id := x))),
+       |      object := struct_pack(id := attempt_id, count := 1),
+       |      generated := struct_pack(
+       |        normalScore := COALESCE(score_earned, ''),
+       |        totalScore := COALESCE(score_posible, '')),
+       |      assessment := struct_pack(
+       |        id := COALESCE(assessment_id, ''),
+       |        version := COALESCE(assessment_version, ''))))) AS event
+       |  FROM src)
+       |SELECT attempt_id, list(event ORDER BY event) AS events, COUNT(*) AS n_events
+       |FROM ev GROUP BY attempt_id ORDER BY attempt_id""".stripMargin) { (spark, _) =>
+    ItemEvents.groupedByAttempt(ItemEvents.events(ItemEvents.read(spark, itemsCsv)))
+      .select(col("attempt_id"), sort_array(col("events")).as("events"),
+        size(col("events")).cast("long").as("n_events"))
+      .orderBy("attempt_id")
+  }
+
+  /** Assessment-level pipeline end-to-end (read → all-field gate → 1→3
+    * fan-out), fixture-driven (SURVEY §3.2, with the §3.3 per-variant
+    * shapes and the corrected score orientation).
+    */
+  val e2AssessmentPipeline: Q = Q.sql(
+    "e2_assessment_pipeline_csv",
+    "AssessmentEvents csv fan-out vs DuckDB per-variant event JSON.",
+    s"""WITH src AS (
+       |  SELECT * FROM read_csv('$assessCsv', header=true, all_varchar=true, null_padding=true)
+       |  WHERE identity_id IS NOT NULL AND login_identity_id IS NOT NULL
+       |    AND school_id IS NOT NULL AND assessment_id IS NOT NULL
+       |    AND assessment_version IS NOT NULL AND date_submitted IS NOT NULL
+       |    AND assessment_type_id IS NOT NULL AND assessment_type IS NOT NULL
+       |    AND attempt_id IS NOT NULL AND attemptnumber IS NOT NULL
+       |    AND is_mastered IS NOT NULL AND score_earned IS NOT NULL
+       |    AND score_posible IS NOT NULL),
+       |started AS (
+       |  SELECT attempt_id, 'STARTED' AS action, to_json(struct_pack(
+       |    "type" := 'AssessmentEvent',
+       |    "values" := struct_pack(action := 'STARTED'),
+       |    actor := struct_pack(id := identity_id),
+       |    "object" := struct_pack(id := assessment_id, version := assessment_version),
+       |    generated := struct_pack(id := attempt_id, count := CAST(attemptnumber AS INTEGER)))) AS event
+       |  FROM src),
+       |submitted AS (
+       |  SELECT attempt_id, 'SUBMITTED' AS action, to_json(struct_pack(
+       |    "type" := 'AssessmentEvent',
+       |    "values" := struct_pack(action := 'SUBMITTED'),
+       |    actor := struct_pack(id := identity_id),
+       |    "object" := struct_pack(id := assessment_id, version := assessment_version),
+       |    generated := struct_pack(id := attempt_id, count := CAST(attemptnumber AS INTEGER)))) AS event
+       |  FROM src),
+       |graded AS (
+       |  SELECT attempt_id, 'GRADED' AS action, to_json(struct_pack(
+       |    "type" := 'AssessmentOutcomeEvent',
+       |    "values" := struct_pack(
+       |      action := 'GRADED',
+       |      actor := struct_pack(id := identity_id),
+       |      organization := struct_pack(id := school_id),
+       |      assessment := struct_pack(id := assessment_id, version := assessment_version),
+       |      "object" := struct_pack(id := attempt_id, count := CAST(attemptnumber AS INTEGER)),
+       |      generated := struct_pack(totalScore := score_posible, normalScore := score_earned)))) AS event
+       |  FROM src)
+       |SELECT attempt_id, action, event
+       |FROM (SELECT * FROM started UNION ALL SELECT * FROM submitted UNION ALL SELECT * FROM graded)
+       |ORDER BY attempt_id, action""".stripMargin) { (spark, _) =>
+    AssessmentEvents.events(AssessmentEvents.read(spark, assessCsv))
+      .select(col("attempt_id"), col("event.values.action").as("action"),
+        to_json(col("event")).as("event"))
+      .orderBy("attempt_id", "action")
+  }
+
+  val all: Seq[Q] = Seq(e1ItemPipeline, e2AssessmentPipeline)
+}
