@@ -493,8 +493,72 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** Exact interpolated percentiles (Spark `percentile` == ANSI
+    * `percentile_cont`): median and p90 per priority. Exact percentile
+    * needs the group sorted — at 100 TB swap to `approx_percentile`
+    * (t-digest) unless exactness is contractual.
+    */
+  val q19Percentile: Q = Q.sql(
+    "q19_percentile",
+    "Exact median / p90 per order priority (percentile_cont).",
+    """SELECT o_orderpriority,
+      |  PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price,
+      |  PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_price,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
+        percentile(col("o_totalprice"), lit(0.9)).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** CUBE grouping sets — all 4 combinations of (returnflag, linestatus)
+    * subtotals in one pass (Spark expands to a single aggregate over the
+    * grouping-set union; still one shuffle).
+    */
+  val q20Cube: Q = Q.sql(
+    "q20_cube",
+    "CUBE(returnflag, linestatus): all subtotal combinations.",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  /** Pivot: returnflag values become columns (one conditional-aggregate
+    * pass — exactly what the oracle spells out as CASE WHEN sums).
+    */
+  val q21Pivot: Q = Q.sql(
+    "q21_pivot",
+    "Pivot returnflag → columns of decimal-exact quantity sums.",
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS A,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS N,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS R
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(dec(col("l_quantity"))).cast("double"))
+      .orderBy("l_linestatus")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
-    q18AsofJoin)
+    q18AsofJoin, q19Percentile, q20Cube, q21Pivot)
 }
