@@ -557,8 +557,49 @@ object Relational {
       .orderBy("l_linestatus")
   }
 
+  /** Range join done scalably: clicks within the 10 minutes before each
+    * purchase, per user. A naive formulation is a per-user cross join
+    * with a range predicate; here both sides are bucketized into 10-min
+    * epochs and the purchase probes (bucket, bucket−1), making it an
+    * equi-join on (user, bucket) — each qualifying pair matches exactly
+    * once since a click lives in one bucket. The range predicate then
+    * only filters within tiny buckets. The oracle states the naive
+    * inequality join directly — an independent formulation.
+    */
+  val q22RangeJoin: Q = Q.sql(
+    "q22_range_join",
+    "Banded range join: clicks in the 10 min before each purchase.",
+    """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |       COUNT(*) AS n_clicks,
+      |       MIN(epoch_us(p.ts) - epoch_us(c.ts)) AS min_gap_us
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+      |GROUP BY 1, 2, 3 ORDER BY purchase_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val bucketUs = 600L * 1000000
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        (unix_micros(col("ts")) / bucketUs).cast("long").as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"),
+        explode(array((unix_micros(col("ts")) / bucketUs).cast("long"),
+          (unix_micros(col("ts")) / bucketUs).cast("long") - 1)).as("bucket"))
+    purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") < col("p_ts"))
+      .groupBy(col("purchase_id"), col("user_id"), col("p_ts"))
+      .agg(count(lit(1)).as("n_clicks"),
+        min(unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("min_gap_us"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts").as("purchase_ts"),
+        col("n_clicks"), col("min_gap_us"))
+      .orderBy("purchase_id")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
-    q18AsofJoin, q19Percentile, q20Cube, q21Pivot)
+    q18AsofJoin, q19Percentile, q20Cube, q21Pivot, q22RangeJoin)
 }
