@@ -97,7 +97,8 @@ object AssessmentEvents {
   def writeJson(events: DataFrame, outDir: String): Unit =
     events
       .groupBy(col("attempt_id"))
-      .agg(collect_list(to_json(col("event"))).as("events"))
+      // sorted for run-to-run determinism (collect_list order is not)
+      .agg(sort_array(collect_list(to_json(col("event")))).as("events"))
       .select(col("attempt_id"),
         concat(lit("["), concat_ws(",", col("events")), lit("]")).as("value"))
       .write.mode("overwrite").partitionBy("attempt_id").text(outDir)

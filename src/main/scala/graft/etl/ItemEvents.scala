@@ -82,7 +82,11 @@ object ItemEvents {
   def groupedByAttempt(events: DataFrame): DataFrame =
     events
       .groupBy(col("attempt_id"))
-      .agg(collect_list(to_json(col("event"))).as("events"))
+      // sort_array: collect_list order is partition-fetch order
+      // (nondeterministic); the reference's input-file order can't exist
+      // distributed, so the documented contract is canonical sorted order
+      // (SURVEY §7.5)
+      .agg(sort_array(collect_list(to_json(col("event")))).as("events"))
 
   /** One JSON array document per attempt, directory-per-key
     * (`etl.js:115-125`; SURVEY §7.5 treats directory-per-attempt as the

@@ -37,8 +37,13 @@ object ParityParsers {
     * a single text file is preserved by the text source.
     */
   private def dataLines(spark: SparkSession, path: String): DataFrame = {
-    val lines = spark.read.text(path).select(trim(col("value")).as("line"))
-    lines.filter(col("line") =!= lines.first().getString(0))
+    import spark.implicits._
+    // positional skip of line index 0 (the reference's `i > 0` filter) —
+    // value-based filtering would also drop data lines equal to the
+    // header; zipWithIndex is deterministic for a single text file and
+    // safe on empty input
+    spark.read.textFile(path).rdd.zipWithIndex()
+      .filter(_._2 > 0).map(_._1.trim).toDF("line")
   }
 
   /** Item-level lines → 16 extracted columns; non-matching lines dropped

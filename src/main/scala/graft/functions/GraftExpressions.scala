@@ -28,19 +28,26 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftExpressions {
 
   /** Σ a[i]·b[i] over array<double> columns, left-to-right. Null arrays
-    * propagate null; elements are assumed non-null (vector data).
+    * propagate null; mismatched lengths yield null rather than a silently
+    * truncated dot product (a ragged vector is corrupt input — the SQL
+    * oracle formulation also nulls there, via out-of-range list indexing).
+    * Elements are assumed non-null (vector data).
     */
   case class DotProductD(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
-      var s = 0.0
-      var i = 0
-      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-      s
+      val n = x.numElements()
+      if (y.numElements() != n) null
+      else {
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+        s
+      }
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -49,12 +56,16 @@ object GraftExpressions {
         val n = ctx.freshName("n")
         val sum = ctx.freshName("sum")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $sum = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $sum += $a.getDouble($i) * $b.getDouble($i);
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $sum = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $sum += $a.getDouble($i) * $b.getDouble($i);
+           |  }
+           |  ${ev.value} = $sum;
            |}
-           |${ev.value} = $sum;
          """.stripMargin
       })
 

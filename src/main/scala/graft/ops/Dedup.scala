@@ -130,8 +130,9 @@ object Dedup {
     // intersection) wins while the corpus is small; past ~50k docs
     // hot-shingle df² growth flips the balance to prefix filtering.
     // Both strategies are exact (OpsSpec proves set equality), so the
-    // choice never changes the result.
-    val nDocs = docs.count()
+    // choice never changes the result. The probe is a count-star over the
+    // raw parquet (footer metadata only — no scan, no shingle job).
+    val nDocs = Tables.documents(spark, dir).count()
     val pairs =
       if (nDocs < 50000) jaccardPairsCounted(docs, 0.8)
       else jaccardVerify(docs, prefixCandidates(docs, 0.8), 0.8)

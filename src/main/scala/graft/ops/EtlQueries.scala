@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   */
 object EtlQueries {
 
-  private val itemsCsv = "/root/repo/src/test/resources/items.csv"
-  private val assessCsv = "/root/repo/src/test/resources/assessments.csv"
+  private val repoRoot = sys.env.getOrElse("GRAFT_REPO_ROOT", "/root/repo")
+  private val itemsCsv = s"$repoRoot/src/test/resources/items.csv"
+  private val assessCsv = s"$repoRoot/src/test/resources/assessments.csv"
 
   /** Item-level pipeline end-to-end (read → events → group-collect),
     * fixture-driven (sfDir unused — the operator under test is the CSV

@@ -74,11 +74,14 @@ object EventsStream {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Custom stateful sessionization: one SessionState per user in the
-    * state store; a session closes (and is emitted) when the processing
-    * timeout fires or an event arrives past the 30-minute gap. This is
-    * the `flatMapGroupsWithState` shape for session logic
-    * `session_window` can't express (e.g. emitting on close with
-    * custom payloads).
+    * state store; a session closes (and is emitted) when a later event
+    * arrives past the 30-minute gap. Each user's final session stays
+    * open in state awaiting more events — `finalizeSessions` drains it
+    * in batch runs; a production stream would add
+    * `GroupStateTimeout.EventTimeTimeout` + watermark to close and evict
+    * idle sessions. This is the `flatMapGroupsWithState` shape for
+    * session logic `session_window` can't express (e.g. emitting on
+    * close with custom payloads).
     */
   def statefulSessions(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -96,7 +99,8 @@ object EventsStream {
             val t = us(e.ts)
             cur match {
               case Some(s) if t - s.last < gapUs =>
-                cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                // a cross-batch straggler can precede the stored start
+                cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
               case Some(s) =>
                 closed ::= SessionOut(userId, instant(s.start), instant(s.last + gapUs), s.n)
                 cur = Some(SessionState(t, t, 1))

@@ -18,6 +18,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PipelinePropertySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+  private val rnd = new scala.util.Random(7) // seeded: failures must replay
 
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
@@ -49,7 +50,7 @@ class PipelinePropertySpec extends AnyFunSuite {
       val f = java.nio.file.Files.createTempFile("prop-items", ".csv")
       val header = CaliperSchemas.itemSchema.fieldNames.mkString(",")
       java.nio.file.Files.writeString(f,
-        (header +: scala.util.Random.shuffle(valid ++ bad)).mkString("\n"))
+        (header +: rnd.shuffle(valid ++ bad)).mkString("\n"))
       val grouped = ItemEvents.groupedByAttempt(
         ItemEvents.events(ItemEvents.read(spark, f.toString))).collect()
       val distinctAttempts = valid.map(_.split(",")(5)).distinct.size
@@ -73,7 +74,7 @@ class PipelinePropertySpec extends AnyFunSuite {
       val f = java.nio.file.Files.createTempFile("prop-assess", ".csv")
       val header = CaliperSchemas.assessmentSchema.fieldNames.mkString(",")
       java.nio.file.Files.writeString(f,
-        (header +: scala.util.Random.shuffle(good ++ partial)).mkString("\n"))
+        (header +: rnd.shuffle(good ++ partial)).mkString("\n"))
       val events = AssessmentEvents.events(AssessmentEvents.read(spark, f.toString))
       assert(events.count() === 3L * good.size, s"input: $good")
       val perAction = events.groupBy(col("event.values.action")).count()

@@ -23,6 +23,10 @@ class OpsSpec extends AnyFunSuite {
     test(s"${q.name} executes at sf0.001") {
       val df = q.run(spark, sf)
       assert(df.columns.nonEmpty)
+      // duplicate column names would make the driver's sorted-column
+      // oracle compare ambiguous
+      assert(df.columns.distinct.length === df.columns.length,
+        s"duplicate columns: ${df.columns.mkString(",")}")
       assert(df.count() >= 0)
     }
   }
