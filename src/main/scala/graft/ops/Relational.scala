@@ -598,8 +598,55 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** Ordered string aggregation (LISTAGG): names of each region's
+    * nations, canonically sorted inside the aggregate so the result is a
+    * deterministic scalar per group.
+    */
+  val q23StringAgg: Q = Q.sql(
+    "q23_string_agg",
+    "Ordered string_agg: nation names per region.",
+    """SELECT r.r_name,
+      |       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+      |       COUNT(*) AS n
+      |FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+      |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin) { (spark, dir) =>
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    r.join(n, r("r_regionkey") === n("n_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy("r_name")
+  }
+
+  /** JSON parsing functions over the events props payload — an extension
+    * beyond the reference (which only serializes JSON): path extraction,
+    * typed cast, and re-serialization, all per-row map work.
+    */
+  val q24JsonFuncs: Q = Q.sql(
+    "q24_json_funcs",
+    "JSON path extraction + typed aggregation over the props payload.",
+    """SELECT event_type,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0) AS even_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(k).as("sum_k"),
+        count(when(k % 2 === 0, 1)).as("even_k"),
+        min(k).as("min_k"),
+        max(k).as("max_k"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
-    q18AsofJoin, q19Percentile, q20Cube, q21Pivot, q22RangeJoin)
+    q18AsofJoin, q19Percentile, q20Cube, q21Pivot, q22RangeJoin, q23StringAgg,
+    q24JsonFuncs)
 }
