@@ -31,7 +31,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // sbt wraps stdout in [info]/WARN noise that can defeat the driver's
+    // JSON extraction — also drop the bare line where it can be read
+    // directly (cwd = repo root under sbt).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -221,10 +221,14 @@ object GraftExpressions {
 
   /** Register the expressions in the session's function registry (the
     * public route to custom expressions: `call_function` after
-    * registration). Idempotent.
+    * registration). Idempotent AND quiet: re-registering an existing temp
+    * function logs a WARN per call, which pollutes the benchmark's stdout,
+    * so sessions that already have the functions are left untouched.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) return
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DotProductD(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_shingles",

@@ -100,13 +100,19 @@ object Caliper {
        |         user_id, value,
        |         regexp_extract(props, '"k": ([0-9]+)', 1) AS k
        |  FROM events),
-       |ev AS (SELECT attempt_id, $itemEventJsonSql AS event FROM src)
-       |SELECT attempt_id, list(event ORDER BY event) AS events, COUNT(*) AS n_events
+       |ev AS (SELECT attempt_id, CAST($itemEventJsonSql AS VARCHAR) AS event FROM src)
+       |SELECT attempt_id, '[' || string_agg(event, ',' ORDER BY event) || ']' AS events, COUNT(*) AS n_events
        |FROM ev GROUP BY attempt_id ORDER BY attempt_id""".stripMargin) { (spark, dir) =>
     Tables.events(spark, dir)
       .select(attemptId.as("attempt_id"), itemEventJson.as("event"))
       .groupBy(col("attempt_id"))
-      .agg(sort_array(collect_list(col("event"))).as("events"),
+      // The collected list is rendered as one JSON-array string so the result
+      // is scalar-typed end to end (hashable by any downstream comparator).
+      // Rendered by concatenation, not to_json: the elements are already JSON
+      // documents, and to_json over array<string> would re-escape them.
+      .agg(concat(lit("["),
+          array_join(sort_array(collect_list(col("event"))), ","),
+          lit("]")).as("events"),
         count(lit(1)).as("n_events"))
       .orderBy("attempt_id")
   }
@@ -177,22 +183,50 @@ object Caliper {
 
   /** A2: group iteration with a sequence number — the reference's output
     * counter `i` over map entries (`etl.js:56-60`, used in filenames) as
-    * a deterministic row_number over the grouped attempts.
+    * a deterministic global sequence.
+    *
+    * A bare `Window.orderBy(attempt_id)` (no partitionBy) would funnel
+    * every group through ONE task — correct at sf0.1, dead at 100 TB. The
+    * scale-safe shape is two-phase: range-partition on the order key, take
+    * partition-local row numbers, then add cumulative per-partition
+    * offsets. The only single-ordered-window left runs over the offsets
+    * frame, which has #partitions rows (≤ spark.sql.shuffle.partitions),
+    * not #groups rows.
     */
   val c6AttemptSeq: Q = Q.sql(
     "c6_attempt_seq",
-    "Sequence number per attempt group (the reference's output counter, A2).",
+    "Sequence number per attempt group (the reference's output counter, A2), two-phase.",
     """WITH g AS (
       |  SELECT 'attempt-' || CAST(CAST(FLOOR(event_id / 10) AS BIGINT) AS VARCHAR) AS attempt_id,
       |         COUNT(*) AS n_events
       |  FROM events GROUP BY 1)
       |SELECT ROW_NUMBER() OVER (ORDER BY attempt_id) - 1 AS seq, attempt_id, n_events
       |FROM g ORDER BY seq""".stripMargin) { (spark, dir) =>
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("attempt_id"))
-    Tables.events(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val grouped = Tables.events(spark, dir)
       .groupBy(attemptId.as("attempt_id"))
       .agg(count(lit(1)).as("n_events"))
-      .select((row_number().over(w) - 1).as("seq"), col("attempt_id"), col("n_events"))
+    // Phase 1: range-partition by the order key so partition i holds keys
+    // strictly below partition i+1, then number rows locally per partition.
+    val local = grouped
+      .repartitionByRange(col("attempt_id"))
+      .sortWithinPartitions("attempt_id")
+      .withColumn("pid", spark_partition_id())
+      .withColumn("local_rn",
+        row_number().over(Window.partitionBy("pid").orderBy("attempt_id")))
+    // Phase 2: cumulative group counts per partition → global offset. The
+    // offsets frame is partition-count-sized, so the ordered window here is
+    // O(#partitions) regardless of data volume.
+    val offsets = local.groupBy("pid")
+      .agg(max("local_rn").as("cnt"))
+      .withColumn("offset",
+        coalesce(sum("cnt").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("pid", "offset")
+    local.join(broadcast(offsets), "pid")
+      .select((col("offset") + col("local_rn") - 1).as("seq"),
+        col("attempt_id"), col("n_events"))
       .orderBy("seq")
   }
 

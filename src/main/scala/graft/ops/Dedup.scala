@@ -67,13 +67,21 @@ object Dedup {
     * 100 TB this materialization is the shingle index you'd write to
     * storage once and reuse across the dedup suite.
     */
-  private def shingledDocs(spark: SparkSession, dir: String): DataFrame = {
-    GraftExpressions.register(spark)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text"), 3).as("s"))
-      .filter(size(col("s")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def shingledDocs(spark: SparkSession, dir: String): DataFrame =
+    // one persisted shingle frame per (session, dataset): d2 and d3 both
+    // hit it (up to 5 references each), and recomputing the kernel per
+    // query was the dedup family's biggest repeated cost. At 100 TB this
+    // is the shingle index you'd materialize to storage once per corpus.
+    shingleCache.getOrElseUpdate((spark, dir), {
+      GraftExpressions.register(spark)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), shingles(col("text"), 3).as("s"))
+        .filter(size(col("s")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Candidate pairs by prefix filtering (AllPairs/PPJoin): with a global
     * canonical shingle order (ascending document frequency, then shingle),
@@ -238,7 +246,6 @@ object Dedup {
        |       CASE WHEN j >= 0.7 THEN 1 ELSE 0 END AS is_dup
        |FROM verified ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     val docs = shingledDocs(spark, dir)
-    val cnt = docs.select(col("doc_id"), size(col("s")).as("nsh"))
     // persisted: the band self-join would otherwise recompute the
     // signature kernel once per join branch
     val sig = docs.select(col("doc_id"), col("s"), minhash(col("s"), K).as("sig"))
@@ -254,13 +261,14 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // shingle counts fall out of the joined sets directly (size(s)) — no
+    // separate cnt frame, two fewer verify joins than the oracle's shape
     val nCommon = size(array_intersect(col("sa.s"), col("sb.s")))
-    val j = nCommon.cast("double") / (col("ca.nsh") + col("cb.nsh") - nCommon)
+    val j = nCommon.cast("double") /
+      (size(col("sa.s")) + size(col("sb.s")) - nCommon)
     cand
       .join(broadcast(docs.as("sa")), col("doc_a") === col("sa.doc_id"))
       .join(broadcast(docs.as("sb")), col("doc_b") === col("sb.doc_id"))
-      .join(broadcast(cnt.as("ca")), col("doc_a") === col("ca.doc_id"))
-      .join(broadcast(cnt.as("cb")), col("doc_b") === col("cb.doc_id"))
       .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"),
         when(j >= 0.7, 1).otherwise(0).as("is_dup"))
       .orderBy("doc_a", "doc_b")
@@ -313,22 +321,49 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** (doc_id, simhash) via the one-pass kernel — shared by d4 and specs. */
-  def simHashes(spark: SparkSession, dir: String): DataFrame = {
-    GraftExpressions.register(spark)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash(shingles(col("text"), 1), SIM_BITS).as("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  private val simHashCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Embedding-cosine near-dup pairs (threshold 0.4 on this corpus).
-    * Exact thresholded pair join over the codegen'd dot-product kernel —
-    * both engines fold left-to-right in double, so values are
-    * bit-identical. The bucketed scale path is Similarity.s2AnnLsh.
+  /** (doc_id, simhash) via the one-pass kernel — shared by d4 and specs;
+    * persisted once per (session, dataset) like [[shingledDocs]].
+    */
+  def simHashes(spark: SparkSession, dir: String): DataFrame =
+    simHashCache.getOrElseUpdate((spark, dir), {
+      GraftExpressions.register(spark)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), simhash(shingles(col("text"), 1), SIM_BITS).as("simhash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Number of blocks per side in the d5 blocked self-join grid: B² grid
+    * cells = B² independent reducers, each side's rows replicated B times.
+    */
+  private val COS_BLOCKS = 8
+
+  /** Embedding-cosine near-dup pairs (threshold 0.4 on this corpus),
+    * exact, via a blocked theta-join (the 1-bucket theta-join of Okcan &
+    * Riedewald, SIGMOD'11): row i is replicated across grid row blk(i),
+    * row j across grid column blk(j), and the pair (i,j) meets in exactly
+    * one of the B×B cells through a plain shuffled EQUI-join on the cell
+    * key — no broadcast-nested-loop, no single-task bottleneck, B²-way
+    * parallelism with each side shuffled B times.
+    *
+    * Why not LSH candidates here: measured on this corpus, qualifying
+    * pairs sit at cosine 0.40–0.60 against a background whose max
+    * non-qualifying cosine is 0.39987 — the threshold cuts the *tail of a
+    * continuous random-cosine distribution*, not a cluster structure. Any
+    * hyperplane banding reaching 100% recall must cover ≥86% of all pairs
+    * (32 bands × 4 planes: 107k of 125k pairs at sf0.01), i.e. costs MORE
+    * than the exact join; IVF multi-probe behaves the same. Exact
+    * τ=0.4 dense-vector dedup is inherently Θ(n²) FLOPs; the job of the
+    * plan is therefore to distribute those FLOPs evenly, which the block
+    * grid does. Genuinely sub-quadratic embedding dedup needs a high
+    * threshold (true near-dups, cos ≥ 0.9) — that shape is
+    * [[Similarity.s2AnnLsh]]'s bucketed join.
     */
   val d5EmbeddingCosine: Q = Q.sql(
     "d5_dedup_embedding",
-    "Embedding cosine ≥ 0.4 near-dup pairs (exact; LSH variant in s2_ann_lsh).",
+    "Embedding cosine ≥ 0.4 near-dup pairs (exact, blocked theta-join; bucketed variant in s2_ann_lsh).",
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (
@@ -345,22 +380,41 @@ object Dedup {
        |SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine
        |FROM p WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin) { (spark, dir) =>
     val n = normedVectors(spark, dir)
+    val B = COS_BLOCKS
+    // grid row side: vector i owns grid row blk(i), appears in every column
+    val left = n
+      .withColumn("ba", pmod(col("vec_id"), lit(B)))
+      .withColumn("bb", explode(sequence(lit(0), lit(B - 1))))
+    // grid column side: vector j owns grid column blk(j), appears in every row
+    val right = n
+      .withColumn("ba", explode(sequence(lit(0), lit(B - 1))))
+      .withColumn("bb", pmod(col("vec_id"), lit(B)))
     val cos = cosineCol(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
-    n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+    left.as("a").join(right.as("b"),
+        col("a.ba") === col("b.ba") && col("a.bb") === col("b.bb") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cos.as("cos"))
       .filter(col("cos") >= 0.4)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
 
-  /** embeddings as (vec_id, v: array<double>, nrm, label). */
-  def normedVectors(spark: SparkSession, dir: String): DataFrame = {
-    GraftExpressions.register(spark)
-    val v = col("embedding").cast("array<double>")
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), v.as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-  }
+  private val normedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** embeddings as (vec_id, v: array<double>, nrm, label) — persisted once
+    * per (session, dataset); referenced by d5, s1, s2 and s3 (up to twice
+    * each per plan).
+    */
+  def normedVectors(spark: SparkSession, dir: String): DataFrame =
+    normedCache.getOrElseUpdate((spark, dir), {
+      GraftExpressions.register(spark)
+      val v = col("embedding").cast("array<double>")
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), v.as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Codegen'd left-fold cosine — identical op order to the DuckDB oracle. */
   def cosineCol(va: Column, vb: Column, na: Column, nb: Column): Column =

@@ -28,7 +28,7 @@ object EtlQueries {
        |  SELECT * FROM read_csv('$itemsCsv', header=true, all_varchar=true, null_padding=true)
        |  WHERE attempt_id IS NOT NULL),
        |ev AS (
-       |  SELECT attempt_id, to_json(struct_pack(
+       |  SELECT attempt_id, CAST(to_json(struct_pack(
        |    "type" := 'OutcomeEvent',
        |    "values" := struct_pack(
        |      action := 'GRADED',
@@ -44,12 +44,15 @@ object EtlQueries {
        |        totalScore := COALESCE(score_posible, '')),
        |      assessment := struct_pack(
        |        id := COALESCE(assessment_id, ''),
-       |        version := COALESCE(assessment_version, ''))))) AS event
+       |        version := COALESCE(assessment_version, ''))))) AS VARCHAR) AS event
        |  FROM src)
-       |SELECT attempt_id, list(event ORDER BY event) AS events, COUNT(*) AS n_events
+       |SELECT attempt_id, '[' || string_agg(event, ',' ORDER BY event) || ']' AS events, COUNT(*) AS n_events
        |FROM ev GROUP BY attempt_id ORDER BY attempt_id""".stripMargin) { (spark, _) =>
     ItemEvents.groupedByAttempt(ItemEvents.events(ItemEvents.read(spark, itemsCsv)))
-      .select(col("attempt_id"), sort_array(col("events")).as("events"),
+      // concat, not to_json: elements are pre-rendered JSON documents and
+      // to_json over array<string> would re-escape them (see Caliper.c2).
+      .select(col("attempt_id"),
+        concat(lit("["), array_join(sort_array(col("events")), ","), lit("]")).as("events"),
         size(col("events")).cast("long").as("n_events"))
       .orderBy("attempt_id")
   }

@@ -290,8 +290,8 @@ object Relational {
     "q11_case_agg",
     "CASE-WHEN conditional counts per linestatus (TPC-H Q12 shape).",
     """SELECT l.l_linestatus,
-      |  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-      |  SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |GROUP BY l.l_linestatus ORDER BY l.l_linestatus""".stripMargin) { (spark, dir) =>
     val l = Tables.lineitem(spark, dir)
@@ -355,7 +355,7 @@ object Relational {
     """SELECT string_split(p_type, ' ')[1] AS type_head,
       |       UPPER(SUBSTRING(p_brand, 1, 5)) AS brand_head,
       |  COUNT(*) AS n,
-      |  SUM(LENGTH(p_name)) AS name_chars,
+      |  CAST(SUM(LENGTH(p_name)) AS BIGINT) AS name_chars,
       |  CAST(MIN(p_retailprice) AS DOUBLE) AS min_price
       |FROM part GROUP BY 1, 2 ORDER BY type_head, brand_head""".stripMargin) { (spark, dir) =>
     Tables.part(spark, dir)
@@ -395,19 +395,30 @@ object Relational {
       .orderBy("user_id")
   }
 
-  /** HLL++ approximate distinct — engine-specific sketch values, so no
-    * SQL oracle (driver records rows-only). At 100 TB this replaces the
-    * exact-distinct shuffle with fixed-size mergeable sketches.
+  /** HLL++ approximate distinct. Sketch estimates are engine-specific, so
+    * the oracle-checkable claim is the *accuracy contract*: the estimate
+    * lands within 5% of the exact count (the sketch runs at rsd=0.01, so
+    * the 5% bound holds with wide margin). The oracle emits the exact
+    * values plus literal TRUE. At 100 TB this replaces the exact-distinct
+    * shuffle with fixed-size mergeable sketches.
     */
-  val q16ApproxDistinct: Q = Q.rowsOnly(
+  val q16ApproxDistinct: Q = Q.sql(
     "q16_approx_distinct",
-    "approx_count_distinct (HLL++) per event_type; sketch values are engine-specific.") { (spark, dir) =>
+    "approx_count_distinct (HLL++) per event_type, checked against its accuracy bound.",
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  COUNT(*) AS n,
+      |  TRUE AS within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
+      .select(col("event_type"), col("exact_users"), col("n"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= lit(0.05) * col("exact_users")).as("within_5pct"))
       .orderBy("event_type")
   }
 
@@ -628,7 +639,7 @@ object Relational {
     "q24_json_funcs",
     "JSON path extraction + typed aggregation over the props payload.",
     """SELECT event_type,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0) AS even_k,
       |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k

@@ -18,8 +18,8 @@ object TextAnalysis {
 
   private val words: Column = split(col("text"), " ")
 
-  private def stopHits(langWords: Seq[String]): Column =
-    size(filter(words, t => t.isInCollection(langWords)))
+  private def stopHits(w: Column, langWords: Seq[String]): Column =
+    size(filter(w, t => t.isInCollection(langWords)))
 
   private val enStops = Seq("the", "a", "and", "of", "to", "in", "is")
   private val deStops = Seq("der", "die", "das", "und", "ist", "ein")
@@ -55,9 +55,12 @@ object TextAnalysis {
        |FROM s ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val zh = when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), 1).otherwise(0)
     Tables.documents(spark, dir)
+      // split once; the per-language scores share the materialized array
+      // (CollapseProject won't inline a non-cheap alias used 4×)
+      .select(col("doc_id"), col("lang"), col("text"), words.as("w"))
       .select(col("doc_id"), col("lang"),
-        stopHits(enStops).as("s_en"), stopHits(deStops).as("s_de"),
-        stopHits(esStops).as("s_es"), stopHits(frStops).as("s_fr"),
+        stopHits(col("w"), enStops).as("s_en"), stopHits(col("w"), deStops).as("s_de"),
+        stopHits(col("w"), esStops).as("s_es"), stopHits(col("w"), frStops).as("s_fr"),
         zh.as("s_zh"))
       .select(col("doc_id"), col("lang"),
         when(col("s_zh") > 0, "zh")
@@ -92,10 +95,12 @@ object TextAnalysis {
        |  + 0.3 * LEAST(CAST(n_stop AS DOUBLE) / n_tokens / 0.4, 1.0), 6) AS quality
        |FROM m ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     Tables.documents(spark, dir)
+      // split once; all three token metrics share the materialized array
+      .select(col("doc_id"), col("text"), words.as("w"))
       .select(col("doc_id"),
-        size(words).as("n_tokens"),
-        size(array_distinct(words)).as("n_distinct"),
-        stopHits(enStops).as("n_stop"),
+        size(col("w")).as("n_tokens"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        stopHits(col("w"), enStops).as("n_stop"),
         length(col("text")).as("n_chars"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_stop"), col("n_chars"),
         (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
