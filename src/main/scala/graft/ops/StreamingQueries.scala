@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.streaming.EventsStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Structured Streaming pipelines under the DuckDB oracle gate: each
+  * query REALLY runs the streaming engine — `readStream` over the events
+  * parquet, the `graft.streaming.EventsStream` transform, a
+  * `Trigger.AvailableNow` run into a memory sink — and the drained sink
+  * is compared against the batch-SQL oracle. This is the hard evidence
+  * that the streaming operators compute the same answer as their batch
+  * twins (the Structured Streaming contract), not just that their specs
+  * pass.
+  *
+  * Memory-sink caveat (gate-only): the sink collects to the driver, which
+  * is fine for the oracle's row counts; a production 100 TB stream writes
+  * `writeStream.format("parquet")` with the same transforms — the plan
+  * shape (shuffle on group keys, state-store sharding by key, watermark
+  * eviction) is identical.
+  */
+object StreamingQueries {
+
+  /** Drive a streaming frame through the engine with AvailableNow and
+    * return the drained memory sink as a DataFrame.
+    */
+  private def runStream(spark: SparkSession, name: String, df: DataFrame,
+      mode: OutputMode): DataFrame = {
+    spark.catalog.dropTempView(name)
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** The test tables are single parquet FILES; the file streaming source
+    * requires a DIRECTORY (at scale an events table is one anyway). Stage
+    * the file into a per-(dataset) temp dir once per JVM.
+    */
+  private val stagedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def eventsPath(dir: String): String =
+    stagedDirs.getOrElseUpdate(dir, {
+      val src = java.nio.file.Paths.get(s"${dir.stripSuffix("/")}/events.parquet")
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
+      d.toFile.deleteOnExit()
+      java.nio.file.Files.copy(src, d.resolve("part-00000.parquet"))
+      d.toString
+    })
+
+  /** Tumbling 1h windowed aggregation on the streaming engine, Complete
+    * mode (watermark present but non-evicting) — every window emits, so
+    * the result equals the batch `date_trunc` aggregate regardless of how
+    * AvailableNow splits the input into micro-batches.
+    */
+  val w3StreamTumbling: Q = Q.sql(
+    "w3_stream_tumbling",
+    "Streaming tumbling 1h window x event_type (readStream -> memory sink) vs batch SQL.",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (spark, dir) =>
+    val stream = EventsStream.tumblingCounts(
+      EventsStream.read(spark, eventsPath(dir)))
+    runStream(spark, "w3_stream_tumbling", stream, OutputMode.Complete())
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Native session windows (30-minute gap) on the streaming engine,
+    * Complete mode (the session-window streaming aggregation rejects
+    * Update; Complete emits every merged session, so the drained sink
+    * equals the batch gaps-and-islands oracle).
+    */
+  val w4StreamSession: Q = Q.sql(
+    "w4_stream_session",
+    "Streaming session_window(ts, 30 min) per user (readStream -> memory sink) vs gaps-and-islands SQL.",
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       COUNT(*) AS n_events
+      |FROM numbered GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+    val stream = EventsStream.sessionCounts(
+      EventsStream.read(spark, eventsPath(dir)))
+    runStream(spark, "w4_stream_session", stream, OutputMode.Complete())
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Streaming exact dedup with bounded state: the input is the stream
+    * unioned with itself (every event arrives twice), and
+    * `dropDuplicatesWithinWatermark` must emit each event exactly once.
+    * The oracle is simply the events table — if any duplicate leaked or
+    * any row was dropped, the row count and hash both break.
+    */
+  val w5StreamDedup: Q = Q.sql(
+    "w5_stream_dedup",
+    "Streaming dropDuplicatesWithinWatermark over a self-unioned (fully duplicated) event stream.",
+    """SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+      |FROM events ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val once = EventsStream.read(spark, eventsPath(dir))
+    val twice = once.union(EventsStream.read(spark, eventsPath(dir)))
+    val stream = EventsStream.dedupedEvents(twice)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+    runStream(spark, "w5_stream_dedup", stream, OutputMode.Append())
+      .orderBy("event_id")
+  }
+
+  /** The custom sessionizer (the `flatMapGroupsWithState` logic run to
+    * completion in batch via `finalizeSessions`) against the same
+    * gaps-and-islands oracle as the native session_window — hard evidence
+    * the hand-rolled state machine computes identical sessions.
+    */
+  val w6CustomSessionizer: Q = Q.sql(
+    "w6_custom_sessionizer",
+    "Custom per-user session state machine (flatMapGroups) vs gaps-and-islands SQL.",
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM numbered GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[EventsStream.Event]
+    EventsStream.finalizeSessions(ev).toDF()
+      .orderBy("user_id", "session_start")
+  }
+
+  val all: Seq[Q] = Seq(w3StreamTumbling, w4StreamSession, w5StreamDedup,
+    w6CustomSessionizer)
+}
