@@ -133,37 +133,14 @@ object Dedup {
        |WHERE CAST(c.n_common AS DOUBLE) / (ca.nsh + cb.nsh - c.n_common) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     val docs = shingledDocs(spark, dir)
-    // cost-based candidate strategy: the full inverted index (with
-    // n_common counted inside the join's group-by — no per-pair
-    // intersection) wins while the corpus is small; past ~50k docs
-    // hot-shingle df² growth flips the balance to prefix filtering.
-    // Both strategies are exact (OpsSpec proves set equality), so the
-    // choice never changes the result. The probe is a count-star over the
-    // raw parquet (footer metadata only — no scan, no shingle job).
-    val nDocs = Tables.documents(spark, dir).count()
-    val pairs =
-      if (nDocs < 50000) jaccardPairsCounted(docs, 0.8)
-      else jaccardVerify(docs, prefixCandidates(docs, 0.8), 0.8)
-    pairs.orderBy("doc_a", "doc_b")
-  }
-
-  /** Inverted-index Jaccard where |∩| falls out of the shingle join's
-    * group-by directly (one aggregation, no per-pair set intersection).
-    */
-  private def jaccardPairsCounted(docs: DataFrame, t: Double): DataFrame = {
-    val cnt = docs.select(col("doc_id"), size(col("s")).as("nsh"))
-    val ex = docs.select(col("doc_id"), explode(col("s")).as("s"))
-    val common = ex.as("a").join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val jac = col("n_common").cast("double") /
-      (col("ca.nsh") + col("cb.nsh") - col("n_common"))
-    common
-      .join(broadcast(cnt.as("ca")), col("doc_a") === col("ca.doc_id"))
-      .join(broadcast(cnt.as("cb")), col("doc_b") === col("cb.doc_id"))
-      .filter(jac >= t)
-      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+    // prefix filtering at every scale: measured faster than the full
+    // inverted index already at 5k docs (hot-shingle df² pair blowup hits
+    // long before the old 50k strategy threshold), and it is the shape
+    // that survives 100 TB — candidate volume tracks the rare-prefix
+    // index, not squared shingle document frequency. Exactness is proven
+    // by OpsSpec's set-equality cross-check against the naive index.
+    jaccardVerify(docs, prefixCandidates(docs, 0.8), 0.8)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Exact Jaccard over candidate pairs: join back the full shingle sets,
