@@ -75,6 +75,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("c6: no single-task window over the grouped data (two-phase sequence)") {
+    val p = plan(Caliper.c6AttemptSeq)
+    // an empty-partition Window ordered on attempt_id would funnel every
+    // group through one task; the only empty-partition window allowed is
+    // the one over the #partitions-sized offsets frame (ordered on pid)
+    assert(!"Window [^\\n]*\\[\\], \\[attempt_id".r.findFirstIn(p).isDefined,
+      s"global window over attempt groups in:\n$p")
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      s"no range partitioning in:\n$p")
+  }
+
+  test("d5: blocked cosine join is an equi-join on the grid cell, not a cross join") {
+    val p = plan(Dedup.d5EmbeddingCosine)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join in:\n$p")
+  }
+
   test("q9: semi/anti joins plan as join strategies, not subquery re-execution") {
     val p = plan(Relational.q9SemiAnti)
     assert(p.contains("LeftSemi") || p.contains("LeftAnti"), s"no semi/anti in:\n$p")
