@@ -14,7 +14,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     ops.Relational.all ++ ops.Caliper.all ++ ops.TextAnalysis.all ++
       ops.Dedup.all ++ ops.Similarity.all ++ ops.EventWindows.all ++
-      ops.StreamingQueries.all ++ ops.Multimodal.all ++ ops.EtlQueries.all
+      ops.StreamingQueries.all ++ ops.Curation.all ++ ops.Multimodal.all ++
+      ops.EtlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core dataflow end-to-end: event construction →

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data curation pipeline — the composition a
+  * 100 TB corpus actually runs: language gate → quality gate → exact
+  * dedup (keep the lowest doc_id per content key) → per-doc stats. One
+  * query, so the whole chain is planned together: the language/quality
+  * predicates and the column pruning reach the scan, the only shuffle is
+  * the dedup group-by on the content hash, and the survivor row is
+  * picked with `min_by` inside that same aggregation (no second join
+  * back).
+  */
+object Curation {
+
+  private val QUALITY_MIN = 0.5
+
+  val p1Curation: Q = Q.sql(
+    "p1_curation_pipeline",
+    s"Curation chain: lang=en + quality >= $QUALITY_MIN + exact-dedup survivors with stats.",
+    s"""WITH w AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+       |scored AS (
+       |  SELECT doc_id,
+       |    md5(lower(trim(text))) AS content_key,
+       |    ${TextAnalysis.predLangSql("w", "text")} AS pred_lang,
+       |    ${TextAnalysis.qualitySql("w")} AS quality,
+       |    len(w) AS n_tokens
+       |  FROM w),
+       |kept AS (
+       |  SELECT * FROM scored WHERE pred_lang = 'en' AND quality >= $QUALITY_MIN)
+       |SELECT MIN(doc_id) AS doc_id,
+       |       MIN(quality) AS quality,
+       |       MIN(n_tokens) AS n_tokens,
+       |       COUNT(*) AS n_copies
+       |FROM kept GROUP BY content_key ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), TextAnalysis.words.as("w"))
+      .select(col("doc_id"),
+        md5(lower(trim(col("text")))).as("content_key"),
+        TextAnalysis.predLangCol(col("w"), col("text")).as("pred_lang"),
+        TextAnalysis.qualityCol(col("w")).as("quality"),
+        size(col("w")).as("n_tokens"))
+    scored
+      .filter(col("pred_lang") === "en" && col("quality") >= QUALITY_MIN)
+      .groupBy(col("content_key"))
+      // duplicate rows share identical text, hence identical stats — the
+      // min_by survivor pick and the plain mins agree by construction
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("quality")).as("quality"),
+        min(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(p1Curation)
+}

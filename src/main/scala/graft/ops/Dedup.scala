@@ -397,5 +397,90 @@ object Dedup {
   def cosineCol(va: Column, vb: Column, na: Column, nb: Column): Column =
     dot(va, vb) / (na * nb)
 
-  val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash, d5EmbeddingCosine)
+  /** Dedup cluster formation: the step that turns pairwise near-dup
+    * output into actual document removal. Near-dup pairs (the d2 prefix
+    * pipeline at jaccard ≥ 0.8) are edges of an undirected graph; each
+    * connected component is one duplicate cluster; the canonical survivor
+    * is the minimum doc_id. Emits (doc_id, cluster_id, cluster_size,
+    * is_canonical) for every clustered doc — `WHERE NOT is_canonical` is
+    * the delete list.
+    *
+    * Distributed shape: iterative min-label propagation — per round one
+    * equi-join edges⋈labels + one min-aggregate, both shuffling on doc_id;
+    * `localCheckpoint` truncates the growing lineage each round.
+    * Rounds ≤ component diameter (near-dup clusters are shallow — dup
+    * clusters of depth > a handful don't occur in practice; a pathological
+    * chain would call for the large-star/small-star contraction variant,
+    * which halves diameter per round, same join shape). The loop is
+    * driver-side CONTROL only — each round's data work is a distributed
+    * join; nothing row-sized ever hits the driver.
+    *
+    * The DuckDB oracle computes components independently via a recursive
+    * transitive closure and must agree bit-for-bit.
+    */
+  val d6DedupClusters: Q = Q.sql(
+    "d6_dedup_clusters",
+    "Connected-component dup clusters over jaccard >= 0.8 pairs; min doc_id is canonical.",
+    s"""WITH RECURSIVE $shinglesSqlCte,
+       |cnt AS (SELECT doc_id, len(s) AS nsh FROM sh WHERE len(s) > 0),
+       |ex AS (SELECT doc_id, UNNEST(s) AS s FROM sh WHERE len(s) > 0),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b FROM common c
+       |  JOIN cnt ca ON c.doc_a = ca.doc_id
+       |  JOIN cnt cb ON c.doc_b = cb.doc_id
+       |  WHERE CAST(c.n_common AS DOUBLE) / (ca.nsh + cb.nsh - c.n_common) >= 0.8),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc, root) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc),
+       |lab AS (SELECT doc, MIN(root) AS cluster_id FROM reach GROUP BY doc),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+       |SELECT l.doc AS doc_id, l.cluster_id, s.cluster_size,
+       |       l.doc = l.cluster_id AS is_canonical
+       |FROM lab l JOIN sz s USING (cluster_id) ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = shingledDocs(spark, dir)
+    val pairs = jaccardVerify(docs, prefixCandidates(docs, 0.8), 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(edges("src").as("nid"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.doc_id") === col("nid"), "left")
+        .select(col("l.doc_id").as("doc_id"), col("l.label").as("old_label"),
+          least(col("l.label"), coalesce(col("nbr_min"), col("l.label"))).as("label"))
+        .localCheckpoint()
+      changed = next.filter(col("label") < col("old_label")).count()
+      labels = next.select(col("doc_id"), col("label"))
+      rounds += 1
+    }
+    edges.unpersist()
+    val sz = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(broadcast(sz), "label")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
+    d5EmbeddingCosine, d6DedupClusters)
 }

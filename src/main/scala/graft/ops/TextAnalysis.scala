@@ -16,17 +16,60 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val words: Column = split(col("text"), " ")
+  private[ops] val words: Column = split(col("text"), " ")
 
-  private def stopHits(w: Column, langWords: Seq[String]): Column =
+  private[ops] def stopHits(w: Column, langWords: Seq[String]): Column =
     size(filter(w, t => t.isInCollection(langWords)))
 
-  private val enStops = Seq("the", "a", "and", "of", "to", "in", "is")
+  private[ops] val enStops = Seq("the", "a", "and", "of", "to", "in", "is")
   private val deStops = Seq("der", "die", "das", "und", "ist", "ein")
   private val esStops = Seq("el", "la", "de", "que", "y", "en")
   private val frStops = Seq("le", "la", "et", "les", "des", "un")
 
-  private def inList(ws: Seq[String]): String = ws.map("'" + _ + "'").mkString("(", ",", ")")
+  private[ops] def inList(ws: Seq[String]): String = ws.map("'" + _ + "'").mkString("(", ",", ")")
+
+  /** t1's language decision as a reusable column (argmax with fixed
+    * precedence over the per-language stopword scores; CJK short-circuit).
+    */
+  private[ops] def predLangCol(w: Column, text: Column): Column = {
+    val sEn = stopHits(w, enStops); val sDe = stopHits(w, deStops)
+    val sEs = stopHits(w, esStops); val sFr = stopHits(w, frStops)
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
+      .when(sDe >= sEs && sDe >= sFr, "de")
+      .when(sEs >= sFr, "es")
+      .otherwise("fr")
+  }
+
+  /** t1's decision in DuckDB SQL over a split-array column `w` and raw
+    * `text` — textually the same scores the Spark column computes.
+    */
+  private[ops] def predLangSql(w: String, text: String): String =
+    s"""CASE WHEN regexp_matches($text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |     WHEN len(list_filter($w, t -> t IN ${inList(enStops)})) >= len(list_filter($w, t -> t IN ${inList(deStops)}))
+       |      AND len(list_filter($w, t -> t IN ${inList(enStops)})) >= len(list_filter($w, t -> t IN ${inList(esStops)}))
+       |      AND len(list_filter($w, t -> t IN ${inList(enStops)})) >= len(list_filter($w, t -> t IN ${inList(frStops)})) THEN 'en'
+       |     WHEN len(list_filter($w, t -> t IN ${inList(deStops)})) >= len(list_filter($w, t -> t IN ${inList(esStops)}))
+       |      AND len(list_filter($w, t -> t IN ${inList(deStops)})) >= len(list_filter($w, t -> t IN ${inList(frStops)})) THEN 'de'
+       |     WHEN len(list_filter($w, t -> t IN ${inList(esStops)})) >= len(list_filter($w, t -> t IN ${inList(frStops)})) THEN 'es'
+       |     ELSE 'fr' END""".stripMargin
+
+  /** t2's quality score as a reusable column (same weights/rounding). */
+  private[ops] def qualityCol(w: Column): Column = {
+    val nTokens = size(w)
+    round(
+      lit(0.4) * least(nTokens.cast("double") / 100.0, lit(1.0))
+        + lit(0.3) * (size(array_distinct(w)).cast("double") / nTokens)
+        + lit(0.3) * least(stopHits(w, enStops).cast("double") / nTokens / 0.4, lit(1.0)),
+      6)
+  }
+
+  /** t2's quality score in DuckDB SQL over a split-array column `w`. */
+  private[ops] def qualitySql(w: String): String =
+    s"""ROUND(
+       |  0.4 * LEAST(CAST(len($w) AS DOUBLE) / 100.0, 1.0)
+       |+ 0.3 * (CAST(len(list_distinct($w)) AS DOUBLE) / len($w))
+       |+ 0.3 * LEAST(CAST(len(list_filter($w, t -> t IN ${inList(enStops)})) AS DOUBLE) / len($w) / 0.4, 1.0), 6)""".stripMargin
 
   /** Stopword-profile language ID. A real corpus would use char-n-gram
     * profiles; the deterministic stopword-count heuristic keeps the same
