@@ -55,5 +55,35 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(p1Curation)
+  /** Deterministic hash-based dataset split — the train/val/test
+    * assignment a corpus-scale pipeline needs to be reproducible across
+    * engines, runs, and re-shards (no RNG, no row order dependence): the
+    * bucket is a pure function of the stable doc key. 80/10/10 on
+    * md5(doc_id) mod 100. Map-only; at 100 TB this is a free column on
+    * the scan followed by partitioned writes.
+    */
+  val p2HashSplit: Q = Q.sql(
+    "p2_hash_split",
+    "Deterministic 80/10/10 train/val/test split on md5(doc_id) mod 100.",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val bucket = pmod(graft.functions.DetHash.md5Long28(
+      col("doc_id").cast("string")), lit(100)).as("bucket")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), bucket)
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(p1Curation, p2HashSplit)
 }

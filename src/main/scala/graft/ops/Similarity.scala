@@ -210,5 +210,44 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
-  val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf)
+  /** Per-label mean embedding — the centroid-training step an IVF index
+    * (s3) needs, and the class-prototype computation embedding pipelines
+    * run constantly. Output is flat (label, pos, centroid) rows: scalar
+    * columns hash cleanly, and it is the layout the next groupBy consumes.
+    *
+    * Determinism: double summation is order-sensitive, and a distributed
+    * partial aggregate adds in shuffle order. Each component is quantized
+    * once — `floor(x · 1e7)` as a long; the IEEE multiply and floor are
+    * bit-identical in both engines — then summed in exact integer
+    * arithmetic, so the result is row-order-independent and the centroid
+    * carries ~1e-7 quantization (far below any embedding's signal). One
+    * shuffle on (label, pos) with map-side partials; the dim-way fan-out
+    * via posexplode is a map stage. (Decimal casts are NOT equivalent:
+    * double→DECIMAL rounding at the last place differs across engines.)
+    */
+  val s4LabelCentroids: Q = Q.sql(
+    "s4_label_centroids",
+    "Per-label mean embedding (order-independent quantized sum), flat (label, pos, centroid) layout.",
+    """WITH e AS (
+      |  SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (
+      |  SELECT label, u.p AS pos, u.x AS x
+      |  FROM (SELECT label,
+      |          UNNEST(list_transform(range(0, len(v)),
+      |            i -> struct_pack(p := i, x := v[i + 1]))) AS u
+      |        FROM e))
+      |SELECT label, pos,
+      |       CAST(SUM(CAST(FLOOR(x * 10000000.0) AS BIGINT)) AS DOUBLE)
+      |         / 10000000.0 / COUNT(*) AS centroid
+      |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin) { (spark, dir) =>
+    graft.Tables.embeddings(spark, dir)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(floor(col("x") * lit(1.0e7))).cast("double") /
+        lit(1.0e7) / count(lit(1))).as("centroid"))
+      .orderBy("label", "pos")
+  }
+
+  val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4LabelCentroids)
 }

@@ -162,6 +162,47 @@ object StreamingQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** Stream-stream inner join: click events joined to the purchases they
+    * precede by <10 minutes, per user — the streaming twin of the q22
+    * banded range join. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so each side's state store
+    * holds only a ~10-minute sliding horizon of rows (the unbounded-state
+    * hazard of stream-stream joins is exactly what the time-range bound
+    * exists to prevent). Inner-join matches emit as they are found
+    * (Append); the watermark governs state eviction only, so the drained
+    * sink equals the batch join.
+    */
+  val w7StreamJoin: Q = Q.sql(
+    "w7_stream_join",
+    "Stream-stream inner join: clicks within 10 min before each purchase, per user.",
+    """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |       c.ts AS click_ts,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+      |ORDER BY purchase_id, click_ts""".stripMargin) { (spark, dir) =>
+    val purchases = EventsStream.read(spark, eventsPath(dir))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = EventsStream.read(spark, eventsPath(dir))
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") < col("p_ts"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("p_ts").as("purchase_ts"), col("c_ts").as("click_ts"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    runStream(spark, "w7_stream_join", joined, OutputMode.Append())
+      .orderBy("purchase_id", "click_ts")
+  }
+
   val all: Seq[Q] = Seq(w3StreamTumbling, w4StreamSession, w5StreamDedup,
-    w6CustomSessionizer)
+    w6CustomSessionizer, w7StreamJoin)
 }
