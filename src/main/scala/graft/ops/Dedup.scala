@@ -405,15 +405,15 @@ object Dedup {
     * is_canonical) for every clustered doc — `WHERE NOT is_canonical` is
     * the delete list.
     *
-    * Distributed shape: iterative min-label propagation — per round one
-    * equi-join edges⋈labels + one min-aggregate, both shuffling on doc_id;
-    * `localCheckpoint` truncates the growing lineage each round.
-    * Rounds ≤ component diameter (near-dup clusters are shallow — dup
-    * clusters of depth > a handful don't occur in practice; a pathological
-    * chain would call for the large-star/small-star contraction variant,
-    * which halves diameter per round, same join shape). The loop is
-    * driver-side CONTROL only — each round's data work is a distributed
-    * join; nothing row-sized ever hits the driver.
+    * Distributed shape: iterative min-label propagation with pointer
+    * jumping — per round, a node takes the min over (its label, its
+    * neighbours' labels, its label's label). The edge join spreads labels
+    * one hop; the label-of-label join doubles the effective hop distance,
+    * so rounds are O(log diameter) instead of O(diameter) — a chain of
+    * 1000 near-identical docs converges in ~10 rounds, not 1000.
+    * `localCheckpoint` truncates the growing lineage each round. The loop
+    * is driver-side CONTROL only — each round's data work is distributed
+    * equi-joins shuffling on doc_id; nothing row-sized hits the driver.
     *
     * The DuckDB oracle computes components independently via a recursive
     * transitive closure and must agree bit-for-bit.
@@ -460,13 +460,21 @@ object Dedup {
     var rounds = 0
     while (changed > 0 && rounds < 64) {
       val nbrMin = edges
-        .join(labels, edges("dst") === labels("doc_id"))
+        .join(labels.as("nl"), edges("dst") === col("nl.doc_id"))
         .groupBy(edges("src").as("nid"))
-        .agg(min(col("label")).as("nbr_min"))
+        .agg(min(col("nl.label")).as("nbr_min"))
+      // pointer jumping: follow my current label to ITS label (labels are
+      // doc_ids of the same component, so they resolve in this frame)
+      val ptrMin = labels.as("x")
+        .join(labels.as("y"), col("x.label") === col("y.doc_id"))
+        .select(col("x.doc_id").as("pid"), col("y.label").as("ptr_min"))
       val next = labels.as("l")
         .join(nbrMin, col("l.doc_id") === col("nid"), "left")
+        .join(ptrMin, col("l.doc_id") === col("pid"), "left")
         .select(col("l.doc_id").as("doc_id"), col("l.label").as("old_label"),
-          least(col("l.label"), coalesce(col("nbr_min"), col("l.label"))).as("label"))
+          least(col("l.label"),
+            coalesce(col("nbr_min"), col("l.label")),
+            coalesce(col("ptr_min"), col("l.label"))).as("label"))
         .localCheckpoint()
       changed = next.filter(col("label") < col("old_label")).count()
       labels = next.select(col("doc_id"), col("label"))
