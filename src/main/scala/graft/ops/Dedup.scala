@@ -132,14 +132,13 @@ object Dedup {
        |JOIN cnt cb ON c.doc_b = cb.doc_id
        |WHERE CAST(c.n_common AS DOUBLE) / (ca.nsh + cb.nsh - c.n_common) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    val docs = shingledDocs(spark, dir)
     // prefix filtering at every scale: measured faster than the full
     // inverted index already at 5k docs (hot-shingle df² pair blowup hits
     // long before the old 50k strategy threshold), and it is the shape
     // that survives 100 TB — candidate volume tracks the rare-prefix
     // index, not squared shingle document frequency. Exactness is proven
     // by OpsSpec's set-equality cross-check against the naive index.
-    jaccardVerify(docs, prefixCandidates(docs, 0.8), 0.8)
+    jaccardPairs(spark, dir, 0.8)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -157,8 +156,22 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
   }
 
-  /** Prefix-filtered pair pipeline (the ≥50k-doc strategy), exposed for
-    * the losslessness cross-check in OpsSpec.
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double), DataFrame]
+
+  /** Verified jaccard ≥ t pairs, persisted once per (session, dataset,
+    * threshold): d2 emits them and d6's cluster graph consumes them — at
+    * 100 TB this is the pair table a dedup run materializes once.
+    */
+  private def jaccardPairs(spark: SparkSession, dir: String, t: Double): DataFrame =
+    pairCache.getOrElseUpdate((spark, dir, t), {
+      val docs = shingledDocs(spark, dir)
+      jaccardVerify(docs, prefixCandidates(docs, t), t)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Prefix-filtered pair pipeline (uncached), exposed for the
+    * losslessness cross-check in OpsSpec.
     */
   def jaccardPairsPrefix(spark: SparkSession, dir: String, t: Double): DataFrame = {
     val docs = shingledDocs(spark, dir)
@@ -445,8 +458,7 @@ object Dedup {
        |SELECT l.doc AS doc_id, l.cluster_id, s.cluster_size,
        |       l.doc = l.cluster_id AS is_canonical
        |FROM lab l JOIN sz s USING (cluster_id) ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val docs = shingledDocs(spark, dir)
-    val pairs = jaccardVerify(docs, prefixCandidates(docs, 0.8), 0.8)
+    val pairs = jaccardPairs(spark, dir, 0.8)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
