@@ -655,9 +655,44 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Approximate quantiles (the KLL/GK-style mergeable-sketch shape; at
+    * 100 TB this replaces the exact-percentile global sort with
+    * fixed-size per-partition sketches). Sketch outputs are
+    * engine-specific, so — like q16 — the oracle-checkable claim is the
+    * accuracy contract: at accuracy 10000 the rank error is ≤ 1e-4·n,
+    * so each approximate quantile must land between the exact quantiles
+    * one percentile point either side. The oracle emits the exact values
+    * and literal TRUE flags.
+    */
+  val q25ApproxQuantiles: Q = Q.sql(
+    "q25_approx_quantiles",
+    "approx_percentile per event_type, checked against exact quantile brackets.",
+    """SELECT event_type,
+      |  QUANTILE_CONT(value, 0.5) AS p50,
+      |  QUANTILE_CONT(value, 0.9) AS p90,
+      |  QUANTILE_CONT(value, 0.99) AS p99,
+      |  TRUE AS ok50, TRUE AS ok90, TRUE AS ok99,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    def bracket(q: Double, approx: Column): Column =
+      approx.between(percentile(col("value"), lit(q - 0.01)),
+        percentile(col("value"), lit(q + 0.01)))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.9)).as("p90"),
+        percentile(col("value"), lit(0.99)).as("p99"),
+        bracket(0.5, approx_percentile(col("value"), lit(0.5), lit(10000))).as("ok50"),
+        bracket(0.9, approx_percentile(col("value"), lit(0.9), lit(10000))).as("ok90"),
+        bracket(0.99, approx_percentile(col("value"), lit(0.99), lit(10000))).as("ok99"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
     q18AsofJoin, q19Percentile, q20Cube, q21Pivot, q22RangeJoin, q23StringAgg,
-    q24JsonFuncs)
+    q24JsonFuncs, q25ApproxQuantiles)
 }

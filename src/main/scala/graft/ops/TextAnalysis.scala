@@ -253,6 +253,33 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Canonical text normalization — the cleanup pass that runs before
+    * any dedup/tokenize step: lowercase, strip everything but [a-z0-9 ],
+    * collapse runs of spaces, trim. Emits the normalized content key
+    * (md5) and before/after sizes. Pure map stage; regexes stay in the
+    * Java∩RE2 portable subset.
+    */
+  val t7Normalize: Q = Q.sql(
+    "t7_normalize",
+    "Text normalization (lowercase, punctuation strip, whitespace collapse) + content key.",
+    """WITH n AS (
+      |  SELECT doc_id, LENGTH(text) AS raw_chars,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT doc_id, raw_chars, LENGTH(norm) AS norm_chars,
+      |       len(string_split(norm, ' ')) AS norm_tokens,
+      |       md5(norm) AS content_key
+      |FROM n ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("raw_chars"), norm.as("norm"))
+      .select(col("doc_id"), col("raw_chars"), length(col("norm")).as("norm_chars"),
+        size(split(col("norm"), " ")).as("norm_tokens"),
+        md5(col("norm")).as("content_key"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3TokenStats, t4Fingerprint,
-    t5BpeTokens, t6HeavyHitters)
+    t5BpeTokens, t6HeavyHitters, t7Normalize)
 }
