@@ -340,7 +340,11 @@ object Relational {
     val l = Tables.lineitem(spark, dir)
     val thr = l.groupBy(col("l_partkey").as("p_key"))
       .agg((lit(0.5) * sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("thr"))
-    l.join(broadcast(thr), l("l_partkey") === thr("p_key"))
+    // no broadcast hint: the threshold frame is one row PER PART — tiny at
+    // test scale (AQE broadcasts it), millions of rows at 100 TB (the
+    // groupBy already partitioned it on the join key, so the sort-merge
+    // join reuses that exchange)
+    l.join(thr, l("l_partkey") === thr("p_key"))
       .filter(col("l_quantity") < col("thr"))
       .agg(sum(dec(col("l_extendedprice"))).cast("double").as("below_thr_revenue"),
         count(lit(1)).as("n"))

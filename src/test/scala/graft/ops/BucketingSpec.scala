@@ -61,4 +61,28 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    val sf = TestSpark.sf0001
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    // hive-style layout keyed on event_type — the storage layout a 100 TB
+    // events table ships with, so type-filtered queries read 1/N of it
+    Tables.events(spark, sf)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+      .agg(count(lit(1)).as("n"))
+    val n = q.collect()(0).getLong(0)
+    val expected = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(n === expected)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), s"no partition filters in:\n$scan")
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(scan).isDefined,
+      s"event_type not a partition filter in:\n$scan")
+    // the pruned scan must not also carry event_type as a DATA filter —
+    // pruning happens at the directory level, before any row is read
+    assert(!"PushedFilters: \\[[^\\]]*event_type".r.findFirstIn(scan).isDefined,
+      s"event_type leaked into data filters in:\n$scan")
+  }
 }
