@@ -222,21 +222,22 @@ object GraftExpressions {
   /** Register the expressions in the session's function registry (the
     * public route to custom expressions: `call_function` after
     * registration). Idempotent AND quiet: re-registering an existing temp
-    * function logs a WARN per call, which pollutes the benchmark's stdout,
-    * so sessions that already have the functions are left untouched.
+    * function logs a WARN per call (which pollutes the benchmark's
+    * stdout), so each function is checked individually — a session that
+    * predates a newly added kernel still picks it up.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) return
-    reg.createOrReplaceTempFunction("graft_dot",
-      exprs => DotProductD(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_shingles",
-      exprs => WordShingles(exprs(0), intLit(exprs(1), "graft_shingles size")), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_minhash",
-      exprs => MinHashSig(exprs(0), intLit(exprs(1), "graft_minhash k")), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      exprs => SimHashSig(exprs(0), intLit(exprs(1), "graft_simhash bits")), "scala_udf")
+    def once(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    once("graft_dot")(exprs => DotProductD(exprs(0), exprs(1)))
+    once("graft_shingles")(exprs =>
+      WordShingles(exprs(0), intLit(exprs(1), "graft_shingles size")))
+    once("graft_minhash")(exprs =>
+      MinHashSig(exprs(0), intLit(exprs(1), "graft_minhash k")))
+    once("graft_simhash")(exprs =>
+      SimHashSig(exprs(0), intLit(exprs(1), "graft_simhash bits")))
   }
 
   /** Σ a[i]·b[i] as a Column (arrays of double). */

@@ -210,7 +210,8 @@ object Caliper {
     // strictly below partition i+1, then number rows locally per partition.
     val local = grouped
       .repartitionByRange(col("attempt_id"))
-      .sortWithinPartitions("attempt_id")
+      // no sortWithinPartitions: pid depends only on the range exchange,
+      // and the Window below inserts its own per-partition sort anyway
       .withColumn("pid", spark_partition_id())
       .withColumn("local_rn",
         row_number().over(Window.partitionBy("pid").orderBy("attempt_id")))

@@ -67,21 +67,20 @@ object Dedup {
     * 100 TB this materialization is the shingle index you'd write to
     * storage once and reuse across the dedup suite.
     */
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val shingleCache = new SessionCache[String, DataFrame]
 
   private def shingledDocs(spark: SparkSession, dir: String): DataFrame =
     // one persisted shingle frame per (session, dataset): d2 and d3 both
     // hit it (up to 5 references each), and recomputing the kernel per
     // query was the dedup family's biggest repeated cost. At 100 TB this
     // is the shingle index you'd materialize to storage once per corpus.
-    shingleCache.getOrElseUpdate((spark, dir), {
+    shingleCache.getOrElseUpdate(spark, dir) {
       GraftExpressions.register(spark)
       Tables.documents(spark, dir)
         .select(col("doc_id"), shingles(col("text"), 3).as("s"))
         .filter(size(col("s")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** Candidate pairs by prefix filtering (AllPairs/PPJoin): with a global
     * canonical shingle order (ascending document frequency, then shingle),
@@ -156,19 +155,18 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
   }
 
-  private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double), DataFrame]
+  private val pairCache = new SessionCache[(String, Double), DataFrame]
 
   /** Verified jaccard ≥ t pairs, persisted once per (session, dataset,
     * threshold): d2 emits them and d6's cluster graph consumes them — at
     * 100 TB this is the pair table a dedup run materializes once.
     */
   private def jaccardPairs(spark: SparkSession, dir: String, t: Double): DataFrame =
-    pairCache.getOrElseUpdate((spark, dir, t), {
+    pairCache.getOrElseUpdate(spark, (dir, t)) {
       val docs = shingledDocs(spark, dir)
       jaccardVerify(docs, prefixCandidates(docs, t), t)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** Prefix-filtered pair pipeline (uncached), exposed for the
     * losslessness cross-check in OpsSpec.
@@ -311,19 +309,18 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val simHashCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val simHashCache = new SessionCache[String, DataFrame]
 
   /** (doc_id, simhash) via the one-pass kernel — shared by d4 and specs;
     * persisted once per (session, dataset) like [[shingledDocs]].
     */
   def simHashes(spark: SparkSession, dir: String): DataFrame =
-    simHashCache.getOrElseUpdate((spark, dir), {
+    simHashCache.getOrElseUpdate(spark, dir) {
       GraftExpressions.register(spark)
       Tables.documents(spark, dir)
         .select(col("doc_id"), simhash(shingles(col("text"), 1), SIM_BITS).as("simhash"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** Number of blocks per side in the d5 blocked self-join grid: B² grid
     * cells = B² independent reducers, each side's rows replicated B times.
@@ -389,22 +386,21 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
-  private val normedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val normedCache = new SessionCache[String, DataFrame]
 
   /** embeddings as (vec_id, v: array<double>, nrm, label) — persisted once
     * per (session, dataset); referenced by d5, s1, s2 and s3 (up to twice
     * each per plan).
     */
   def normedVectors(spark: SparkSession, dir: String): DataFrame =
-    normedCache.getOrElseUpdate((spark, dir), {
+    normedCache.getOrElseUpdate(spark, dir) {
       GraftExpressions.register(spark)
       val v = col("embedding").cast("array<double>")
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label"), v.as("v"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** Codegen'd left-fold cosine — identical op order to the DuckDB oracle. */
   def cosineCol(va: Column, vb: Column, na: Column, nb: Column): Column =
@@ -492,6 +488,10 @@ object Dedup {
       labels = next.select(col("doc_id"), col("label"))
       rounds += 1
     }
+    // fail loudly rather than return split clusters: an unconverged exit
+    // would otherwise surface only as an opaque oracle hash mismatch
+    require(changed == 0,
+      s"label propagation did not converge in $rounds rounds")
     edges.unpersist()
     val sz = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels

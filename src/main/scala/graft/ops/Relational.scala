@@ -678,19 +678,26 @@ object Relational {
       |  TRUE AS ok50, TRUE AS ok90, TRUE AS ok99,
       |  COUNT(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
-    def bracket(q: Double, approx: Column): Column =
-      approx.between(percentile(col("value"), lit(q - 0.01)),
-        percentile(col("value"), lit(q + 0.01)))
+    // ONE exact-percentile buffer and ONE sketch per group (array-typed
+    // quantile lists), not nine independent aggregates each holding the
+    // full per-group multiset
+    val exactQs = array(
+      Seq(0.49, 0.5, 0.51, 0.89, 0.9, 0.91, 0.98, 0.99, 1.0).map(lit): _*)
+    val approxQs = array(Seq(0.5, 0.9, 0.99).map(lit): _*)
+    def ok(i: Int) = element_at(col("ap"), i)
+      .between(element_at(col("ex"), 3 * i - 2), element_at(col("ex"), 3 * i))
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        percentile(col("value"), lit(0.5)).as("p50"),
-        percentile(col("value"), lit(0.9)).as("p90"),
-        percentile(col("value"), lit(0.99)).as("p99"),
-        bracket(0.5, approx_percentile(col("value"), lit(0.5), lit(10000))).as("ok50"),
-        bracket(0.9, approx_percentile(col("value"), lit(0.9), lit(10000))).as("ok90"),
-        bracket(0.99, approx_percentile(col("value"), lit(0.99), lit(10000))).as("ok99"),
+        percentile(col("value"), exactQs).as("ex"),
+        approx_percentile(col("value"), approxQs, lit(10000)).as("ap"),
         count(lit(1)).as("n"))
+      .select(col("event_type"),
+        element_at(col("ex"), 2).as("p50"),
+        element_at(col("ex"), 5).as("p90"),
+        element_at(col("ex"), 8).as("p99"),
+        ok(1).as("ok50"), ok(2).as("ok90"), ok(3).as("ok99"),
+        col("n"))
       .orderBy("event_type")
   }
 

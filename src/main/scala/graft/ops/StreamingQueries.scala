@@ -47,7 +47,13 @@ object StreamingQueries {
         .start()
       q.awaitTermination()
     } finally spark.conf.set(key, saved)
-    spark.table(name)
+    // hand back a LocalRelation copy and drop the sink's temp view — the
+    // memory sink would otherwise pin the full result on the driver heap
+    // (for w5, a whole copy of the events table) for the session lifetime
+    val sink = spark.table(name)
+    val local = spark.createDataFrame(sink.collectAsList(), sink.schema)
+    spark.catalog.dropTempView(name)
+    local
   }
 
   /** The test tables are single parquet FILES; the file streaming source
@@ -61,8 +67,12 @@ object StreamingQueries {
     stagedDirs.getOrElseUpdate(dir, {
       val src = java.nio.file.Paths.get(s"${dir.stripSuffix("/")}/events.parquet")
       val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
+      // deleteOnExit runs in reverse registration order, and only deletes
+      // empty directories — register the dir first, the file second
       d.toFile.deleteOnExit()
-      java.nio.file.Files.copy(src, d.resolve("part-00000.parquet"))
+      val f = d.resolve("part-00000.parquet")
+      java.nio.file.Files.copy(src, f)
+      f.toFile.deleteOnExit()
       d.toString
     })
 

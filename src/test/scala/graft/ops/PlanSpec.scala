@@ -76,14 +76,24 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("c6: no single-task window over the grouped data (two-phase sequence)") {
-    val p = plan(Caliper.c6AttemptSeq)
-    // an empty-partition Window ordered on attempt_id would funnel every
-    // group through one task; the only empty-partition window allowed is
-    // the one over the #partitions-sized offsets frame (ordered on pid)
-    assert(!"Window [^\\n]*\\[\\], \\[attempt_id".r.findFirstIn(p).isDefined,
-      s"global window over attempt groups in:\n$p")
-    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
-      s"no range partitioning in:\n$p")
+    // inspect the Catalyst nodes, not the rendered string — TreeNode
+    // omits empty partition specs from toString, so a string regex for
+    // "[], [attempt_id" can never fire
+    val wins = Caliper.c6AttemptSeq.run(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.nonEmpty)
+    // an unpartitioned Window ordered on attempt_id is the single-task
+    // regression this test exists to catch; the only unpartitioned window
+    // allowed runs over the #partitions-sized offsets frame (ordered pid)
+    val globalOverGroups = wins.filter(w => w.partitionSpec.isEmpty &&
+      w.orderSpec.exists(_.references.exists(_.name == "attempt_id")))
+    assert(globalOverGroups.isEmpty,
+      s"global window over attempt groups:\n${globalOverGroups.mkString("\n")}")
+    // and the two-phase shape exists: a window partitioned on pid
+    assert(wins.exists(_.partitionSpec.exists(_.references.exists(_.name == "pid"))),
+      s"no pid-partitioned window in:\n${wins.mkString("\n")}")
   }
 
   test("d5: blocked cosine join is an equi-join on the grid cell, not a cross join") {
