@@ -701,9 +701,39 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Sliding window frames: 7-row moving sum/count and one-row lag delta
+    * per user in event-time order. The frame sum goes through the exact
+    * decimal accumulator (frame order is deterministic, but staying
+    * decimal keeps the reduction engine-exact); the per-row delta is
+    * plain double arithmetic. One shuffle on user_id; frames never leave
+    * the partition.
+    */
+  val q26MovingWindow: Q = Q.sql(
+    "q26_moving_window",
+    "7-row moving sum + lag delta per user (ROWS BETWEEN frames).",
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER w7 AS DOUBLE) AS mov_sum7,
+      |  COUNT(*) OVER w7 AS n7,
+      |  CAST(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS delta,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |FROM events
+      |WINDOW w7 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w7 = byUser.rowsBetween(-6, 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        sum(dec(col("value"))).over(w7).cast("double").as("mov_sum7"),
+        count(lit(1)).over(w7).as("n7"),
+        (col("value") - lag(col("value"), 1).over(byUser)).cast("double").as("delta"),
+        row_number().over(byUser).as("rn"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
     q18AsofJoin, q19Percentile, q20Cube, q21Pivot, q22RangeJoin, q23StringAgg,
-    q24JsonFuncs, q25ApproxQuantiles)
+    q24JsonFuncs, q25ApproxQuantiles, q26MovingWindow)
 }

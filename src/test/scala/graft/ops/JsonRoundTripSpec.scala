@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JSON-lines sink → source round trip: the interchange format corpus
+  * pipelines actually exchange (one JSON document per line, splittable,
+  * schema-on-read). Written partitioned by lang — the same hive layout
+  * the partition-pruning spec proves prunes at the scan.
+  */
+class JsonRoundTripSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("documents survive a partitioned JSONL write/read round trip") {
+    val sf = TestSpark.sf0001
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val src = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+    src.write.mode("overwrite").partitionBy("lang").json(dir)
+
+    // schema-on-read: lang comes back from the directory layout
+    val back = spark.read
+      .schema("doc_id LONG, text STRING, lang STRING")
+      .json(dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+
+    assert(back.count() === src.count())
+    // set equality row-by-row (JSON is unordered on disk)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+
+    // a lang-filtered read prunes to that partition's files only
+    val one = spark.read
+      .schema("doc_id LONG, text STRING, lang STRING")
+      .json(dir)
+      .filter(col("lang") === "en")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters in:\n$plan")
+    assert(one.count() === src.filter(col("lang") === "en").count())
+  }
+}
