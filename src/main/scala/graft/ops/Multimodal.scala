@@ -124,5 +124,47 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(m1Meta)
+  /** Byte-level payload statistics — the honest (codec-free) half of
+    * media feature extraction: a byte histogram per asset yields the
+    * distinct-byte count, the modal byte frequency, and the index of
+    * coincidence (Σ c·(c−1) / n·(n−1) — high for structured/text
+    * payloads, ~1/256 for compressed/encrypted ones), the standard
+    * cheap screen for "is this blob already compressed". All integer
+    * counting plus one exact-rational division per stat, so every engine
+    * agrees bit-for-bit; two shuffles, both keyed on doc_id.
+    */
+  val m2PayloadStats: Q = Q.sql(
+    "m2_payload_stats",
+    "Byte-histogram payload stats: distinct bytes, modal ratio, index of coincidence.",
+    """WITH b AS (
+      |  SELECT doc_id, UNNEST(regexp_extract_all(hex(encode(text)), '[0-9A-F]{2}')) AS byte
+      |  FROM documents),
+      |c AS (SELECT doc_id, byte, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+      |s AS (SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS distinct_bytes,
+      |             MAX(cnt) AS maxc, SUM(cnt * (cnt - 1)) AS coll
+      |      FROM c GROUP BY 1)
+      |SELECT doc_id, n AS n_bytes, distinct_bytes,
+      |  ROUND(CAST(maxc AS DOUBLE) / n, 6) AS max_byte_ratio,
+      |  CASE WHEN n > 1 THEN ROUND(CAST(coll AS DOUBLE) / (n * (n - 1)), 6)
+      |       ELSE CAST(0.0 AS DOUBLE) END AS ioc
+      |FROM s ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val perByte = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(hex(col("text").cast("binary")),
+          lit("[0-9A-F]{2}"), lit(0))).as("byte"))
+      .groupBy(col("doc_id"), col("byte"))
+      .agg(count(lit(1)).as("cnt"))
+    perByte
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("distinct_bytes"),
+        max(col("cnt")).as("maxc"), sum(col("cnt") * (col("cnt") - 1)).as("coll"))
+      .select(col("doc_id"), col("n").as("n_bytes"), col("distinct_bytes"),
+        round(col("maxc").cast("double") / col("n"), 6).as("max_byte_ratio"),
+        when(col("n") > 1,
+          round(col("coll").cast("double") / (col("n") * (col("n") - 1)), 6))
+          .otherwise(lit(0.0)).as("ioc"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(m1Meta, m2PayloadStats)
 }
