@@ -120,6 +120,41 @@ class OpsSpec extends AnyFunSuite {
     assert(feats.forall(f => f.meanByte >= 0 && f.meanByte < 256))
   }
 
+  test("d5: blocked theta-join equals the naive all-pairs join") {
+    val n = Dedup.normedVectors(spark, sf)
+    val cos = Dedup.cosineCol(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
+    val naive = n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cos.as("c"))
+      .filter(col("c") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cosine"))
+    val blocked = Dedup.d5EmbeddingCosine.run(spark, sf)
+    assert(blocked.exceptAll(naive).isEmpty && naive.exceptAll(blocked).isEmpty,
+      "grid join diverges from the all-pairs join")
+  }
+
+  test("d6: clusters cover every dup pair, cluster_id is the member minimum") {
+    val clusters = Dedup.d6DedupClusters.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.d2NgramJaccard.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid, s"cluster $cid is not its member minimum")
+    }
+  }
+
+  test("p2: split is deterministic and ratios are hash-uniform-ish") {
+    val s1 = Curation.p2HashSplit.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+    val s2 = Curation.p2HashSplit.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+    assert(s1.toSeq === s2.toSeq, "split not reproducible")
+    val frac = s1.count(_._2 == "train").toDouble / s1.length
+    assert(frac > 0.65 && frac < 0.92, s"train fraction $frac implausible for 80%")
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
