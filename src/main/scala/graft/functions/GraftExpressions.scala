@@ -214,6 +214,48 @@ object GraftExpressions {
     override def prettyName: String = "graft_simhash"
   }
 
+  /** Byte histogram statistics of a binary column in one pass:
+    * (n, distinct, maxc, coll) where coll = Σ c·(c−1) over byte counts —
+    * the ingredients of the modal-byte ratio and index of coincidence.
+    * Value-identical to the hex/explode/group-by relational formulation
+    * (`GraftExpressionsSpec` enforces it) but per-row with a 256-slot
+    * array: no explode, no shuffle, no 2-chars-per-byte blowup.
+    */
+  case class ByteHistStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("distinct", LongType, nullable = false),
+      StructField("maxc", LongType, nullable = false),
+      StructField("coll", LongType, nullable = false)))
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      val hist = new Array[Long](256)
+      var i = 0
+      while (i < bytes.length) { hist(bytes(i) & 0xff) += 1; i += 1 }
+      var distinct = 0L
+      var maxc = 0L
+      var coll = 0L
+      var b = 0
+      while (b < 256) {
+        val c = hist(b)
+        if (c > 0) {
+          distinct += 1
+          if (c > maxc) maxc = c
+          coll += c * (c - 1)
+        }
+        b += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bytes.length.toLong, distinct, maxc, coll))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "graft_bytehist"
+  }
+
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(k: Int, IntegerType) => k
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
@@ -238,6 +280,7 @@ object GraftExpressions {
       MinHashSig(exprs(0), intLit(exprs(1), "graft_minhash k")))
     once("graft_simhash")(exprs =>
       SimHashSig(exprs(0), intLit(exprs(1), "graft_simhash bits")))
+    once("graft_bytehist")(exprs => ByteHistStats(exprs(0)))
   }
 
   /** Σ a[i]·b[i] as a Column (arrays of double). */
@@ -254,4 +297,7 @@ object GraftExpressions {
   /** SimHash (sign-of-sums) of a token array. */
   def simhash(tokens: Column, bits: Int): Column =
     call_function("graft_simhash", tokens, lit(bits))
+
+  /** One-pass byte-histogram stats struct (n, distinct, maxc, coll). */
+  def byteHist(bin: Column): Column = call_function("graft_bytehist", bin)
 }

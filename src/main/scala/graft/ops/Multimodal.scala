@@ -148,20 +148,15 @@ object Multimodal {
       |  CASE WHEN n > 1 THEN ROUND(CAST(coll AS DOUBLE) / (n * (n - 1)), 6)
       |       ELSE CAST(0.0 AS DOUBLE) END AS ioc
       |FROM s ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val perByte = Tables.documents(spark, dir)
+    graft.functions.GraftExpressions.register(spark)
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
-        explode(regexp_extract_all(hex(col("text").cast("binary")),
-          lit("[0-9A-F]{2}"), lit(0))).as("byte"))
-      .groupBy(col("doc_id"), col("byte"))
-      .agg(count(lit(1)).as("cnt"))
-    perByte
-      .groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("distinct_bytes"),
-        max(col("cnt")).as("maxc"), sum(col("cnt") * (col("cnt") - 1)).as("coll"))
-      .select(col("doc_id"), col("n").as("n_bytes"), col("distinct_bytes"),
-        round(col("maxc").cast("double") / col("n"), 6).as("max_byte_ratio"),
-        when(col("n") > 1,
-          round(col("coll").cast("double") / (col("n") * (col("n") - 1)), 6))
+        graft.functions.GraftExpressions.byteHist(col("text").cast("binary")).as("h"))
+      .select(col("doc_id"), col("h.n").as("n_bytes"),
+        col("h.distinct").as("distinct_bytes"),
+        round(col("h.maxc").cast("double") / col("h.n"), 6).as("max_byte_ratio"),
+        when(col("h.n") > 1,
+          round(col("h.coll").cast("double") / (col("h.n") * (col("h.n") - 1)), 6))
           .otherwise(lit(0.0)).as("ioc"))
       .orderBy("doc_id")
   }

@@ -91,4 +91,24 @@ class GraftExpressionsSpec extends AnyFunSuite {
       .count()
     assert(mismatches === 0)
   }
+
+  test("ByteHistStats == hex/explode/group-by relational formulation") {
+    GraftExpressions.register(spark)
+    val ref = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(hex(col("text").cast("binary")),
+          lit("[0-9A-F]{2}"), lit(0))).as("byte"))
+      .groupBy(col("doc_id"), col("byte"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("rn"), count(lit(1)).as("rdistinct"),
+        max(col("cnt")).as("rmaxc"), sum(col("cnt") * (col("cnt") - 1)).as("rcoll"))
+    val mismatches = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), GraftExpressions.byteHist(col("text").cast("binary")).as("h"))
+      .join(ref, "doc_id")
+      .filter(col("h.n") =!= col("rn") || col("h.distinct") =!= col("rdistinct") ||
+        col("h.maxc") =!= col("rmaxc") || col("h.coll") =!= col("rcoll"))
+      .count()
+    assert(mismatches === 0)
+  }
 }
