@@ -38,4 +38,21 @@ class JsonRoundTripSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters"), s"no partition filters in:\n$plan")
     assert(one.count() === src.filter(col("lang") === "en").count())
   }
+
+  test("orders survive an ORC write/read round trip with pushdown intact") {
+    val sf = TestSpark.sf0001
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = Tables.orders(spark, sf)
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // ORC scans take predicate pushdown like parquet — the filter must
+    // reach the scan, not sit in a post-scan Filter only
+    val q = spark.read.orc(dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("o_orderpriority"),
+      s"filter not pushed to ORC scan:\n$plan")
+  }
 }
