@@ -249,5 +249,62 @@ object Similarity {
       .orderBy("label", "pos")
   }
 
-  val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4LabelCentroids)
+  /** k-NN JOIN: top-3 cosine neighbours for EVERY vector (s1 ranks a
+    * small probe set; this is the whole-corpus retrieval workload),
+    * bucket-constrained by the same md5-derived hyperplane LSH as s2 —
+    * the 100 TB shape, where the candidate space is one equi-join on
+    * the bucket id instead of the quadratic pair space (≈ 1/2^planes of
+    * all pairs). Within the bucket the top-3 is exact, and the oracle
+    * replicates the identical buckets (bit-identical plane weights are
+    * inlined into both plans), so the check stays hash-exact even
+    * though bucketing is approximate. Vectors alone in their bucket
+    * emit no rows, exactly as in the oracle; ties break on neighbour
+    * id for full determinism.
+    */
+  val s5KnnJoin: Q = Q.sql(
+    "s5_knn_join",
+    "Bucket-constrained k-NN join: top-3 in-bucket cosine neighbours per vector.",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm,
+       |         ${(0 until PLANES).map(p =>
+            s"""CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               |           list_transform(range(1, len(v) + 1), i -> v[i] * (${planeSqlArray(p)})[i])), (x, y) -> x + y) > 0
+               |      THEN ${1 << p} ELSE 0 END""".stripMargin).mkString(" + ")} AS bucket
+       |  FROM e),
+       |scored AS (
+       |  SELECT a.vec_id AS vec_id, a.bucket, b.vec_id AS nbr_id,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
+       |           / (a.nrm * b.nrm) AS cos
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT vec_id, bucket, nbr_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk
+       |  FROM scored)
+       |SELECT vec_id, bucket, nbr_id, ROUND(cos, 6) AS cosine, rnk
+       |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val bucket = (0 until PLANES).map { p =>
+      when(aggregate(zip_with(col("v"), planeCol(p), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val n = Dedup.normedVectors(spark, dir).withColumn("bucket", bucket)
+    val cos = Dedup.cosineCol(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
+    n.as("a").join(n.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
+        col("b.vec_id").as("nbr_id"), cos.as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))))
+      .filter(col("rnk") <= 3)
+      .select(col("vec_id"), col("bucket"), col("nbr_id"),
+        round(col("cos"), 6).as("cosine"), col("rnk"))
+      .orderBy("vec_id", "rnk")
+  }
+
+  val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4LabelCentroids,
+    s5KnnJoin)
 }
