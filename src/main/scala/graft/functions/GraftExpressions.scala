@@ -223,6 +223,14 @@ object GraftExpressions {
     */
   case class ByteHistStats(child: Expression)
       extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == BinaryType) {
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      } else {
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_bytehist requires BINARY input, got ${child.dataType.sql}")
+      }
     override def dataType: DataType = StructType(Seq(
       StructField("n", LongType, nullable = false),
       StructField("distinct", LongType, nullable = false),

@@ -31,8 +31,8 @@ object Curation {
        |kept AS (
        |  SELECT * FROM scored WHERE pred_lang = 'en' AND quality >= $QUALITY_MIN)
        |SELECT MIN(doc_id) AS doc_id,
-       |       MIN(quality) AS quality,
-       |       MIN(n_tokens) AS n_tokens,
+       |       arg_min(quality, doc_id) AS quality,
+       |       arg_min(n_tokens, doc_id) AS n_tokens,
        |       COUNT(*) AS n_copies
        |FROM kept GROUP BY content_key ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val scored = Tables.documents(spark, dir)
@@ -45,11 +45,13 @@ object Curation {
     scored
       .filter(col("pred_lang") === "en" && col("quality") >= QUALITY_MIN)
       .groupBy(col("content_key"))
-      // duplicate rows share identical text, hence identical stats — the
-      // min_by survivor pick and the plain mins agree by construction
+      // the content key is case/whitespace-normalized while the stats are
+      // computed on raw text, so group members can differ — every emitted
+      // stat must come from the SAME survivor row (min_by doc_id), never
+      // from independent per-column mins
       .agg(min(col("doc_id")).as("doc_id"),
-        min(col("quality")).as("quality"),
-        min(col("n_tokens")).as("n_tokens"),
+        min_by(col("quality"), col("doc_id")).as("quality"),
+        min_by(col("n_tokens"), col("doc_id")).as("n_tokens"),
         count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("n_copies"))
       .orderBy("doc_id")

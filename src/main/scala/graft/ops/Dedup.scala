@@ -460,39 +460,48 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each round's result is persisted and materialized, the superseded
+    // round unpersisted (Dataset.unpersist frees CacheManager-tracked
+    // persists — unlike localCheckpoint blocks, which stay pinned for
+    // the session); evaluation always reads the newest cache, so the
+    // growing logical plan never re-executes
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
-      .localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 64) {
-      val nbrMin = edges
-        .join(labels.as("nl"), edges("dst") === col("nl.doc_id"))
-        .groupBy(edges("src").as("nid"))
-        .agg(min(col("nl.label")).as("nbr_min"))
-      // pointer jumping: follow my current label to ITS label (labels are
-      // doc_ids of the same component, so they resolve in this frame)
-      val ptrMin = labels.as("x")
-        .join(labels.as("y"), col("x.label") === col("y.doc_id"))
-        .select(col("x.doc_id").as("pid"), col("y.label").as("ptr_min"))
-      val next = labels.as("l")
-        .join(nbrMin, col("l.doc_id") === col("nid"), "left")
-        .join(ptrMin, col("l.doc_id") === col("pid"), "left")
-        .select(col("l.doc_id").as("doc_id"), col("l.label").as("old_label"),
-          least(col("l.label"),
-            coalesce(col("nbr_min"), col("l.label")),
-            coalesce(col("ptr_min"), col("l.label"))).as("label"))
-        .localCheckpoint()
-      changed = next.filter(col("label") < col("old_label")).count()
-      labels = next.select(col("doc_id"), col("label"))
-      rounds += 1
-    }
-    // fail loudly rather than return split clusters: an unconverged exit
-    // would otherwise surface only as an opaque oracle hash mismatch
-    require(changed == 0,
-      s"label propagation did not converge in $rounds rounds")
-    edges.unpersist()
+      .withColumn("old_label", col("doc_id"))
+      .persist(level)
+    try {
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 64) {
+        val nbrMin = edges
+          .join(labels.as("nl"), edges("dst") === col("nl.doc_id"))
+          .groupBy(edges("src").as("nid"))
+          .agg(min(col("nl.label")).as("nbr_min"))
+        // pointer jumping: follow my current label to ITS label (labels are
+        // doc_ids of the same component, so they resolve in this frame)
+        val ptrMin = labels.as("x")
+          .join(labels.as("y"), col("x.label") === col("y.doc_id"))
+          .select(col("x.doc_id").as("pid"), col("y.label").as("ptr_min"))
+        val next = labels.as("l")
+          .join(nbrMin, col("l.doc_id") === col("nid"), "left")
+          .join(ptrMin, col("l.doc_id") === col("pid"), "left")
+          .select(col("l.doc_id").as("doc_id"), col("l.label").as("old_label"),
+            least(col("l.label"),
+              coalesce(col("nbr_min"), col("l.label")),
+              coalesce(col("ptr_min"), col("l.label"))).as("label"))
+          .persist(level)
+        changed = next.filter(col("label") < col("old_label")).count()
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+      // fail loudly rather than return split clusters: an unconverged exit
+      // would otherwise surface only as an opaque oracle hash mismatch
+      require(changed == 0,
+        s"label propagation did not converge in $rounds rounds")
+    } finally edges.unpersist()
     val sz = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels
       .join(broadcast(sz), "label")

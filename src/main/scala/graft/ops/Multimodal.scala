@@ -138,7 +138,7 @@ object Multimodal {
     "Byte-histogram payload stats: distinct bytes, modal ratio, index of coincidence.",
     """WITH b AS (
       |  SELECT doc_id, UNNEST(regexp_extract_all(hex(encode(text)), '[0-9A-F]{2}')) AS byte
-      |  FROM documents),
+      |  FROM documents WHERE length(text) > 0),
       |c AS (SELECT doc_id, byte, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
       |s AS (SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS distinct_bytes,
       |             MAX(cnt) AS maxc, SUM(cnt * (cnt - 1)) AS coll
@@ -150,6 +150,9 @@ object Multimodal {
       |FROM s ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     graft.functions.GraftExpressions.register(spark)
     Tables.documents(spark, dir)
+      // empty/null docs are excluded on BOTH sides: the oracle's
+      // hex/UNNEST formulation drops them implicitly (no bytes, no rows)
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         graft.functions.GraftExpressions.byteHist(col("text").cast("binary")).as("h"))
       .select(col("doc_id"), col("h.n").as("n_bytes"),

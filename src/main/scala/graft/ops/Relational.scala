@@ -678,24 +678,30 @@ object Relational {
       |  TRUE AS ok50, TRUE AS ok90, TRUE AS ok99,
       |  COUNT(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
-    // ONE exact-percentile buffer and ONE sketch per group (array-typed
-    // quantile lists), not nine independent aggregates each holding the
-    // full per-group multiset
-    val exactQs = array(
-      Seq(0.49, 0.5, 0.51, 0.89, 0.9, 0.91, 0.98, 0.99, 1.0).map(lit): _*)
-    val approxQs = array(Seq(0.5, 0.9, 0.99).map(lit): _*)
+    // ONE exact-percentile buffer and TWO sketches per group (array-typed
+    // quantile lists), not nine independent full-multiset aggregates.
+    // The bracket bounds are DISCRETE order statistics (a max-accuracy
+    // sketch returns actual data values with < 1-rank error below 1M
+    // rows) — interpolated quantiles would be unsound for small groups,
+    // where the sketch's data-value answer can sit outside the
+    // interpolated band (e.g. 2 rows [0,100]: interpolated q49..q51 is
+    // [49,51] but the sketch returns 0).
+    val exactQs = array(Seq(0.5, 0.9, 0.99).map(lit): _*)
+    val boundQs = array(
+      Seq(0.49, 0.51, 0.89, 0.91, 0.98, 1.0).map(lit): _*)
     def ok(i: Int) = element_at(col("ap"), i)
-      .between(element_at(col("ex"), 3 * i - 2), element_at(col("ex"), 3 * i))
+      .between(element_at(col("bd"), 2 * i - 1), element_at(col("bd"), 2 * i))
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
         percentile(col("value"), exactQs).as("ex"),
-        approx_percentile(col("value"), approxQs, lit(10000)).as("ap"),
+        approx_percentile(col("value"), boundQs, lit(1000000)).as("bd"),
+        approx_percentile(col("value"), exactQs, lit(10000)).as("ap"),
         count(lit(1)).as("n"))
       .select(col("event_type"),
-        element_at(col("ex"), 2).as("p50"),
-        element_at(col("ex"), 5).as("p90"),
-        element_at(col("ex"), 8).as("p99"),
+        element_at(col("ex"), 1).as("p50"),
+        element_at(col("ex"), 2).as("p90"),
+        element_at(col("ex"), 3).as("p99"),
         ok(1).as("ok50"), ok(2).as("ok90"), ok(3).as("ok99"),
         col("n"))
       .orderBy("event_type")

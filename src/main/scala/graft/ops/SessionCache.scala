@@ -3,24 +3,34 @@ package graft.ops
 import org.apache.spark.sql.SparkSession
 
 /** Per-session memo for persisted frames shared across queries (shingle
-  * index, signatures, verified pairs…). Sessions are WEAK keys: a stopped
-  * and dereferenced SparkSession takes its cached frames with it instead
-  * of being pinned for the JVM lifetime. Values live as long as their
-  * session — the intended lifetime for a materialized index.
+  * index, signatures, verified pairs…).
+  *
+  * Lifecycle: sessions are WEAK keys and frames are SOFT values. A
+  * cached Dataset strongly references its own SparkSession, so holding
+  * frames strongly would make every entry self-referential and pin the
+  * session for the JVM lifetime (the WeakHashMap javadoc's warning
+  * case); soft values instead let the collector drop frames — and then
+  * their sessions — under memory pressure, at the cost of a rebuild on
+  * the next request. That is the right trade for a cache of
+  * recomputable materializations.
   */
-private[ops] final class SessionCache[K, V] {
-  private val maps =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[K, V]]()
+private[ops] final class SessionCache[K, V <: AnyRef] {
+  private val maps = new java.util.WeakHashMap[
+    SparkSession,
+    scala.collection.concurrent.TrieMap[K, java.lang.ref.SoftReference[V]]]()
 
-  def getOrElseUpdate(spark: SparkSession, key: K)(mk: => V): V = {
-    val m = maps.synchronized {
-      var inner = maps.get(spark)
-      if (inner == null) {
-        inner = scala.collection.concurrent.TrieMap.empty[K, V]
-        maps.put(spark, inner)
-      }
-      inner
+  def getOrElseUpdate(spark: SparkSession, key: K)(mk: => V): V = synchronized {
+    var inner = maps.get(spark)
+    if (inner == null) {
+      inner = scala.collection.concurrent.TrieMap.empty[K, java.lang.ref.SoftReference[V]]
+      maps.put(spark, inner)
     }
-    m.getOrElseUpdate(key, mk)
+    inner.get(key).flatMap(r => Option(r.get())) match {
+      case Some(v) => v
+      case None =>
+        val v = mk
+        inner.put(key, new java.lang.ref.SoftReference(v))
+        v
+    }
   }
 }

@@ -62,9 +62,19 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  private def deleteRecursively(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("partitioned layout prunes non-matching partitions at the scan") {
     val sf = TestSpark.sf0001
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
     // hive-style layout keyed on event_type — the storage layout a 100 TB
     // events table ships with, so type-filtered queries read 1/N of it
     Tables.events(spark, sf)
@@ -84,5 +94,6 @@ class BucketingSpec extends AnyFunSuite {
     // pruning happens at the directory level, before any row is read
     assert(!"PushedFilters: \\[[^\\]]*event_type".r.findFirstIn(scan).isDefined,
       s"event_type leaked into data filters in:\n$scan")
+    } finally deleteRecursively(dir)
   }
 }
