@@ -737,9 +737,36 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Correlated LATERAL subquery — top-2 customers by balance per
+    * nation. Spark plans the correlated limit as a lateral join
+    * (DecorrelateInnerQuery rewrites it to a partitioned rank under the
+    * hood), so per-key top-k stays a declarative SQL shape instead of a
+    * hand-rolled window. Exercises the SQL surface directly
+    * (`spark.sql`), not the DataFrame DSL.
+    */
+  val q27Lateral: Q = Q.sql(
+    "q27_lateral",
+    "Correlated LATERAL subquery: top-2 customers by balance per nation.",
+    """SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+      |FROM nation n,
+      |  LATERAL (SELECT c_name, c_acctbal FROM customer c
+      |           WHERE c.c_nationkey = n.n_nationkey
+      |           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      |ORDER BY n_name, acctbal DESC, c_name""".stripMargin) { (spark, dir) =>
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(
+      """SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+        |FROM nation n,
+        |  LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |           WHERE c.c_nationkey = n.n_nationkey
+        |           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n_name, acctbal DESC, c_name""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
     q18AsofJoin, q19Percentile, q20Cube, q21Pivot, q22RangeJoin, q23StringAgg,
-    q24JsonFuncs, q25ApproxQuantiles, q26MovingWindow)
+    q24JsonFuncs, q25ApproxQuantiles, q26MovingWindow, q27Lateral)
 }

@@ -93,4 +93,39 @@ class EventsStreamSpec extends AnyFunSuite {
     // every session except each user's still-open last one is emitted
     assert(closed === all - users)
   }
+
+  test("streaming parquet sink (append) emits exactly watermark-closed windows") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    try {
+      // the production sink path: append mode to real parquet files — only
+      // windows the watermark has closed are written
+      val q = EventsStream.tumblingCounts(EventsStream.read(spark, eventsDir))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamed = spark.read.parquet(outDir)
+      val batch = graft.ops.EventWindows.w1Tumbling.run(spark, sf)
+        .select("window_start", "event_type", "n", "sum_value")
+      assert(streamed.count() > 0, "no windows were closed/written")
+      // every written row is a batch row (values agree exactly)…
+      assert(streamed.exceptAll(batch).isEmpty)
+      // …and only tail windows inside the late-data horizon may be absent
+      val horizon = Tables.events(spark, sf)
+        .agg(max(col("ts"))).collect()(0).getTimestamp(0).toInstant
+        .minusSeconds(10 * 60 + 3600)
+      val missing = batch.exceptAll(streamed)
+        .filter(col("window_start") < lit(java.sql.Timestamp.from(horizon)))
+        .count()
+      assert(missing === 0, s"$missing closed windows never reached the sink")
+    } finally {
+      Seq(outDir, ckpt).foreach { d =>
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(d)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
 }
