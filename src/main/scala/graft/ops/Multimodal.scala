@@ -164,5 +164,25 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(m1Meta, m2PayloadStats)
+  /** Frame sampling under the gate: video assets explode to every 4th
+    * frame index — the fan-out a real decoder feeds downstream feature
+    * extraction (the decode itself is the honest stub in
+    * [[sampleFrames]]/[[decodeStub]]; the dataflow — explode shape,
+    * deterministic metadata, filter pushdown before the explode — is
+    * what this query pins).
+    */
+  val m3FrameSample: Q = Q.sql(
+    "m3_frame_sample",
+    "Every-4th-frame sampling of video assets (1-to-frames explode).",
+    """SELECT doc_id, u.f AS frame_idx
+      |FROM (SELECT doc_id, UNNEST(range(0, n_chars % 24 + 1)) AS f
+      |      FROM documents WHERE doc_id % 3 = 2) u
+      |WHERE u.f % 4 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (spark, dir) =>
+    sampleFrames(assets(spark, dir), everyK = 4)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val all: Seq[Q] = Seq(m1Meta, m2PayloadStats, m3FrameSample)
 }
