@@ -468,11 +468,13 @@ object Dedup {
     // they are RDD-level blocks a Dataset.unpersist cannot free, and
     // reclaiming them via internal LogicalRDD surgery is not worth the
     // fragility at this size.
-    var labels = edges.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
     try {
+      // inside the try: the eager checkpoint is already a Spark job, and
+      // a failure there must still unpersist edges
+      var labels = edges.select(col("src").as("doc_id"))
+        .distinct()
+        .withColumn("label", col("doc_id"))
+        .localCheckpoint()
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 64) {
@@ -501,13 +503,13 @@ object Dedup {
       // would otherwise surface only as an opaque oracle hash mismatch
       require(changed == 0,
         s"label propagation did not converge in $rounds rounds")
+      val sz = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      labels
+        .join(broadcast(sz), "label")
+        .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("label")).as("is_canonical"))
+        .orderBy("doc_id")
     } finally edges.unpersist()
-    val sz = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    labels
-      .join(broadcast(sz), "label")
-      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
-        (col("doc_id") === col("label")).as("is_canonical"))
-      .orderBy("doc_id")
   }
 
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,

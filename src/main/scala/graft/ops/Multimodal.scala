@@ -32,9 +32,17 @@ object Multimodal {
   /** documents → opaque binary assets with typed metadata (the ingest
     * edge: in production `content` would come off object storage).
     */
-  def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
+  def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] =
+    assetsFrom(Tables.documents(spark, dir))
+
+  /** Asset construction over an arbitrary (possibly pre-filtered)
+    * documents frame. Filters that can be expressed on the source
+    * columns belong BEFORE this map: the typed encode copies each
+    * payload, and nothing pushes below an object-serialization boundary.
+    */
+  def assetsFrom(docs: org.apache.spark.sql.DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs
       .select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
@@ -168,8 +176,10 @@ object Multimodal {
     * frame index — the fan-out a real decoder feeds downstream feature
     * extraction (the decode itself is the honest stub in
     * [[sampleFrames]]/[[decodeStub]]; the dataflow — explode shape,
-    * deterministic metadata, filter pushdown before the explode — is
-    * what this query pins).
+    * deterministic metadata — is what this query pins). The video
+    * predicate is applied to the SOURCE frame, before the typed asset
+    * map copies any payload bytes — nothing pushes below an
+    * object-serialization boundary on its own.
     */
   val m3FrameSample: Q = Q.sql(
     "m3_frame_sample",
@@ -179,7 +189,8 @@ object Multimodal {
       |      FROM documents WHERE doc_id % 3 = 2) u
       |WHERE u.f % 4 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin) { (spark, dir) =>
-    sampleFrames(assets(spark, dir), everyK = 4)
+    sampleFrames(assetsFrom(
+        Tables.documents(spark, dir).filter(col("doc_id") % 3 === 2)), everyK = 4)
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
       .orderBy("doc_id", "frame_idx")
   }

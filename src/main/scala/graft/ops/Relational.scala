@@ -742,7 +742,9 @@ object Relational {
     * (DecorrelateInnerQuery rewrites it to a partitioned rank under the
     * hood), so per-key top-k stays a declarative SQL shape instead of a
     * hand-rolled window. Exercises the SQL surface directly
-    * (`spark.sql`), not the DataFrame DSL.
+    * (`spark.sql`) over direct file references (`parquet.` paths) — no
+    * temp views, so the query mutates no session catalog state and two
+    * concurrent runs against different dirs cannot race.
     */
   val q27Lateral: Q = Q.sql(
     "q27_lateral",
@@ -753,15 +755,14 @@ object Relational {
       |           WHERE c.c_nationkey = n.n_nationkey
       |           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
       |ORDER BY n_name, acctbal DESC, c_name""".stripMargin) { (spark, dir) =>
-    Tables.nation(spark, dir).createOrReplaceTempView("nation")
-    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    val d = dir.stripSuffix("/")
     spark.sql(
-      """SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS acctbal
-        |FROM nation n,
-        |  LATERAL (SELECT c_name, c_acctbal FROM customer c
-        |           WHERE c.c_nationkey = n.n_nationkey
-        |           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
-        |ORDER BY n_name, acctbal DESC, c_name""".stripMargin)
+      s"""SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+         |FROM parquet.`$d/nation.parquet` n,
+         |  LATERAL (SELECT c_name, c_acctbal FROM parquet.`$d/customer.parquet` c
+         |           WHERE c.c_nationkey = n.n_nationkey
+         |           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+         |ORDER BY n_name, acctbal DESC, c_name""".stripMargin)
   }
 
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,

@@ -5,29 +5,36 @@ import org.apache.spark.sql.SparkSession
 /** Per-session memo for persisted frames shared across queries (shingle
   * index, signatures, verified pairs…).
   *
-  * Lifecycle: sessions are WEAK keys and frames are SOFT values. A
-  * cached Dataset strongly references its own SparkSession, so holding
-  * frames strongly would make every entry self-referential and pin the
-  * session for the JVM lifetime (the WeakHashMap javadoc's warning
-  * case); soft values instead let the collector drop frames — and then
-  * their sessions — under memory pressure, at the cost of a rebuild on
-  * the next request. That is the right trade for a cache of
-  * recomputable materializations.
+  * Lifecycle, honestly stated: sessions are WEAK keys and frames SOFT
+  * values, which prevents the self-referential strong chain (a Dataset
+  * strongly references its own SparkSession — the WeakHashMap javadoc's
+  * warning case) from pinning sessions for the JVM lifetime. It does
+  * NOT reclaim the persisted storage blocks under memory pressure —
+  * those are tracked by the session's CacheManager until the session
+  * ends, which is the intended lifetime for a materialized index in a
+  * long-lived engine session. A cleared soft reference simply means the
+  * next request rebuilds (and re-persists) the frame.
   */
 private[ops] final class SessionCache[K, V <: AnyRef] {
   private val maps = new java.util.WeakHashMap[
     SparkSession,
     scala.collection.concurrent.TrieMap[K, java.lang.ref.SoftReference[V]]]()
 
-  def getOrElseUpdate(spark: SparkSession, key: K)(mk: => V): V = synchronized {
-    var inner = maps.get(spark)
-    if (inner == null) {
-      inner = scala.collection.concurrent.TrieMap.empty[K, java.lang.ref.SoftReference[V]]
-      maps.put(spark, inner)
+  def getOrElseUpdate(spark: SparkSession, key: K)(mk: => V): V = {
+    val inner = maps.synchronized {
+      var m = maps.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[K, java.lang.ref.SoftReference[V]]
+        maps.put(spark, m)
+      }
+      m
     }
     inner.get(key).flatMap(r => Option(r.get())) match {
       case Some(v) => v
       case None =>
+        // built outside any lock: concurrent distinct-key builds stay
+        // parallel; a same-key race builds twice and last-write wins
+        // (both values are equivalent persisted frames)
         val v = mk
         inner.put(key, new java.lang.ref.SoftReference(v))
         v

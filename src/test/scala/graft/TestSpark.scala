@@ -23,4 +23,16 @@ object TestSpark {
 
   def resource(name: String): String =
     getClass.getResource(s"/$name").getPath
+
+  /** Recursive delete for spec temp dirs; closes the walk stream. */
+  def deleteRecursively(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
 }

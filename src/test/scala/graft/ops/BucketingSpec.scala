@@ -62,15 +62,6 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
-  private def deleteRecursively(path: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(root)) {
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
-  }
-
   test("partitioned layout prunes non-matching partitions at the scan") {
     val sf = TestSpark.sf0001
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
@@ -94,6 +85,6 @@ class BucketingSpec extends AnyFunSuite {
     // pruning happens at the directory level, before any row is read
     assert(!"PushedFilters: \\[[^\\]]*event_type".r.findFirstIn(scan).isDefined,
       s"event_type leaked into data filters in:\n$scan")
-    } finally deleteRecursively(dir)
+    } finally TestSpark.deleteRecursively(dir)
   }
 }

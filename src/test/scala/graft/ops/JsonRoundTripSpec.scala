@@ -12,15 +12,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class JsonRoundTripSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def deleteRecursively(path: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(root)) {
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
-  }
-
   test("documents survive a partitioned JSONL write/read round trip") {
     val sf = TestSpark.sf0001
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
@@ -47,7 +38,7 @@ class JsonRoundTripSpec extends AnyFunSuite {
     val plan = one.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), s"no partition filters in:\n$plan")
     assert(one.count() === src.filter(col("lang") === "en").count())
-    } finally deleteRecursively(dir)
+    } finally TestSpark.deleteRecursively(dir)
   }
 
   test("orders survive an ORC write/read round trip with pushdown intact") {
@@ -66,6 +57,6 @@ class JsonRoundTripSpec extends AnyFunSuite {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [") && plan.contains("o_orderpriority"),
       s"filter not pushed to ORC scan:\n$plan")
-    } finally deleteRecursively(dir)
+    } finally TestSpark.deleteRecursively(dir)
   }
 }

@@ -105,6 +105,9 @@ class EventsStreamSpec extends AnyFunSuite {
         .option("path", outDir).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      assert(new java.io.File(outDir).listFiles != null &&
+        new java.io.File(outDir).listFiles.exists(_.getName.endsWith(".parquet")),
+        "no windows were closed/written to the sink")
       val streamed = spark.read.parquet(outDir)
       val batch = graft.ops.EventWindows.w1Tumbling.run(spark, sf)
         .select("window_start", "event_type", "n", "sum_value")
@@ -119,13 +122,6 @@ class EventsStreamSpec extends AnyFunSuite {
         .filter(col("window_start") < lit(java.sql.Timestamp.from(horizon)))
         .count()
       assert(missing === 0, s"$missing closed windows never reached the sink")
-    } finally {
-      Seq(outDir, ckpt).foreach { d =>
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(d)
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-    }
+    } finally Seq(outDir, ckpt).foreach(TestSpark.deleteRecursively)
   }
 }
