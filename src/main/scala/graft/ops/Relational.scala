@@ -765,9 +765,86 @@ object Relational {
          |ORDER BY n_name, acctbal DESC, c_name""".stripMargin)
   }
 
+  /** Arbitrary GROUPING SETS (rollup q10 and cube q20 are the fixed
+    * shapes; this is the general form): totals by (priority, status),
+    * by priority alone, and the grand total in ONE aggregation pass —
+    * Spark expands the sets into a single Expand + hash aggregate, so
+    * the fact table is scanned once, not once per set.
+    */
+  val q28GroupingSets: Q = Q.sql(
+    "q28_grouping_sets",
+    "GROUPING SETS ((priority,status),(priority),()) in one aggregation pass.",
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  GROUPING(o_orderpriority) + 2 * GROUPING(o_orderstatus) AS gid
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin) { (spark, dir) =>
+    val d = dir.stripSuffix("/")
+    spark.sql(
+      s"""SELECT o_orderpriority, o_orderstatus,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  CAST(GROUPING(o_orderpriority) + 2 * GROUPING(o_orderstatus) AS BIGINT) AS gid
+         |FROM parquet.`$d/orders.parquet`
+         |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+         |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+  }
+
+  /** Time-series gap fill: sparse per-(user, hour) aggregates densified
+    * over the full hourly spine with last-observation-carried-forward.
+    * The spine is generated per user from global bounds (a bounded
+    * explode — hours × users, never rows × rows), the sparse aggregates
+    * left-join it on (user, hour), and the carry-forward is
+    * `last(value, ignoreNulls)` over an unbounded-preceding window per
+    * user — one shuffle on user_id for join and window alike.
+    */
+  val q29GapFill: Q = Q.sql(
+    "q29_gapfill",
+    "Densify sparse hourly per-user sums over the full spine with carry-forward.",
+    """WITH b AS (
+      |  SELECT date_trunc('hour', MIN(ts)) AS t0, date_trunc('hour', MAX(ts)) AS t1 FROM events),
+      |spine AS (
+      |  SELECT u.user_id, g.h
+      |  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20) u
+      |  CROSS JOIN (SELECT UNNEST(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h FROM b) g),
+      |agg AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h,
+      |         CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS v
+      |  FROM events WHERE user_id < 20 GROUP BY 1, 2)
+      |SELECT s.user_id, s.h AS hour,
+      |       a.v IS NOT NULL AS observed,
+      |       COALESCE(a.v, LAST_VALUE(a.v IGNORE NULLS) OVER (
+      |         PARTITION BY s.user_id ORDER BY s.h
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v_filled
+      |FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.h = a.h
+      |ORDER BY s.user_id, s.h""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir).filter(col("user_id") < 20)
+    val bounds = Tables.events(spark, dir)
+      .agg(date_trunc("hour", min(col("ts"))).as("t0"),
+        date_trunc("hour", max(col("ts"))).as("t1"))
+    val spine = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val agg = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(col("value").cast("decimal(14,2)")).cast("double").as("v"))
+    val carry = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(agg, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        col("v").isNotNull.as("observed"),
+        coalesce(col("v"), last(col("v"), ignoreNulls = true).over(carry)).as("v_filled"))
+      .orderBy("user_id", "hour")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
     q18AsofJoin, q19Percentile, q20Cube, q21Pivot, q22RangeJoin, q23StringAgg,
-    q24JsonFuncs, q25ApproxQuantiles, q26MovingWindow, q27Lateral)
+    q24JsonFuncs, q25ApproxQuantiles, q26MovingWindow, q27Lateral,
+    q28GroupingSets, q29GapFill)
 }
