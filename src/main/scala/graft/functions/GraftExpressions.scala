@@ -269,6 +269,9 @@ object GraftExpressions {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  /** Public alias for extension-point builders ([[graft.GraftExtensions]]). */
+  def intLitArg(e: Expression, what: String): Int = intLit(e, what)
+
   /** Register the expressions in the session's function registry (the
     * public route to custom expressions: `call_function` after
     * registration). Idempotent AND quiet: re-registering an existing temp

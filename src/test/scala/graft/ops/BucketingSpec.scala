@@ -62,6 +62,47 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed shingle index: candidate self-join consumes buckets with no pre-join exchange") {
+    val sf = TestSpark.sf0001
+    spark.sql("DROP TABLE IF EXISTS shingle_index")
+    // the persisted-index pattern for the dedup family at corpus scale:
+    // the exploded (shingle, doc) inverted index is written ONCE bucketed
+    // by shingle; every later candidate-generation join then meets on
+    // bucketed scans instead of re-shuffling the whole index
+    graft.functions.GraftExpressions.register(spark)
+    Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.shingles(col("text"), 3)).as("s"))
+      .write.mode("overwrite").bucketBy(8, "s").sortBy("s")
+      .saveAsTable("shingle_index")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val idx = spark.table("shingle_index")
+      val cand = idx.as("a").join(idx.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val n = cand.count()
+      val plan = cand.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"), s"scans not bucketed in:\n$plan")
+      // the join itself must consume the bucketed scans directly — the
+      // only exchange allowed is the post-join distinct on (doc_a, doc_b)
+      val exchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(exchanges === Seq("doc_a"),
+        s"join inputs were shuffled despite bucketing: $exchanges\n$plan")
+      // and the bucketed index yields the same candidates as the inline path
+      val inline = Dedup.jaccardPairsNaive(spark, sf, 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      assert(n >= inline.count(), "bucketed candidates lost pairs")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS shingle_index")
+    }
+  }
+
   test("partitioned layout prunes non-matching partitions at the scan") {
     val sf = TestSpark.sf0001
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
