@@ -124,4 +124,54 @@ class EventsStreamSpec extends AnyFunSuite {
       assert(missing === 0, s"$missing closed windows never reached the sink")
     } finally Seq(outDir, ckpt).foreach(TestSpark.deleteRecursively)
   }
+
+  test("stream-stream LEFT OUTER join: inner matches exact, null rows only past watermark") {
+    // purchases left-joined to preceding clicks: unmatched purchases emit
+    // null-extended ONLY once the watermark proves no match can arrive
+    val purchases = EventsStream.read(spark, eventsDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = EventsStream.read(spark, eventsDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - org.apache.spark.sql.functions.expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") < col("p_ts"),
+        "left_outer")
+      .select(col("purchase_id"), col("p_ts"), col("c_ts"))
+    runToMemory(joined, "leftouter_out")
+    val streamed = spark.table("leftouter_out")
+
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") < col("p_ts"), "left_outer")
+      .select(col("purchase_id"), col("p_ts"), col("c_ts"))
+
+    // inner matches are complete and exact
+    val sInner = streamed.filter(col("c_ts").isNotNull)
+    val bInner = batch.filter(col("c_ts").isNotNull)
+    assert(sInner.exceptAll(bInner).isEmpty && bInner.exceptAll(sInner).isEmpty)
+    // every streamed null-extension is a genuine batch non-match, and
+    // null-extensions DO flow once the watermark clears them. (End-of-
+    // stream flush completeness is deliberately NOT asserted: append-mode
+    // outer-join null emission can lag state eviction by a micro-batch,
+    // and AvailableNow terminates when no data remains — a live stream
+    // flushes on the next arrival. The exact emitted set is engine
+    // timing, not contract.)
+    val sNull = streamed.filter(col("c_ts").isNull).select(col("purchase_id"))
+    val bNull = batch.filter(col("c_ts").isNull).select(col("purchase_id"))
+    assert(sNull.exceptAll(bNull).isEmpty,
+      "streaming emitted a null-extension for a purchase that has matches")
+    assert(sNull.count() > 0, "no watermark-cleared non-match was ever emitted")
+  }
 }
