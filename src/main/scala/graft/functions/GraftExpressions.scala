@@ -269,8 +269,22 @@ object GraftExpressions {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
-  /** Public alias for extension-point builders ([[graft.GraftExtensions]]). */
-  def intLitArg(e: Expression, what: String): Int = intLit(e, what)
+  /** THE one builder list — (name, usage, builder) — behind both
+    * registration routes: [[register]] (imperative, per session) and
+    * [[graft.GraftExtensions]] (config-injected). A kernel added here is
+    * available through both automatically; they cannot drift.
+    */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", "graft_dot(a, b) - left-to-right dot product of two double arrays",
+      exprs => DotProductD(exprs(0), exprs(1))),
+    ("graft_shingles", "graft_shingles(text, n) - distinct word n-gram shingles",
+      exprs => WordShingles(exprs(0), intLit(exprs(1), "graft_shingles size"))),
+    ("graft_minhash", "graft_minhash(shingles, k) - Carter-Wegman MinHash signature",
+      exprs => MinHashSig(exprs(0), intLit(exprs(1), "graft_minhash k"))),
+    ("graft_simhash", "graft_simhash(tokens, bits) - sign-of-sums SimHash",
+      exprs => SimHashSig(exprs(0), intLit(exprs(1), "graft_simhash bits"))),
+    ("graft_bytehist", "graft_bytehist(bin) - byte histogram stats (n, distinct, maxc, coll)",
+      exprs => ByteHistStats(exprs(0))))
 
   /** Register the expressions in the session's function registry (the
     * public route to custom expressions: `call_function` after
@@ -281,17 +295,10 @@ object GraftExpressions {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def once(name: String)(builder: Seq[Expression] => Expression): Unit =
+    builders.foreach { case (name, _, builder) =>
       if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, builder, "scala_udf")
-    once("graft_dot")(exprs => DotProductD(exprs(0), exprs(1)))
-    once("graft_shingles")(exprs =>
-      WordShingles(exprs(0), intLit(exprs(1), "graft_shingles size")))
-    once("graft_minhash")(exprs =>
-      MinHashSig(exprs(0), intLit(exprs(1), "graft_minhash k")))
-    once("graft_simhash")(exprs =>
-      SimHashSig(exprs(0), intLit(exprs(1), "graft_simhash bits")))
-    once("graft_bytehist")(exprs => ByteHistStats(exprs(0)))
+    }
   }
 
   /** Σ a[i]·b[i] as a Column (arrays of double). */

@@ -9,15 +9,26 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  test("spark.sql.extensions injects the graft_* functions") {
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+  test("GraftExtensions injects the graft_* functions into a fresh session") {
+    // materialize the SHARED test session first so (a) this spec cannot
+    // create the JVM-wide SparkContext with its own master/conf, and
+    // (b) we provably build a DIFFERENT session below rather than
+    // getOrCreate() handing back the shared one.
+    // withExtensions is the programmatic injection route; the
+    // `spark.sql.extensions=graft.GraftExtensions` conf route runs the
+    // same GraftExtensions.apply but is only read from the
+    // SparkContext's own conf, which this shared-context JVM can't set.
+    val shared = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     try {
+      val spark = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(spark ne shared, "builder reused the shared session — injection untested")
+      // the test would be vacuous if this session's functions came from
+      // some earlier imperative register() call on it: a fresh session
+      // has only the injected route
       val dot = spark.sql(
         "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
         .collect()(0).getDouble(0)
@@ -29,7 +40,6 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT graft_bytehist(cast('aab' as binary)).distinct AS d")
         .collect()(0).getLong(0)
       assert(hist === 2)
-      // minhash/simhash resolve and execute over a shingle array
       val mh = spark.sql(
         "SELECT size(graft_minhash(graft_shingles('a b c d e', 2), 8)) AS k")
         .collect()(0).getInt(0)
@@ -38,10 +48,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT graft_simhash(array('x','y'), 60) AS s").collect()(0).getLong(0)
       assert(simOk >= 0L)
     } finally {
-      // this spec's session is intentionally separate (different conf);
-      // do NOT stop() — it shares the JVM-wide SparkContext with the
-      // other suites' session
+      // restore the shared session for the remaining suites; never stop()
+      // — the SparkContext is JVM-wide
       SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
     }
   }
 }

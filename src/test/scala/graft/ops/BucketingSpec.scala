@@ -93,10 +93,14 @@ class BucketingSpec extends AnyFunSuite {
         .findAllMatchIn(plan).map(_.group(1)).toSeq
       assert(exchanges === Seq("doc_a"),
         s"join inputs were shuffled despite bucketing: $exchanges\n$plan")
-      // and the bucketed index yields the same candidates as the inline path
-      val inline = Dedup.jaccardPairsNaive(spark, sf, 0.8)
+      assert(n > 0, "bucketed index produced no candidates")
+      // containment, not a count comparison: every verified near-dup pair
+      // must appear among the bucketed-index candidates — a corrupted
+      // index write shows up here as a lost pair
+      val verified = Dedup.jaccardPairsNaive(spark, sf, 0.8)
         .select(col("doc_a"), col("doc_b"))
-      assert(n >= inline.count(), "bucketed candidates lost pairs")
+      assert(verified.exceptAll(cand).isEmpty,
+        "bucketed index lost verified near-dup pairs")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS shingle_index")
