@@ -87,5 +87,42 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(p1Curation, p2HashSplit)
+  /** Incremental ingestion dedup — the shape a corpus pipeline runs per
+    * arriving batch: new documents are admitted only if their content
+    * key collides neither with the EXISTING corpus (anti-join against
+    * the corpus key set — at 100 TB that side is the persisted key
+    * index, and the join broadcasts the new batch, not the corpus) nor
+    * with an earlier-keyed document of the same batch (keep-min within
+    * the batch). Doc_id < 250 plays the existing corpus here; the rest
+    * is the arriving batch.
+    */
+  val p3IncrementalDedup: Q = Q.sql(
+    "p3_incremental_dedup",
+    "Batch-over-corpus dedup: admit new docs whose content key is unseen, keep-min within batch.",
+    """WITH corpus AS (
+      |  SELECT DISTINCT md5(lower(trim(text))) AS content_key
+      |  FROM documents WHERE doc_id < 250),
+      |batch AS (
+      |  SELECT doc_id, md5(lower(trim(text))) AS content_key
+      |  FROM documents WHERE doc_id >= 250),
+      |novel AS (
+      |  SELECT b.doc_id, b.content_key FROM batch b
+      |  LEFT JOIN corpus c ON b.content_key = c.content_key
+      |  WHERE c.content_key IS NULL)
+      |SELECT MIN(doc_id) AS doc_id, content_key,
+      |       COUNT(*) AS batch_copies
+      |FROM novel GROUP BY content_key ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("content_key"))
+    val corpusKeys = keyed.filter(col("doc_id") < 250)
+      .select(col("content_key")).distinct()
+    keyed.filter(col("doc_id") >= 250)
+      .join(corpusKeys, Seq("content_key"), "left_anti")
+      .groupBy(col("content_key"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_copies"))
+      .select(col("doc_id"), col("content_key"), col("batch_copies"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(p1Curation, p2HashSplit, p3IncrementalDedup)
 }
