@@ -280,6 +280,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Most-distinctive term per document: argmax of term frequency
+    * normalized by corpus document frequency — the TF-IDF shape with the
+    * idf log replaced by a plain 1/df weight, keeping every score an
+    * exact rational (integer tf ÷ integer df) so both engines agree
+    * bit-for-bit; a log idf would ride on libm ulp differences. Two
+    * shuffles: (doc, term) tf aggregation and the term-keyed df join;
+    * the per-doc argmax is a window over each doc's own terms.
+    */
+  val t8DistinctiveTerms: Q = Q.sql(
+    "t8_distinctive_terms",
+    "Per-doc most distinctive term by df-normalized term frequency (exact-rational TF/DF).",
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |scored AS (
+      |  SELECT t.doc_id, t.term, t.tf, d.df,
+      |         CAST(t.tf AS DOUBLE) / d.df AS score
+      |  FROM tf t JOIN df d ON t.term = d.term),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, df, score,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, term, tf, df, ROUND(score, 6) AS score
+      |FROM ranked WHERE rnk = 1 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("score"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3TokenStats, t4Fingerprint,
-    t5BpeTokens, t6HeavyHitters, t7Normalize)
+    t5BpeTokens, t6HeavyHitters, t7Normalize, t8DistinctiveTerms)
 }
