@@ -155,6 +155,48 @@ class OpsSpec extends AnyFunSuite {
     assert(frac > 0.65 && frac < 0.92, s"train fraction $frac implausible for 80%")
   }
 
+  test("q29: spine is dense (users x hours) and observed rows carry their own value") {
+    val rows = Relational.q29GapFill.run(spark, sf)
+    val users = rows.select("user_id").distinct().count()
+    val hours = rows.select("hour").distinct().count()
+    assert(rows.count() === users * hours, "gap-filled spine is not dense")
+    val observedMismatch = rows
+      .filter(col("observed") && col("v_filled").isNull).count()
+    assert(observedMismatch === 0, "an observed bucket lost its value")
+  }
+
+  test("p3: admitted batch docs collide with no corpus content key") {
+    val admitted = Curation.p3IncrementalDedup.run(spark, sf)
+      .select("content_key")
+    val corpus = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 250)
+      .select(md5(lower(trim(col("text")))).as("content_key")).distinct()
+    assert(admitted.join(corpus, "content_key").count() === 0,
+      "an admitted doc duplicates the corpus")
+  }
+
+  test("s5: per-vector neighbour ranks are 1..k, cosine non-increasing") {
+    val rows = Similarity.s5KnnJoin.run(spark, sf)
+      .select("vec_id", "rnk", "cosine").collect()
+      .groupBy(_.getLong(0))
+    rows.foreach { case (vid, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to sorted.length).toSeq,
+        s"vector $vid has gapped ranks")
+      val cosines = sorted.map(_.getDouble(2)).toSeq
+      assert(cosines === cosines.sorted.reverse, s"vector $vid cosine not monotone")
+    }
+  }
+
+  test("q28: detail rows aggregate to their grouping-set totals") {
+    val rows = Relational.q28GroupingSets.run(spark, sf).collect()
+    val detailN = rows.filter(_.getLong(4) == 0L).map(_.getLong(2)).sum
+    val perPriorityN = rows.filter(_.getLong(4) == 2L).map(_.getLong(2)).sum
+    val grandN = rows.filter(_.getLong(4) == 3L).map(_.getLong(2)).sum
+    assert(detailN === grandN, "detail counts do not sum to the grand total")
+    assert(perPriorityN === grandN, "per-priority counts do not sum to the grand total")
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
