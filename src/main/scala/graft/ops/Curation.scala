@@ -124,5 +124,60 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(p1Curation, p2HashSplit, p3IncrementalDedup)
+  /** Decontamination: detect training documents that overlap an
+    * evaluation set — the contamination check every benchmark-respecting
+    * corpus runs before release. The eval set is p2's own `test` split;
+    * a train doc is contaminated when it shares ≥ 5 distinct 3-gram
+    * shingles with some test doc. Pairs meet on a shingle shuffle key
+    * (the d2 inverted-index shape — never a doc×doc join); at 100 TB the
+    * index side would additionally drop ultra-common shingles (df cap)
+    * exactly like the d2 prefix filter trims hot shingles.
+    */
+  val p4Decontamination: Q = Q.sql(
+    "p4_decontamination",
+    "Train docs sharing >= 5 3-gram shingles with any test-split doc (contamination check).",
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 AS bucket
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, bucket,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3
+      |         THEN list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+      |                             FOR i IN range(1, len(string_split(text, ' ')) - 1)])
+      |         ELSE [] END AS s
+      |  FROM b),
+      |ex AS (SELECT doc_id, bucket, UNNEST(s) AS s FROM sh),
+      |hits AS (
+      |  SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc, COUNT(*) AS shared
+      |  FROM ex tr JOIN ex te ON tr.s = te.s
+      |  WHERE tr.bucket < 80 AND te.bucket >= 90
+      |  GROUP BY 1, 2),
+      |flagged AS (SELECT * FROM hits WHERE shared >= 5)
+      |SELECT train_doc, CAST(COUNT(*) AS BIGINT) AS n_test_hits,
+      |       MAX(shared) AS max_shared
+      |FROM flagged GROUP BY train_doc ORDER BY train_doc""".stripMargin) { (spark, dir) =>
+    import graft.functions.GraftExpressions
+    GraftExpressions.register(spark)
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(graft.functions.DetHash.md5Long28(col("doc_id").cast("string")), lit(100))
+          .as("bucket"),
+        GraftExpressions.shingles(col("text"), 3).as("s"))
+    val ex = keyed.select(col("doc_id"), col("bucket"), explode(col("s")).as("s"))
+    val train = ex.filter(col("bucket") < 80)
+      .select(col("doc_id").as("train_doc"), col("s"))
+    val test = ex.filter(col("bucket") >= 90)
+      .select(col("doc_id").as("test_doc"), col("s"))
+    train.join(test, "s")
+      .groupBy(col("train_doc"), col("test_doc"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 5)
+      .groupBy(col("train_doc"))
+      .agg(count(lit(1)).as("n_test_hits"), max(col("shared")).as("max_shared"))
+      .orderBy("train_doc")
+  }
+
+  val all: Seq[Q] = Seq(p1Curation, p2HashSplit, p3IncrementalDedup,
+    p4Decontamination)
 }
