@@ -841,10 +841,42 @@ object Relational {
       .orderBy("user_id", "hour")
   }
 
+  /** UNPIVOT (melt) — the inverse of q21's pivot and the reshape every
+    * wide feature table goes through before per-feature aggregation:
+    * part's numeric columns become (feature, value) rows, then a
+    * per-feature summary. The melt is a zero-shuffle Expand (row count
+    * × #features, no exchange); only the summary aggregates.
+    */
+  val q30Unpivot: Q = Q.sql(
+    "q30_unpivot",
+    "UNPIVOT part's numeric columns to (feature, value) rows + per-feature summary.",
+    """WITH m AS (
+      |  SELECT p_partkey, feature, CAST(value AS DOUBLE) AS value
+      |  FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size_f, CAST(p_retailprice AS DOUBLE) AS price_f FROM part)
+      |  UNPIVOT (value FOR feature IN (size_f, price_f)))
+      |SELECT feature, COUNT(*) AS n,
+      |       CAST(MIN(value) AS DOUBLE) AS min_v,
+      |       CAST(MAX(value) AS DOUBLE) AS max_v,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      |FROM m GROUP BY feature ORDER BY feature""".stripMargin) { (spark, dir) =>
+    val d = dir.stripSuffix("/")
+    spark.sql(
+      s"""WITH m AS (
+         |  SELECT p_partkey, feature, CAST(value AS DOUBLE) AS value
+         |  FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size_f, CAST(p_retailprice AS DOUBLE) AS price_f
+         |        FROM parquet.`$d/part.parquet`)
+         |  UNPIVOT (value FOR feature IN (size_f, price_f)))
+         |SELECT feature, COUNT(*) AS n,
+         |       CAST(MIN(value) AS DOUBLE) AS min_v,
+         |       CAST(MAX(value) AS DOUBLE) AS max_v,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         |FROM m GROUP BY feature ORDER BY feature""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
     q18AsofJoin, q19Percentile, q20Cube, q21Pivot, q22RangeJoin, q23StringAgg,
     q24JsonFuncs, q25ApproxQuantiles, q26MovingWindow, q27Lateral,
-    q28GroupingSets, q29GapFill)
+    q28GroupingSets, q29GapFill, q30Unpivot)
 }
