@@ -16,6 +16,15 @@ object Curation {
 
   private val QUALITY_MIN = 0.5
 
+  /** THE split-bucket definition (md5(doc_id) mod 100) — p2 assigns
+    * splits from it and p4 decontaminates against it; one definition in
+    * each engine so they cannot drift.
+    */
+  private[ops] val bucketSql: String =
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100"
+  private[ops] def bucketCol: org.apache.spark.sql.Column =
+    pmod(graft.functions.DetHash.md5Long28(col("doc_id").cast("string")), lit(100))
+
   val p1Curation: Q = Q.sql(
     "p1_curation_pipeline",
     s"Curation chain: lang=en + quality >= $QUALITY_MIN + exact-dedup survivors with stats.",
@@ -67,19 +76,16 @@ object Curation {
   val p2HashSplit: Q = Q.sql(
     "p2_hash_split",
     "Deterministic 80/10/10 train/val/test split on md5(doc_id) mod 100.",
-    """WITH b AS (
-      |  SELECT doc_id,
-      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 AS bucket
-      |  FROM documents)
-      |SELECT doc_id, bucket,
-      |  CASE WHEN bucket < 80 THEN 'train'
-      |       WHEN bucket < 90 THEN 'val'
-      |       ELSE 'test' END AS split
-      |FROM b ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val bucket = pmod(graft.functions.DetHash.md5Long28(
-      col("doc_id").cast("string")), lit(100)).as("bucket")
+    s"""WITH b AS (
+       |  SELECT doc_id, $bucketSql AS bucket
+       |  FROM documents)
+       |SELECT doc_id, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     Tables.documents(spark, dir)
-      .select(col("doc_id"), bucket)
+      .select(col("doc_id"), bucketCol.as("bucket"))
       .select(col("doc_id"), col("bucket"),
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
@@ -136,33 +142,21 @@ object Curation {
   val p4Decontamination: Q = Q.sql(
     "p4_decontamination",
     "Train docs sharing >= 5 3-gram shingles with any test-split doc (contamination check).",
-    """WITH b AS (
-      |  SELECT doc_id, text,
-      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 AS bucket
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, bucket,
-      |    CASE WHEN len(string_split(text, ' ')) >= 3
-      |         THEN list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
-      |                             FOR i IN range(1, len(string_split(text, ' ')) - 1)])
-      |         ELSE [] END AS s
-      |  FROM b),
-      |ex AS (SELECT doc_id, bucket, UNNEST(s) AS s FROM sh),
+    s"""WITH ${Dedup.shinglesSqlCteWith(s", $bucketSql AS bucket", ", bucket")},
+       |ex AS (SELECT doc_id, bucket, UNNEST(s) AS s FROM sh),
       |hits AS (
       |  SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc, COUNT(*) AS shared
       |  FROM ex tr JOIN ex te ON tr.s = te.s
       |  WHERE tr.bucket < 80 AND te.bucket >= 90
       |  GROUP BY 1, 2),
       |flagged AS (SELECT * FROM hits WHERE shared >= 5)
-      |SELECT train_doc, CAST(COUNT(*) AS BIGINT) AS n_test_hits,
-      |       MAX(shared) AS max_shared
-      |FROM flagged GROUP BY train_doc ORDER BY train_doc""".stripMargin) { (spark, dir) =>
+       |SELECT train_doc, CAST(COUNT(*) AS BIGINT) AS n_test_hits,
+       |       MAX(shared) AS max_shared
+       |FROM flagged GROUP BY train_doc ORDER BY train_doc""".stripMargin) { (spark, dir) =>
     import graft.functions.GraftExpressions
     GraftExpressions.register(spark)
     val keyed = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        pmod(graft.functions.DetHash.md5Long28(col("doc_id").cast("string")), lit(100))
-          .as("bucket"),
+      .select(col("doc_id"), bucketCol.as("bucket"),
         GraftExpressions.shingles(col("text"), 3).as("s"))
     val ex = keyed.select(col("doc_id"), col("bucket"), explode(col("s")).as("s"))
     val train = ex.filter(col("bucket") < 80)

@@ -32,15 +32,20 @@ object Dedup {
 
   /** shared shingle CTE for the SQL oracles (string_split keeps empty
     * tokens, list comprehension = 3-gram window, list_distinct =
-    * first-occurrence distinct — all matching WordShingles exactly)
+    * first-occurrence distinct — all matching WordShingles exactly).
+    * `extraExpr`/`extraName` thread additional computed columns through
+    * both CTE stages (e.g. p4's split bucket) so every consumer shares
+    * the ONE shingle formula the kernel must match.
     */
-  private val shinglesSqlCte: String =
-    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT doc_id,
-      |  CASE WHEN len(w) >= 3
-      |       THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)])
-      |       ELSE [] END AS s
-      |FROM w)""".stripMargin
+  private[ops] def shinglesSqlCteWith(extraExpr: String, extraName: String): String =
+    s"""w AS (SELECT doc_id$extraExpr, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id$extraName,
+       |  CASE WHEN len(w) >= 3
+       |       THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)])
+       |       ELSE [] END AS s
+       |FROM w)""".stripMargin
+
+  private val shinglesSqlCte: String = shinglesSqlCteWith("", "")
 
   /** Exact dedup on normalized text: group on the content key, keep the
     * lowest doc_id as representative. One shuffle; at 100 TB the group key

@@ -294,7 +294,7 @@ object TextAnalysis {
     """WITH tok AS (
       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
       |scored AS (
       |  SELECT t.doc_id, t.term, t.tf, d.df,
       |         CAST(t.tf AS DOUBLE) / d.df AS score
@@ -309,7 +309,9 @@ object TextAnalysis {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(words).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    // df falls out of tf (one row per (doc, term)) — no distinct
+    // aggregation pass, and the partial aggregates stay tiny
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
     tf.join(df, "term")

@@ -175,6 +175,31 @@ class OpsSpec extends AnyFunSuite {
       "an admitted doc duplicates the corpus")
   }
 
+  test("p3: dedup logic verified on synthetic duplicates (the sf corpora have none)") {
+    // the bundled testdata has zero duplicate normalized texts at the
+    // verified scales, so the oracle row alone cannot catch a regression
+    // in the anti-join or the keep-min — drive the query over a crafted
+    // corpus where every branch fires
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_p3").toString
+    try {
+      Seq(
+        (1L, "alpha text body"),       // corpus
+        (2L, "beta text body"),        // corpus
+        (300L, "ALPHA text body "),    // batch, corpus dup after normalize → rejected
+        (301L, "gamma text body"),     // batch, novel — survivor of 301/302
+        (302L, "Gamma Text Body".toLowerCase), // batch dup of 301 → folded in
+        (303L, "delta text body"))     // batch, novel singleton
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = Curation.p3IncrementalDedup.run(spark, dir)
+        .select("doc_id", "batch_copies").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === Map(301L -> 2L, 303L -> 1L),
+        s"incremental dedup admitted the wrong set: $out")
+    } finally graft.TestSpark.deleteRecursively(dir)
+  }
+
   test("s5: per-vector neighbour ranks are 1..k, cosine non-increasing") {
     val rows = Similarity.s5KnnJoin.run(spark, sf)
       .select("vec_id", "rnk", "cosine").collect()
