@@ -28,17 +28,31 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // sbt wraps stdout in [info]/WARN noise that can defeat the driver's
-    // JSON extraction — also drop the bare line where it can be read
-    // directly (cwd = repo root under sbt).
+    def fmt(v: Double): String = f"$v%.3f"
+    def jsonLine(m: Map[String, Double]): String = {
+      val qs = m.toSeq.sortBy(-_._2)
+        .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    }
+    val full = jsonLine(results)
+    // the full map to a bare file at an absolute path (sbt's cwd is the
+    // repo root; resolve explicitly so a different launcher cwd still
+    // lands it somewhere findable)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      java.nio.file.Paths.get(sys.props("user.dir"), "bench_out.json").toString)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), line + "\n")
-    catch { case _: Throwable => () }
+      java.nio.file.Paths.get(outPath), full + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
+    // stdout LAST, after spark.stop(), so no late WARN line splits it;
+    // the driver keeps only the final ~2000 chars of output, so the full
+    // 71-query map (~2.3 KB) gets truncated mid-line — print the full
+    // line first for humans, then a compact top-20 line as the very last
+    // output so at least one complete parseable JSON line sits inside
+    // the tail window.
+    println(full)
+    println(jsonLine(results.toSeq.sortBy(-_._2).take(20).toMap))
   }
 }

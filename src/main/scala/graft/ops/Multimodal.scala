@@ -151,7 +151,7 @@ object Multimodal {
       |s AS (SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS distinct_bytes,
       |             MAX(cnt) AS maxc, SUM(cnt * (cnt - 1)) AS coll
       |      FROM c GROUP BY 1)
-      |SELECT doc_id, n AS n_bytes, distinct_bytes,
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, distinct_bytes,
       |  ROUND(CAST(maxc AS DOUBLE) / n, 6) AS max_byte_ratio,
       |  CASE WHEN n > 1 THEN ROUND(CAST(coll AS DOUBLE) / (n * (n - 1)), 6)
       |       ELSE CAST(0.0 AS DOUBLE) END AS ioc

@@ -13,9 +13,13 @@ import org.apache.spark.sql.SparkSession
   * those are tracked by the session's CacheManager until the session
   * ends, which is the intended lifetime for a materialized index in a
   * long-lived engine session. A cleared soft reference simply means the
-  * next request rebuilds (and re-persists) the frame.
+  * next request rebuilds (and re-persists) the frame; if the superseded
+  * frame is still reachable when that happens, `onReplace` releases its
+  * storage blocks so rebuilds don't accumulate orphaned cached data
+  * under exactly the memory pressure that cleared the reference.
   */
-private[ops] final class SessionCache[K, V <: AnyRef] {
+private[ops] final class SessionCache[K, V <: AnyRef](
+    onReplace: V => Unit = (_: V) => ()) {
   private val maps = new java.util.WeakHashMap[
     SparkSession,
     scala.collection.concurrent.TrieMap[K, java.lang.ref.SoftReference[V]]]()
@@ -36,7 +40,14 @@ private[ops] final class SessionCache[K, V <: AnyRef] {
         // parallel; a same-key race builds twice and last-write wins
         // (both values are equivalent persisted frames)
         val v = mk
-        inner.put(key, new java.lang.ref.SoftReference(v))
+        val old = inner.put(key, new java.lang.ref.SoftReference(v))
+        // the soft ref may have been cleared but the frame itself still
+        // strongly held elsewhere (e.g. a caller kept it) — release the
+        // superseded frame's persisted blocks either way if reachable
+        old.flatMap(r => Option(r.get())).filter(_ ne v).foreach { stale =>
+          try onReplace(stale)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
         v
     }
   }

@@ -47,13 +47,24 @@ object StreamingQueries {
         .start()
       q.awaitTermination()
     } finally spark.conf.set(key, saved)
-    // hand back a LocalRelation copy and drop the sink's temp view — the
-    // memory sink would otherwise pin the full result on the driver heap
-    // (for w5, a whole copy of the events table) for the session lifetime
+    // drain the sink to a temp parquet and hand back a reader over it,
+    // then drop the sink's temp view — the memory sink would otherwise
+    // pin the full result on the driver heap (for w5, a whole copy of
+    // the events table) for the session lifetime, and a LocalRelation
+    // copy would pin a SECOND driver-side copy. The parquet roundtrip
+    // keeps driver memory bounded regardless of sf (executors stream
+    // the write), at the cost of one small local write per gate run.
     val sink = spark.table(name)
-    val local = spark.createDataFrame(sink.collectAsList(), sink.schema)
+    val out = java.nio.file.Files
+      .createTempDirectory(s"graft_sink_$name").toString
+    sink.write.mode("overwrite").parquet(out)
     spark.catalog.dropTempView(name)
-    local
+    val back = spark.read.parquet(out)
+    // temp-dir hygiene: delete on JVM exit (files first, dirs last)
+    val root = new java.io.File(out)
+    root.deleteOnExit()
+    Option(root.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
+    back
   }
 
   /** The test tables are single parquet FILES; the file streaming source
