@@ -172,6 +172,83 @@ object Curation {
       .orderBy("train_doc")
   }
 
+  /** Per-domain quota sampling — cap every source domain at K documents,
+    * chosen by a deterministic hash rank (not arrival order, not RNG):
+    * the standard down-weighting of over-represented domains in corpus
+    * curation, reproducible across engines and re-runs. The rank window
+    * partitions by domain; a 100 TB corpus with mega-domains computes
+    * the same thing without sorting whole domains by aggregating a
+    * bounded top-K heap per domain instead (quota K bounds the state,
+    * the hash is the priority) — the window form is the clearest
+    * statement of the semantics and what Spark plans here.
+    */
+  val p5DomainQuota: Q = Q.sql(
+    "p5_domain_quota",
+    "Cap each source domain at K=10 docs by deterministic md5 rank.",
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+      |               doc_id) AS quota_rank
+      |  FROM documents)
+      |SELECT doc_id, source, quota_rank
+      |FROM r WHERE quota_rank <= 10 ORDER BY source, doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(graft.functions.DetHash.md5Long60(col("doc_id").cast("string")),
+        col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("quota_rank", row_number().over(w).cast("long"))
+      .filter(col("quota_rank") <= 10)
+      .select(col("doc_id"), col("source"), col("quota_rank"))
+      .orderBy("source", "doc_id")
+  }
+
+  private val PACK_BUDGET = 512
+  private val PACK_SHARDS = 8
+
+  /** Sequence packing — assign documents to fixed token-budget context
+    * windows (the pretraining batch-construction step). Packing is
+    * inherently sequential, so it runs WITHIN hash shards: shard =
+    * md5(doc_id) mod S, docs ordered by doc_id inside a shard, pack_id =
+    * floor(tokens-before-this-doc / budget). One range-free shuffle on
+    * the shard key + a per-shard cumulative-sum window; at 100 TB you
+    * raise S until a shard fits a task — the assignment inside any shard
+    * is independent of every other shard by construction, so S is a free
+    * parallelism knob, not a semantics change.
+    */
+  val p6SequencePack: Q = Q.sql(
+    "p6_sequence_pack",
+    s"Pack docs into $PACK_BUDGET-token context windows within $PACK_SHARDS hash shards.",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % $PACK_SHARDS AS shard,
+       |    len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $PACK_BUDGET) AS BIGINT) AS pack_id
+       |FROM c ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(graft.functions.DetHash.md5Long28(col("doc_id").cast("string")),
+          lit(PACK_SHARDS)).as("shard"),
+        size(TextAnalysis.words).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")).cast("double") / PACK_BUDGET)
+          .as("pack_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(p1Curation, p2HashSplit, p3IncrementalDedup,
-    p4Decontamination)
+    p4Decontamination, p5DomainQuota, p6SequencePack)
 }

@@ -305,6 +305,68 @@ object Similarity {
       .orderBy("vec_id", "rnk")
   }
 
+  /** Scalar int8 quantization of embeddings — the storage/serving
+    * compression step every vector index runs (per-vector min-max
+    * affine code: q = floor((x−lo)/(hi−lo)·255 + 0.5)). Emits a
+    * position-weighted integer checksum of the codes (pins the exact
+    * code vector, not just its error) plus mean/max reconstruction
+    * error via the s4 fixed-point trick (`floor(err·1e7)` longs sum
+    * order-independently; every IEEE op in the chain is bit-identical
+    * across engines — see [[s4LabelCentroids]]). Map stage + one
+    * vec_id-keyed aggregation with map-side partials; at 100 TB the
+    * codes column (dim bytes/vector vs 4·dim) is what you'd persist.
+    */
+  val s6Quantize: Q = Q.sql(
+    "s6_embedding_quantize",
+    "Int8 min-max quantization: code checksum + mean/max reconstruction error per vector.",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |mm AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e),
+      |x AS (
+      |  SELECT vec_id, lo, hi, u.p AS pos, u.x AS x
+      |  FROM (SELECT vec_id, lo, hi,
+      |          UNNEST(list_transform(range(0, len(v)),
+      |            i -> struct_pack(p := i, x := v[i + 1]))) AS u
+      |        FROM mm)),
+      |q AS (
+      |  SELECT vec_id, pos, x, lo, hi,
+      |    CASE WHEN hi = lo THEN 0
+      |         ELSE CAST(LEAST(255.0, FLOOR((x - lo) / (hi - lo) * 255.0 + 0.5)) AS BIGINT)
+      |    END AS qv
+      |  FROM x),
+      |r AS (
+      |  SELECT vec_id, pos, qv,
+      |    ABS(x - (lo + qv * (hi - lo) / 255.0)) AS err
+      |  FROM q)
+      |SELECT vec_id,
+      |  CAST(SUM(qv * (pos + 1)) AS BIGINT) AS code_checksum,
+      |  CAST(SUM(CAST(FLOOR(err * 10000000.0) AS BIGINT)) AS DOUBLE)
+      |    / 10000000.0 / COUNT(*) AS mean_abs_err,
+      |  CAST(MAX(CAST(FLOOR(err * 10000000.0) AS BIGINT)) AS DOUBLE)
+      |    / 10000000.0 AS max_abs_err
+      |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    val mm = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"),
+        array_min(col("v")).as("lo"), array_max(col("v")).as("hi"))
+    val x = mm.select(col("vec_id"), col("lo"), col("hi"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    // identical op-for-op arithmetic to the oracle: ((x-lo)/(hi-lo))*255+0.5,
+    // floored; dequant lo + q*(hi-lo)/255 — each step one correctly-rounded
+    // IEEE double op, so both engines produce the same bits
+    val qv = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(lit(255L),
+        floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 255.0 + 0.5)))
+    val r = x.withColumn("qv", qv)
+      .withColumn("err",
+        abs(col("x") - (col("lo") + col("qv") * (col("hi") - col("lo")) / 255.0)))
+    r.groupBy(col("vec_id"))
+      .agg(sum(col("qv") * (col("pos") + 1)).as("code_checksum"),
+        (sum(floor(col("err") * 1.0e7)).cast("double") / 1.0e7 / count(lit(1)))
+          .as("mean_abs_err"),
+        (max(floor(col("err") * 1.0e7)).cast("double") / 1.0e7).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4LabelCentroids,
-    s5KnnJoin)
+    s5KnnJoin, s6Quantize)
 }

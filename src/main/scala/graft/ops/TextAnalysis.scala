@@ -323,6 +323,85 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition signals — the within-document duplication screen (the
+    * "repeated lines/paragraphs" family of quality filters, over words
+    * here since the corpus is single-line): distinct-word ratio and the
+    * modal word's share. A low distinct ratio or a high top-word share
+    * flags boilerplate/spam. Exact integer counting + one final double
+    * division per stat; two doc-keyed shuffles with map-side partials.
+    */
+  val t9Repetition: Q = Q.sql(
+    "t9_repetition",
+    "Within-doc repetition: distinct-word ratio and modal-word share.",
+    """WITH u AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+      |c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM u GROUP BY 1, 2),
+      |s AS (SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS n_distinct, MAX(cnt) AS maxc
+      |      FROM c GROUP BY 1)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  ROUND(CAST(n_distinct AS DOUBLE) / n, 6) AS distinct_ratio,
+      |  ROUND(CAST(maxc AS DOUBLE) / n, 6) AS top_word_ratio
+      |FROM s ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("maxc"))
+      .select(col("doc_id"), col("n").as("n_words"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n"), 6).as("distinct_ratio"),
+        round(col("maxc").cast("double") / col("n"), 6).as("top_word_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-commonness score — the unigram-LM fluency screen with the
+    * log replaced by exact rationals (a `ln` would ride on libm ulp
+    * differences between engines, see [[t8DistinctiveTerms]]): per doc,
+    * the mean corpus frequency of its tokens (Σ cf(w) over positions,
+    * divided by n_tokens·N at the very end) plus the rarest token's
+    * corpus count and the hapax share. Low mean frequency or many hapax
+    * tokens flags gibberish; everything is integer arithmetic until ONE
+    * final double division. The corpus frequency table is vocab-sized —
+    * an explicit broadcast joined into the token stream (at 100 TB the
+    * vocab of a cleaned corpus still fits executors comfortably; a
+    * truly unbounded key space would switch to a shuffle join on the
+    * token key, same semantics).
+    */
+  val t10Commonness: Q = Q.sql(
+    "t10_commonness",
+    "Per-doc mean corpus token frequency, rarest-token count, hapax share (exact-rational unigram score).",
+    """WITH u AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+      |f AS (SELECT word, COUNT(*) AS cf FROM u GROUP BY 1),
+      |n AS (SELECT SUM(cf) AS total FROM f),
+      |j AS (SELECT u.doc_id, f.cf FROM u JOIN f ON u.word = f.word),
+      |d AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(cf) AS sum_cf,
+      |             MIN(cf) AS min_cf,
+      |             SUM(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS n_hapax
+      |      FROM j GROUP BY 1)
+      |SELECT doc_id, n_tokens, CAST(min_cf AS BIGINT) AS min_cf,
+      |  CAST(n_hapax AS BIGINT) AS n_hapax,
+      |  ROUND(CAST(sum_cf AS DOUBLE) / (n_tokens * (SELECT total FROM n)), 9)
+      |    AS mean_freq
+      |FROM d ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val u = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words).as("word"))
+    val f = u.groupBy(col("word")).agg(count(lit(1)).as("cf"))
+    val total = f.agg(sum(col("cf")).as("total"))
+    u.join(broadcast(f), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cf")).as("sum_cf"),
+        min(col("cf")).as("min_cf"),
+        sum(when(col("cf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("min_cf"), col("n_hapax"),
+        round(col("sum_cf").cast("double") / (col("n_tokens") * col("total")), 9)
+          .as("mean_freq"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3TokenStats, t4Fingerprint,
-    t5BpeTokens, t6HeavyHitters, t7Normalize, t8DistinctiveTerms)
+    t5BpeTokens, t6HeavyHitters, t7Normalize, t8DistinctiveTerms,
+    t9Repetition, t10Commonness)
 }

@@ -222,7 +222,78 @@ class OpsSpec extends AnyFunSuite {
     assert(perPriorityN === grandN, "per-priority counts do not sum to the grand total")
   }
 
+  test("p5: every domain keeps at most its quota, ranks contiguous from 1") {
+    val rows = Curation.p5DomainQuota.run(spark, sf)
+      .select("source", "quota_rank").collect()
+      .groupBy(_.getString(0))
+    rows.foreach { case (src, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted.toSeq
+      assert(ranks.length <= 10, s"domain $src over quota: ${ranks.length}")
+      assert(ranks === (1L to ranks.length).toSeq, s"domain $src ranks gapped")
+    }
+  }
+
+  test("p6: pack_id equals floor(tokens-before/budget) within each shard") {
+    val rows = Curation.p6SequencePack.run(spark, sf)
+      .select("shard", "doc_id", "n_tokens", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      var cum = 0L
+      rs.sortBy(_._2).foreach { case (_, doc, n, pack) =>
+        assert(pack === cum / 512, s"shard $shard doc $doc: pack $pack != ${cum / 512}")
+        cum += n
+      }
+    }
+  }
+
+  test("t9: repetition ratios are consistent rationals in (0, 1]") {
+    Textish.t9Rows(spark, sf).foreach { case (doc, n, nd, dr, twr) =>
+      assert(nd <= n, s"doc $doc distinct > total")
+      assert(math.abs(dr - nd.toDouble / n) < 1e-6, s"doc $doc distinct_ratio off")
+      // outputs are ROUND(·, 6); allow half an ulp of that rounding
+      assert(twr >= 1.0 / nd - 5e-7 && twr <= 1.0, s"doc $doc top_word_ratio $twr out of range")
+    }
+  }
+
+  test("t10: hapax and rarity bounds hold against the corpus") {
+    val rows = TextAnalysis.t10Commonness.run(spark, sf)
+      .select("doc_id", "n_tokens", "min_cf", "n_hapax", "mean_freq").collect()
+    rows.foreach { r =>
+      val (doc, n, minCf, hapax, mf) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(minCf >= 1, s"doc $doc min_cf < 1")
+      assert(hapax <= n, s"doc $doc more hapax than tokens")
+      // every token occurs at least min_cf times, so the mean frequency
+      // is at least min_cf / total — and at most 1
+      assert(mf > 0.0 && mf <= 1.0, s"doc $doc mean_freq $mf out of range")
+    }
+  }
+
+  test("s6: reconstruction error bounded by half a quantization step") {
+    val errs = Similarity.s6Quantize.run(spark, sf)
+      .join(graft.Tables.embeddings(spark, sf)
+        .select(col("vec_id"),
+          ((array_max(col("embedding").cast("array<double>")) -
+            array_min(col("embedding").cast("array<double>"))) / 510.0).as("half_step")),
+        "vec_id")
+      .select("vec_id", "max_abs_err", "half_step").collect()
+    errs.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2) + 1e-7,
+        s"vec ${r.getLong(0)}: max err ${r.getDouble(1)} exceeds half step ${r.getDouble(2)}")
+    }
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+}
+
+/** tiny accessor kept out of the test bodies for reuse */
+private object Textish {
+  def t9Rows(spark: org.apache.spark.sql.SparkSession, sf: String)
+      : Array[(Long, Long, Long, Double, Double)] =
+    TextAnalysis.t9Repetition.run(spark, sf)
+      .select("doc_id", "n_words", "n_distinct", "distinct_ratio", "top_word_ratio")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
 }
