@@ -37,7 +37,7 @@ object StreamingQueries {
     spark.catalog.dropTempView(name)
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)
-    if (saved.toInt > 8) spark.conf.set(key, "8")
+    if (saved.toInt > 4) spark.conf.set(key, "4")
     try {
       val q = df.writeStream
         .format("memory")

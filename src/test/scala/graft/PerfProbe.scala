@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 object PerfProbe {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -23,48 +23,64 @@ object PerfProbe {
 
     // warmup
     spark.range(1000000).select(sum(col("id"))).collect()
-
-    val w = split(col("text"), " ")
-    val sh = array_distinct(transform(sequence(lit(0), size(w) - 3), i =>
-      concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
-
-    val docs = Tables.documents(spark, sf).select(col("doc_id"), sh.as("s"))
-    time("shingles-only")(docs.agg(sum(size(col("s")))).head().getLong(0))
-    val ex = docs.select(col("doc_id"), explode(col("s")).as("s"))
-    time("explode-count")(ex.count())
-    val joined = ex.as("a").join(ex.as("b"),
-      col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-    time("self-join-count")(joined.count())
-    val common = joined.groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("c"))
-    time("pair-group-count")(common.count())
-    time("full-d2")(ops.Dedup.d2NgramJaccard.run(spark, sf).count())
-
-    // d5 cost: interpreted HOF dot products
-    val n = ops.Dedup.normedVectors(spark, sf)
-    time("norm-only")(n.agg(sum(col("nrm"))).head().getDouble(0))
-    time("full-d5")(ops.Dedup.d5EmbeddingCosine.run(spark, sf).count())
-
     graft.functions.GraftExpressions.register(spark)
-    import graft.functions.GraftExpressions.{shingles, minhash}
-    val sdocs = Tables.documents(spark, sf)
+    import graft.functions.GraftExpressions.shingles
+
+    // --- d2 stage dissection (mirrors Dedup.jaccardPairs) ---
+    val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), shingles(col("text"), 3).as("s"))
       .filter(size(col("s")) > 0)
-    time("d3-shingle-kernel")(sdocs.agg(sum(size(col("s")))).head().getLong(0))
-    val sig2 = sdocs.select(col("doc_id"), minhash(col("s"), 32).as("sig"))
-    time("d3-sig-kernel")(sig2.agg(sum(element_at(col("sig"), 1))).head().getLong(0))
-    val bands2 = sig2.select(col("doc_id"), explode(transform(sequence(lit(0), lit(7)), b =>
-      struct(b.as("band"), md5(concat_ws(",", transform(slice(col("sig"), b * 4 + 1, lit(4)),
-        x => x.cast("string")))).as("bh")))).as("x"))
-      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
-    time("d3-bands")(bands2.count())
-    val cand2 = bands2.as("a").join(bands2.as("b"),
-      col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-    time("d3-cand")(cand2.count())
-    time("full-d3")(ops.Dedup.d3MinHashLsh.run(spark, sf).count())
-    time("full-d4")(ops.Dedup.d4SimHash.run(spark, sf).count())
+      .persist()
+    time("shingle-kernel+persist")(docs.count())
+    val t = 0.8
+    val ex = docs.select(col("doc_id"), size(col("s")).as("nsh"),
+        explode(col("s")).as("s"))
+      .select(col("doc_id"), col("nsh"), xxhash64(col("s")).as("sh"))
+    time("explode+hash")(ex.count())
+    val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    time("dfreq")(dfreq.count())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val prefixes = ex.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("nsh") - ceil(col("nsh") * t) + 1)
+      .select(col("doc_id"), col("sh"))
+      .persist()
+    time("prefix-index+persist")(prefixes.count())
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    time("self-join candidates")(cand.count())
+    val candP = cand.persist()
+    time("cand+persist")(candP.count())
+    val nCommon = size(array_intersect(col("s_a"), col("sb.s")))
+    val j = nCommon.cast("double") /
+      (size(col("s_a")) + size(col("sb.s")) - nCommon)
+    def verifyA = broadcast(candP)
+      .join(docs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("sa.s").as("s_a"))
+    val vBcast = broadcast(verifyA)
+      .join(docs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(j >= t)
+      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+    time("verify bcast-withA")(vBcast.count())
+    val vFree = verifyA
+      .join(docs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(j >= t)
+      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+    time("verify AQE-free 2nd join")(vFree.count())
+    val vMerge = verifyA.hint("merge")
+      .join(docs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(j >= t)
+      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+    time("verify shuffle 2nd join")(vMerge.count())
+    time("full-d2 (fresh session path)")(
+      ops.Dedup.d2NgramJaccard.run(spark, sf).count())
+    time("full-d2 (cached)")(
+      ops.Dedup.d2NgramJaccard.run(spark, sf).count())
+    time("full-d6 (reuses pairs)")(
+      ops.Dedup.d6DedupClusters.run(spark, sf).count())
     spark.stop()
   }
 }
