@@ -249,6 +249,49 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Stratified deterministic sampling — keep a fixed hash-fraction of
+    * documents per (source, split) stratum and report kept vs total.
+    * Unlike [[p5DomainQuota]]'s fixed cap this is RATE sampling: no
+    * window, no rank — a pure filter on the md5 bucket (a free column
+    * on the scan at any scale) followed by one aggregation. The same
+    * WHERE clause reproduces the sample on any engine, any run, any
+    * shard layout — the property RNG sampling can't give a pipeline.
+    */
+  val p7StratifiedSample: Q = Q.sql(
+    "p7_stratified_sample",
+    "Deterministic 20% hash-rate sample per (source, split) stratum: kept vs total counts.",
+    s"""WITH b AS (
+       |  SELECT doc_id, source, $bucketSql AS bucket
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, source, bucket,
+       |    CASE WHEN bucket < 80 THEN 'train'
+       |         WHEN bucket < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    CASE WHEN ('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 < 20
+       |         THEN 1 ELSE 0 END AS kept
+       |  FROM b)
+       |SELECT source, split, CAST(SUM(kept) AS BIGINT) AS n_kept,
+       |       COUNT(*) AS n_total
+       |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin) { (spark, dir) =>
+    // the sampling hash is salted ("sample:") so it is independent of the
+    // split-assignment hash — reusing p2's bucket would correlate the
+    // sample with the split boundaries
+    val kept = when(pmod(graft.functions.DetHash.md5Long28(
+        concat(lit("sample:"), col("doc_id").cast("string"))), lit(100)) < 20,
+      1L).otherwise(0L)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), bucketCol.as("bucket"))
+      .select(col("source"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"),
+        kept.as("kept"))
+      .groupBy(col("source"), col("split"))
+      .agg(sum(col("kept")).as("n_kept"), count(lit(1)).as("n_total"))
+      .orderBy("source", "split")
+  }
+
   val all: Seq[Q] = Seq(p1Curation, p2HashSplit, p3IncrementalDedup,
-    p4Decontamination, p5DomainQuota, p6SequencePack)
+    p4Decontamination, p5DomainQuota, p6SequencePack, p7StratifiedSample)
 }

@@ -873,10 +873,79 @@ object Relational {
          |FROM m GROUP BY feature ORDER BY feature""".stripMargin)
   }
 
+  /** Salted SHUFFLE join under key skew — the join-side companion of
+    * [[q17SaltedAgg]]: ~75% of events map to one hot nation key, which
+    * in a plain shuffle join lands on one task. The fact side salts
+    * each row into one of 16 sub-keys; the dimension side replicates
+    * every row 16× (explode), so the hot key spreads over 16 tasks and
+    * the join key becomes (key, salt). Here the dim is 25 rows (you'd
+    * broadcast it in practice — `q3` shows that); the pattern is the
+    * one that applies when BOTH sides are too big to broadcast and AQE
+    * skew splitting isn't available/enough. The oracle is the plain
+    * unsalted join — salting must be invisible in the result.
+    */
+  val q31SaltedJoin: Q = Q.sql(
+    "q31_salted_join",
+    "Skewed fact->dim shuffle join via 16-way salt replication (result equals the plain join).",
+    """WITH f AS (
+      |  SELECT CASE WHEN event_id % 4 < 3 THEN 0 ELSE event_id % 25 END AS nkey,
+      |         value
+      |  FROM events)
+      |SELECT n.n_name AS nation, COUNT(*) AS n,
+      |       CAST(SUM(CAST(f.value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM f JOIN nation n ON f.nkey = n.n_nationkey
+      |GROUP BY 1 ORDER BY nation""".stripMargin) { (spark, dir) =>
+    val SALT = 16
+    val fact = Tables.events(spark, dir)
+      .select(when(col("event_id") % 4 < 3, lit(0L))
+          .otherwise(col("event_id") % 25).as("nkey"),
+        col("value"),
+        pmod(col("event_id"), lit(SALT)).as("salt"))
+    val dim = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("nkey"), col("n_name"),
+        explode(sequence(lit(0), lit(SALT - 1))).as("salt"))
+    // merge hint pins the shuffle join this pattern exists for (the
+    // 25×16-row dim would otherwise auto-broadcast and hide the point)
+    fact.hint("merge")
+      .join(dim, Seq("nkey", "salt"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .orderBy("nation")
+  }
+
+  /** Latest row per key — the CDC/upsert compaction every incremental
+    * ingest runs (also "dedupe by key, keep newest"). One window shuffle
+    * on the key; ties break on event_id so the survivor is total-order
+    * deterministic. At 100 TB the same plan applies per partition-date,
+    * or `max_by` when only a couple of columns ride along.
+    */
+  val q32LatestPerKey: Q = Q.sql(
+    "q32_latest_per_key",
+    "Latest event per user (CDC-style keep-newest compaction).",
+    """WITH r AS (
+      |  SELECT user_id, event_id, ts, event_type, CAST(value AS DOUBLE) AS value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |           ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_id, ts, event_type, value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value").cast("double").as("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
     q18AsofJoin, q19Percentile, q20Cube, q21Pivot, q22RangeJoin, q23StringAgg,
     q24JsonFuncs, q25ApproxQuantiles, q26MovingWindow, q27Lateral,
-    q28GroupingSets, q29GapFill, q30Unpivot)
+    q28GroupingSets, q29GapFill, q30Unpivot, q31SaltedJoin, q32LatestPerKey)
 }

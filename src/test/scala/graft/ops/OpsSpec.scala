@@ -283,6 +283,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q31: salted join result equals the plain unsalted join") {
+    import graft.Tables
+    val plain = Tables.events(spark, sf)
+      .select(when(col("event_id") % 4 < 3, lit(0L))
+          .otherwise(col("event_id") % 25).as("nkey"), col("value"))
+      .join(Tables.nation(spark, sf)
+        .select(col("n_nationkey").cast("long").as("nkey"), col("n_name")), "nkey")
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Relational.q31SaltedJoin.run(spark, sf)
+      .select("nation", "n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain, "salting changed the join result")
+  }
+
+  test("q32: exactly one row per user and it carries the max ts") {
+    val rows = Relational.q32LatestPerKey.run(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 1).count()
+    assert(rows === 0, "a user has multiple 'latest' rows")
+    val bad = Relational.q32LatestPerKey.run(spark, sf).as("l")
+      .join(graft.Tables.events(spark, sf).as("e"),
+        col("l.user_id") === col("e.user_id") && col("e.ts") > col("l.ts"))
+      .count()
+    assert(bad === 0, "an event is newer than its user's 'latest' row")
+  }
+
+  test("p7: kept within totals and aggregate rate near 20%") {
+    val rows = Curation.p7StratifiedSample.run(spark, sf)
+      .select("n_kept", "n_total").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { case (k, t) => assert(k <= t, "kept exceeds stratum total") }
+    val (kept, total) = rows.foldLeft((0L, 0L)) { case ((a, b), (k, t)) => (a + k, b + t) }
+    val rate = kept.toDouble / total
+    assert(rate > 0.08 && rate < 0.35, s"overall sample rate $rate implausible for 20%")
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

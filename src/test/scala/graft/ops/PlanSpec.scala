@@ -108,4 +108,12 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Relational.q9SemiAnti)
     assert(p.contains("LeftSemi") || p.contains("LeftAnti"), s"no semi/anti in:\n$p")
   }
+
+  test("q31: salted join is a shuffle join on (key, salt), not a broadcast") {
+    val p = plan(Relational.q31SaltedJoin)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"salt pattern lost its shuffle join in:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"dim was broadcast — the salt demo is vacuous in:\n$p")
+  }
 }
