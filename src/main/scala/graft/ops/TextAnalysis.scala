@@ -401,7 +401,122 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Sparse TF-IDF cosine similarity over an inverted term index — the
+    * IR-style near-match complement to d2's shingle Jaccard. The term
+    * unit is the word TRIGRAM and each doc is represented by its K=5
+    * most distinctive terms (tf/df weight, the [[t8DistinctiveTerms]]
+    * scoring with a deterministic tiebreak). Both choices are what keep
+    * the term-keyed pair join skew-safe: corpus-hot terms are by
+    * construction never distinctive, and the trigram space is vocab³ so
+    * posting lists stay short even on a small-vocabulary corpus
+    * (measured at sf0.1: max posting list 6 with trigrams vs 208 with
+    * bigrams vs ~500 with unigrams — unigrams made the pair join
+    * quadratic and 26s). Weights are quantized to integers
+    * (`floor(1e6·tf/df)`), so dot products and norms are EXACT integer
+    * sums (order-independent, engine-portable); the only floating ops
+    * are the final sqrt/division — each a single correctly-rounded IEEE
+    * op. Shuffles: tf agg, df agg, term-keyed pair join, pair agg — all
+    * equi-keyed with map-side partials.
+    */
+  private val tfidfCache = new SessionCache[String, org.apache.spark.sql.DataFrame](
+    d => { d.unpersist(false); () })
+
+  /** The per-doc top-5 distinctive-trigram index (doc_id, tk, w):
+    * persisted once per (session, dataset) — the t11 plan references it
+    * four times (both pair-join sides + both norm joins) and an
+    * unpersisted subtree re-runs tokenize/tf/df/window per reference.
+    * Terms travel as md5-derived 60-bit keys from the first shuffle on:
+    * narrow rows, and the oracle computes the IDENTICAL key, so a
+    * (cosmically unlikely) 60-bit collision merges the same two terms in
+    * both engines — parity is unconditional. The tf frame is scratch
+    * (persisted during the build, released after).
+    */
+  private def tfidfTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+      trigrams: Column): org.apache.spark.sql.DataFrame =
+    tfidfCache.getOrElseUpdate(spark, dir) {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(spark, dir)
+        .select(col("doc_id"), words.as("w"))
+        .select(col("doc_id"), explode(trigrams).as("term"))
+        .select(col("doc_id"), graft.functions.DetHash.md5Long60(col("term")).as("tk"))
+      val tf = tok.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      tf.count() // df AND the weight join both read it — materialize once
+      val df = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+      val score = col("tf").cast("double") / col("df")
+      val w = Window.partitionBy(col("doc_id")).orderBy(score.desc, col("tk"))
+      val topk = tf.join(df, "tk")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("doc_id"), col("tk"),
+          floor(lit(1000000.0) * score).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      topk.count()
+      tf.unpersist(false)
+      topk
+    }
+
+  val t11TfidfCosine: Q = Q.sql(
+    "t11_tfidf_cosine",
+    "Top-5-distinctive-trigram TF-IDF cosine >= 0.5 pairs (integer-exact sparse dot products).",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tok AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(
+      |      UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)])
+      |    ), 1, 15))::BIGINT AS tk
+      |  FROM w),
+      |tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT tk, COUNT(*) AS df FROM tf GROUP BY 1),
+      |wq AS (
+      |  SELECT t.doc_id, t.tk,
+      |         CAST(FLOOR(1000000.0 * (CAST(t.tf AS DOUBLE) / d.df)) AS BIGINT) AS w,
+      |         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+      |           ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.tk) AS rnk
+      |  FROM tf t JOIN df d ON t.tk = d.tk),
+      |topk AS (SELECT doc_id, tk, w FROM wq WHERE rnk <= 5),
+      |nrm AS (SELECT doc_id, SUM(w * w) AS n2 FROM topk GROUP BY 1),
+      |dot AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dp
+      |  FROM topk a JOIN topk b ON a.tk = b.tk AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d.doc_a, d.doc_b,
+      |  ROUND(CAST(d.dp AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+      |FROM dot d
+      |JOIN nrm na ON d.doc_a = na.doc_id
+      |JOIN nrm nb ON d.doc_b = nb.doc_id
+      |WHERE CAST(d.dp AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // non-distinct trigram stream (TF needs multiplicity, so this is the
+    // raw 3-gram window, not the distinct-shingle kernel). The words
+    // array MUST be materialized as its own column first: element_at on
+    // the raw split() expression inside the lambda re-runs the split per
+    // trigram element (measured 6s for 260k trigrams at sf0.1 vs ~1s
+    // materialized). Guard short docs — sequence(1, 0) counts DOWN.
+    val wcol = col("w")
+    val trigrams = when(size(wcol) >= 3,
+      transform(sequence(lit(1), size(wcol) - 2), i =>
+        concat_ws(" ", element_at(wcol, i), element_at(wcol, i + 1),
+          element_at(wcol, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val topk = tfidfTopK(spark, dir, trigrams)
+    val nrm = topk.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("n2"))
+    val dot = topk.as("a").join(topk.as("b"),
+        col("a.tk") === col("b.tk") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dp"))
+    val cos = col("dp").cast("double") /
+      (sqrt(col("na.n2").cast("double")) * sqrt(col("nb.n2").cast("double")))
+    dot
+      .join(nrm.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(nrm.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .filter(cos >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(cos, 6).as("cosine"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3TokenStats, t4Fingerprint,
     t5BpeTokens, t6HeavyHitters, t7Normalize, t8DistinctiveTerms,
-    t9Repetition, t10Commonness)
+    t9Repetition, t10Commonness, t11TfidfCosine)
 }

@@ -321,6 +321,16 @@ class OpsSpec extends AnyFunSuite {
     assert(rate > 0.08 && rate < 0.35, s"overall sample rate $rate implausible for 20%")
   }
 
+  test("t11: pairs are ordered, cosine in [0.5, 1], and no self-pairs") {
+    val rows = TextAnalysis.t11TfidfCosine.run(spark, sf)
+      .select("doc_a", "doc_b", "cosine").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not ordered doc_a < doc_b")
+      val c = r.getDouble(2)
+      assert(c >= 0.5 - 1e-9 && c <= 1.0 + 1e-9, s"cosine $c out of range")
+    }
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
