@@ -109,5 +109,51 @@ object EtlQueries {
       .orderBy("attempt_id", "action")
   }
 
-  val all: Seq[Q] = Seq(e1ItemPipeline, e2AssessmentPipeline)
+  /** One staged JSONL copy of `documents` per (JVM, dataset). */
+  private val jsonlDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def jsonlPath(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    jsonlDirs.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      graft.Tables.documents(spark, dir)
+        .write.mode("overwrite").json(out)
+      out
+    })
+
+  /** JSON-lines source parity — JSONL is the interchange format LLM
+    * corpora actually ship in, so the engine's JSON write→read loop must
+    * be lossless. The query writes `documents` as JSONL (once per
+    * session), reads it back through the JSON SOURCE with an explicit
+    * schema (schema inference is a second scan — never at 100 TB), and
+    * aggregates per source; the oracle computes the same aggregates from
+    * the PARQUET table, so any fidelity loss in the engine's JSON
+    * escaping/parsing (unicode, quotes, large ints) breaks the hash. The
+    * md5-derived text checksum pins byte-exact text survival, not just
+    * counts.
+    */
+  val e3JsonlRoundtrip: Q = Q.sql(
+    "e3_jsonl_roundtrip",
+    "documents -> JSONL sink -> JSON source -> per-source aggregates vs parquet-derived oracle.",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+      |  CAST(SUM(('0x' || substring(md5(text), 1, 7))::BIGINT) AS BIGINT) AS text_checksum
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    spark.read.schema(schema).json(jsonlPath(spark, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        sum(graft.functions.DetHash.md5Long28(col("text"))).as("text_checksum"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(e1ItemPipeline, e2AssessmentPipeline, e3JsonlRoundtrip)
 }

@@ -942,10 +942,48 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** The full ranking-function family in one window pass — rank,
+    * dense_rank, percent_rank, cume_dist share an order-by-value window
+    * (ties collapse identically in any engine: every ranking value is a
+    * pure function of the tie-group's position counts), while ntile
+    * needs a TOTAL order (its value depends on row position, not rank)
+    * so its window adds the event_id tiebreak. percent_rank/cume_dist
+    * are exact rationals of integer counts; rounded only at emission.
+    * One shuffle on event_type; both windows share the partition sort.
+    */
+  val q33RankFamily: Q = Q.sql(
+    "q33_rank_family",
+    "rank / dense_rank / percent_rank / cume_dist / ntile(4) per event_type by value.",
+    """SELECT event_type, event_id, CAST(value AS DOUBLE) AS value,
+      |  RANK()         OVER wv AS rnk,
+      |  DENSE_RANK()   OVER wv AS drnk,
+      |  ROUND(PERCENT_RANK() OVER wv, 6) AS prnk,
+      |  ROUND(CUME_DIST()    OVER wv, 6) AS cdist,
+      |  NTILE(4) OVER (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE), event_id) AS tile
+      |FROM events
+      |WINDOW wv AS (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE))
+      |ORDER BY event_type, value, event_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val wt = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        col("value").cast("double").as("value"))
+      .select(col("event_type"), col("event_id"), col("value"),
+        rank().over(wv).cast("long").as("rnk"),
+        dense_rank().over(wv).cast("long").as("drnk"),
+        round(percent_rank().over(wv), 6).as("prnk"),
+        round(cume_dist().over(wv), 6).as("cdist"),
+        ntile(4).over(wt).cast("long").as("tile"))
+      .orderBy("event_type", "value", "event_id")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
     q18AsofJoin, q19Percentile, q20Cube, q21Pivot, q22RangeJoin, q23StringAgg,
     q24JsonFuncs, q25ApproxQuantiles, q26MovingWindow, q27Lateral,
-    q28GroupingSets, q29GapFill, q30Unpivot, q31SaltedJoin, q32LatestPerKey)
+    q28GroupingSets, q29GapFill, q30Unpivot, q31SaltedJoin, q32LatestPerKey,
+    q33RankFamily)
 }

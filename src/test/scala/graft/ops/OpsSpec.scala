@@ -331,6 +331,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q33: rank reaches each group's size only with ties absent; tiles in 1..4") {
+    val rows = Relational.q33RankFamily.run(spark, sf)
+      .select("event_type", "rnk", "cdist", "tile").collect()
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      assert(rs.map(_.getLong(3)).forall(t => t >= 1 && t <= 4), s"$et tile out of 1..4")
+      // cume_dist of the maximum value is exactly 1.0 in every engine
+      assert(rs.map(_.getDouble(2)).max === 1.0, s"$et cume_dist never reaches 1")
+    }
+  }
+
+  test("e3: JSONL roundtrip aggregates equal the parquet-derived ones") {
+    import graft.functions.DetHash
+    val fromParquet = graft.Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(DetHash.md5Long28(col("text"))).as("text_checksum"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fromJson = EtlQueries.e3JsonlRoundtrip.run(spark, sf)
+      .select("source", "n_docs", "text_checksum")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fromJson === fromParquet, "JSONL roundtrip lost or mangled documents")
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
