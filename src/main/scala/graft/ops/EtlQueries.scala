@@ -118,6 +118,11 @@ object EtlQueries {
       val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
       graft.Tables.documents(spark, dir)
         .write.mode("overwrite").json(out)
+      // temp hygiene: deleteOnExit runs in reverse registration order and
+      // only removes empty dirs — dir first, files second
+      val root = new java.io.File(out)
+      root.deleteOnExit()
+      Option(root.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
       out
     })
 
