@@ -160,5 +160,43 @@ object EtlQueries {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(e1ItemPipeline, e2AssessmentPipeline, e3JsonlRoundtrip)
+  private val orcDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def orcPath(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    orcDirs.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      graft.Tables.documents(spark, dir)
+        .write.mode("overwrite").orc(out)
+      val root = new java.io.File(out)
+      root.deleteOnExit()
+      Option(root.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
+      out
+    })
+
+  /** ORC source parity — same contract as [[e3JsonlRoundtrip]] but
+    * through the columnar ORC sink→source loop (type mapping, string
+    * encoding, null handling differ from both parquet and JSON). The
+    * oracle reads the PARQUET table, so the checksum catches any
+    * fidelity loss in the engine's ORC path.
+    */
+  val e4OrcRoundtrip: Q = Q.sql(
+    "e4_orc_roundtrip",
+    "documents -> ORC sink -> ORC source -> per-source aggregates vs parquet-derived oracle.",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+      |  CAST(SUM(('0x' || substring(md5(text), 1, 7))::BIGINT) AS BIGINT) AS text_checksum
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    spark.read.orc(orcPath(spark, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        sum(graft.functions.DetHash.md5Long28(col("text"))).as("text_checksum"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(e1ItemPipeline, e2AssessmentPipeline, e3JsonlRoundtrip,
+    e4OrcRoundtrip)
 }

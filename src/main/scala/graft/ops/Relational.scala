@@ -979,11 +979,37 @@ object Relational {
       .orderBy("event_type", "value", "event_id")
   }
 
+  /** CORRELATED scalar subquery through the real SQL surface — unlike
+    * [[q13ScalarSubquery]] (hand-decorrelated join), this hands Catalyst
+    * the correlated form and exercises its decorrelation rewrite
+    * (subquery → aggregate + join on the correlation key). The
+    * threshold is an exact decimal sum divided once — a boundary row
+    * would otherwise flip membership between engines. Direct-path SQL
+    * (q27/q28 pattern) keeps the catalog untouched.
+    */
+  val q34CorrelatedSubquery: Q = Q.sql(
+    "q34_correlated_subquery",
+    "Orders above 2x their customer's average price (correlated scalar subquery, decorrelated by Catalyst).",
+    """SELECT o.o_orderkey, o.o_custkey, CAST(o.o_totalprice AS DOUBLE) AS totalprice
+      |FROM orders o
+      |WHERE CAST(o.o_totalprice AS DOUBLE) >
+      |  2.0 * (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    spark.sql(
+      s"""SELECT o.o_orderkey, o.o_custkey, CAST(o.o_totalprice AS DOUBLE) AS totalprice
+         |FROM parquet.`$dir/orders.parquet` o
+         |WHERE CAST(o.o_totalprice AS DOUBLE) >
+         |  2.0 * (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         |         FROM parquet.`$dir/orders.parquet` o2 WHERE o2.o_custkey = o.o_custkey)
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
     q18AsofJoin, q19Percentile, q20Cube, q21Pivot, q22RangeJoin, q23StringAgg,
     q24JsonFuncs, q25ApproxQuantiles, q26MovingWindow, q27Lateral,
     q28GroupingSets, q29GapFill, q30Unpivot, q31SaltedJoin, q32LatestPerKey,
-    q33RankFamily)
+    q33RankFamily, q34CorrelatedSubquery)
 }
