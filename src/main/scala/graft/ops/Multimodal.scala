@@ -172,6 +172,47 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Per-media-type rollup of DECODED features through the typed path:
+    * `assets → mapPartitions decode (stub) → groupByKey(mediaType) →
+    * custom typed Aggregator` — the object-serialized Dataset surface
+    * under the oracle gate (m1–m3 gate the expression path; this gates
+    * `KeyValueGroupedDataset.agg` with mergeable partial state). The
+    * oracle re-derives each asset's mean byte value from the text bytes
+    * via the m2 histogram formulation, so the decode stub's arithmetic
+    * is pinned end-to-end. Mean-of-means uses the s4 fixed-point
+    * quantization — exact integer partials, one final division.
+    */
+  val m4TypedRollup: Q = Q.sql(
+    "m4_typed_feature_rollup",
+    "Typed-Aggregator rollup of decoded features per media type (asset count, bytes, mean byte).",
+    """WITH b AS (
+      |  SELECT doc_id, UNNEST(regexp_extract_all(hex(encode(text)), '[0-9A-F]{2}')) AS byte
+      |  FROM documents),
+      |per AS (SELECT doc_id, SUM(('0x' || byte)::BIGINT) AS bsum, COUNT(*) AS n
+      |        FROM b GROUP BY 1),
+      |feat AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+      |         WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    octet_length(encode(d.text)) AS n_bytes,
+      |    CASE WHEN p.n IS NULL OR p.n = 0 THEN 0.0
+      |         ELSE CAST(p.bsum AS DOUBLE) / p.n END AS mean_byte
+      |  FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id)
+      |SELECT media_type, COUNT(*) AS n_assets,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+      |  CAST(SUM(CAST(FLOOR(mean_byte * 10000000.0) AS BIGINT)) AS DOUBLE)
+      |    / 10000000.0 / COUNT(*) AS mean_mean_byte
+      |FROM feat GROUP BY 1 ORDER BY media_type""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    decodeStub(assets(spark, dir))
+      .groupByKey(_.mediaType)
+      .agg(graft.functions.FeatureRollup().toColumn.name("r"))
+      .select(col("key").as("media_type"),
+        col("r._1").as("n_assets"), col("r._2").as("sum_bytes"),
+        col("r._3").as("mean_mean_byte"))
+      .orderBy("media_type")
+  }
+
   /** Frame sampling under the gate: video assets explode to every 4th
     * frame index — the fan-out a real decoder feeds downstream feature
     * extraction (the decode itself is the honest stub in
@@ -195,5 +236,5 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(m1Meta, m2PayloadStats, m3FrameSample)
+  val all: Seq[Q] = Seq(m1Meta, m2PayloadStats, m3FrameSample, m4TypedRollup)
 }

@@ -354,6 +354,17 @@ class OpsSpec extends AnyFunSuite {
     assert(fromJson === fromParquet, "JSONL roundtrip lost or mangled documents")
   }
 
+  test("m4: typed rollup counts cover every document exactly once") {
+    val rows = Multimodal.m4TypedRollup.run(spark, sf)
+      .select("n_assets", "mean_mean_byte").collect()
+    val total = rows.map(_.getLong(0)).sum
+    assert(total === graft.Tables.documents(spark, sf).count(),
+      "rollup lost or duplicated assets")
+    // text payloads are printable ASCII, so every mean byte sits in (32, 127)
+    rows.foreach(r => assert(r.getDouble(1) > 32.0 && r.getDouble(1) < 127.0,
+      s"implausible mean byte ${r.getDouble(1)}"))
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
