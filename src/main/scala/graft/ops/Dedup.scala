@@ -113,12 +113,19 @@ object Dedup {
         explode(col("s")).as("s"))
       .select(col("doc_id"), col("nsh"), xxhash64(col("s")).as("sh"))
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    // prefix selection by aggregate + per-row array sort, not a window:
+    // a window must sort every (doc, shingle) row of a partition; the
+    // aggregate hash-groups and then sorts each doc's own ~n-element
+    // array — measured faster at sf0.1 and no giant partition sorts at
+    // scale. (df, sh) pairs are unique per doc, so array_sort's order is
+    // total and equals the window's (df asc, hash asc) canonical order.
     ex.join(dfreq, "sh")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("nsh") - ceil(col("nsh") * t) + 1)
-      .select(col("doc_id"), col("sh"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("arr"),
+        first(col("nsh")).as("nsh"))
+      .select(col("doc_id"), explode(slice(col("arr"), lit(1),
+        (col("nsh") - ceil(col("nsh") * t) + 1).cast("int"))).as("e"))
+      .select(col("doc_id"), col("e.sh").as("sh"))
   }
 
   private def prefixSelfJoin(prefixes: DataFrame): DataFrame =

@@ -47,6 +47,15 @@ object PerfProbe {
       .select(col("doc_id"), col("sh"))
       .persist()
     time("prefix-index+persist")(prefixes.count())
+    // variant: aggregate + per-row array sort instead of the window
+    val aggPrefixes = ex.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("arr"),
+        first(col("nsh")).as("nsh"))
+      .select(col("doc_id"), explode(slice(col("arr"), lit(1),
+        (col("nsh") - ceil(col("nsh") * t) + 1).cast("int"))).as("e"))
+      .select(col("doc_id"), col("e.sh").as("sh"))
+    time("agg-prefix-index")(aggPrefixes.count())
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
