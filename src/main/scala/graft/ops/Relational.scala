@@ -950,6 +950,15 @@ object Relational {
     * so its window adds the event_id tiebreak. percent_rank/cume_dist
     * are exact rationals of integer counts; rounded only at emission.
     * One shuffle on event_type; both windows share the partition sort.
+    *
+    * Scale honesty: event_type is LOW-cardinality (~5 keys), so at
+    * 100 TB each key's whole partition funnels through one task — this
+    * query pins the five ranking functions' SEMANTICS; a production
+    * rank over a low-cardinality key gets the c6 two-phase treatment
+    * (range-partition on the order key, local ranks, cumulative
+    * offsets), which composes with every function here except ntile
+    * (whose tile boundaries need the global counts — one extra
+    * broadcast of per-partition totals).
     */
   val q33RankFamily: Q = Q.sql(
     "q33_rank_family",

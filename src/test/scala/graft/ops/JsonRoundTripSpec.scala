@@ -59,4 +59,36 @@ class JsonRoundTripSpec extends AnyFunSuite {
       s"filter not pushed to ORC scan:\n$plan")
     } finally TestSpark.deleteRecursively(dir)
   }
+
+  test("corrupt JSONL lines quarantine into _corrupt_record, valid rows survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badjson").toString
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "part-00000.json"),
+        """{"doc_id": 1, "text": "ok one"}
+          |{"doc_id": 2 "text": "missing comma"}
+          |not json at all
+          |{"doc_id": 3, "text": "ok three"}
+          |""".stripMargin)
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("_corrupt_record", StringType)))
+      // PERMISSIVE (default): malformed lines land whole in the corrupt
+      // column with null data fields — the ingest contract a 100 TB
+      // pipeline needs (quarantine, never abort, never silently drop)
+      val rows = spark.read.schema(schema).json(dir)
+        .select(col("doc_id"), col("_corrupt_record").isNotNull.as("bad"))
+        .collect()
+      assert(rows.length === 4, s"expected 4 rows, got ${rows.length}")
+      assert(rows.count(_.getBoolean(1)) === 2, "exactly the 2 malformed lines quarantine")
+      assert(rows.filter(!_.getBoolean(1)).map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L),
+        "valid rows lost or mangled")
+      // FAILFAST must abort instead — the validation-job mode
+      val strict = spark.read
+        .schema(StructType(schema.dropRight(1)))
+        .option("mode", "FAILFAST").json(dir)
+      intercept[org.apache.spark.SparkException](strict.collect())
+    } finally TestSpark.deleteRecursively(dir)
+  }
 }
