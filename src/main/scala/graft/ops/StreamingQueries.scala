@@ -69,22 +69,34 @@ object StreamingQueries {
 
   /** The test tables are single parquet FILES; the file streaming source
     * requires a DIRECTORY (at scale an events table is one anyway). Stage
-    * the file into a per-(dataset) temp dir once per JVM.
+    * the table as TWO ts-range-partitioned files once per (JVM, dataset):
+    * with `maxFilesPerTrigger=1` in [[graft.streaming.EventsStream.read]],
+    * AvailableNow then runs two REAL micro-batches in event-time order,
+    * so aggregation/session/dedup state genuinely carries across batch
+    * boundaries and the watermark advances between batches — a much
+    * stronger batch-equivalence claim than one batch of everything.
+    * In-order arrival means no row is ever behind the 10-minute
+    * watermark, so nothing is late-dropped and the drained sink still
+    * equals the batch oracle exactly. (Equal mod-times make the file
+    * source order by path; part-0000k holds ascending ts range k. Two
+    * batches, not more: each extra micro-batch re-pays the state-store
+    * file IO per partition per operator — one boundary crossing proves
+    * the property at half the gate cost of three.)
     */
   private val stagedDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def eventsPath(dir: String): String =
+  private def eventsPath(spark: SparkSession, dir: String): String =
     stagedDirs.getOrElseUpdate(dir, {
-      val src = java.nio.file.Paths.get(s"${dir.stripSuffix("/")}/events.parquet")
-      val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
-      // deleteOnExit runs in reverse registration order, and only deletes
-      // empty directories — register the dir first, the file second
-      d.toFile.deleteOnExit()
-      val f = d.resolve("part-00000.parquet")
-      java.nio.file.Files.copy(src, f)
-      f.toFile.deleteOnExit()
-      d.toString
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val out = java.nio.file.Files.createTempDirectory("graft_stream_events").toString
+      spark.read.parquet(s"${dir.stripSuffix("/")}/events.parquet")
+        .repartitionByRange(2, col("ts"))
+        .write.mode("overwrite").parquet(out)
+      val root = new java.io.File(out)
+      root.deleteOnExit()
+      Option(root.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
+      out
     })
 
   /** Tumbling 1h windowed aggregation on the streaming engine, Complete
@@ -100,7 +112,7 @@ object StreamingQueries {
       |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (spark, dir) =>
     val stream = EventsStream.tumblingCounts(
-      EventsStream.read(spark, eventsPath(dir)))
+      EventsStream.read(spark, eventsPath(spark, dir)))
     runStream(spark, "w3_stream_tumbling", stream, OutputMode.Complete())
       .orderBy("window_start", "event_type")
   }
@@ -128,7 +140,7 @@ object StreamingQueries {
       |FROM numbered GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
     val stream = EventsStream.sessionCounts(
-      EventsStream.read(spark, eventsPath(dir)))
+      EventsStream.read(spark, eventsPath(spark, dir)))
     runStream(spark, "w4_stream_session", stream, OutputMode.Complete())
       .orderBy("user_id", "session_start")
   }
@@ -144,8 +156,8 @@ object StreamingQueries {
     "Streaming dropDuplicatesWithinWatermark over a self-unioned (fully duplicated) event stream.",
     """SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
       |FROM events ORDER BY event_id""".stripMargin) { (spark, dir) =>
-    val once = EventsStream.read(spark, eventsPath(dir))
-    val twice = once.union(EventsStream.read(spark, eventsPath(dir)))
+    val once = EventsStream.read(spark, eventsPath(spark, dir))
+    val twice = once.union(EventsStream.read(spark, eventsPath(spark, dir)))
     val stream = EventsStream.dedupedEvents(twice)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value").cast("double").as("value"))
@@ -204,12 +216,12 @@ object StreamingQueries {
       | AND p.event_type = 'purchase' AND c.event_type = 'click'
       | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
       |ORDER BY purchase_id, click_ts""".stripMargin) { (spark, dir) =>
-    val purchases = EventsStream.read(spark, eventsPath(dir))
+    val purchases = EventsStream.read(spark, eventsPath(spark, dir))
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
       .withWatermark("p_ts", "10 minutes")
-    val clicks = EventsStream.read(spark, eventsPath(dir))
+    val clicks = EventsStream.read(spark, eventsPath(spark, dir))
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "10 minutes")

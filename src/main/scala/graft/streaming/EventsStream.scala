@@ -32,11 +32,17 @@ object EventsStream {
   /** state-store record for statefulSessions (public: encoder codegen needs the ctor) */
   final case class SessionState(start: Long, last: Long, n: Long)
 
-  /** Streaming source over a parquet directory of events files. */
+  /** Streaming source over a parquet directory of events files. One file
+    * per micro-batch: the staged directory is ts-range-partitioned (see
+    * `ops.StreamingQueries.eventsPath`), so batches arrive in event-time
+    * order and state/watermark progression across batches is exercised
+    * for real without any late-drop divergence from the batch oracle.
+    */
   def read(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", 1)
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
