@@ -184,4 +184,23 @@ class EventsStreamSpec extends AnyFunSuite {
       assert(sNull.count() > 0, "no watermark-cleared non-match was ever emitted")
     }
   }
+
+  test("maxFilesPerTrigger really yields one micro-batch per staged file") {
+    // guards the gate's cross-batch-state claim: if the source option or
+    // the range-partitioned staging regresses, everything still PASSES
+    // (one batch sees all data) but the claim silently weakens
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = java.nio.file.Files.createTempDirectory("events-two-files").toString
+    spark.read.parquet(s"$sf/events.parquet")
+      .repartitionByRange(2, col("ts"))
+      .write.mode("overwrite").parquet(d)
+    val q = EventsStream.tumblingCounts(EventsStream.read(spark, d))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("two_batch_probe").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    spark.catalog.dropTempView("two_batch_probe")
+    graft.TestSpark.deleteRecursively(d)
+    assert(batches >= 2, s"expected >=2 data micro-batches, saw $batches")
+  }
 }
