@@ -21,7 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
     GraftExpressions.builders.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+        // the full 11-arg ctor is the only non-deprecated one that
+        // carries usage; empty strings are the documented "absent" form
+        new ExpressionInfo(classOf[GraftExtensions].getName, "", name, usage,
+          "", "", "", "", "", "", "built-in"),
         builder))
     }
 }

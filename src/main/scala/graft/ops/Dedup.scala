@@ -88,8 +88,10 @@ object Dedup {
     }
 
   /** Candidate pairs by prefix filtering (AllPairs/PPJoin): with a global
-    * canonical shingle order (ascending document frequency, then shingle),
-    * two sets with jaccard ≥ t must share an element inside each other's
+    * canonical shingle order (ascending document frequency, then hash —
+    * any consistent total order preserves the proof; df-ascending
+    * minimizes candidates), two sets with jaccard ≥ t must share an
+    * element inside each other's
     * first `n - ceil(t·n) + 1` shingles — because j ≥ t ⇒
     * |A∩B| ≥ t·|A∪B| ≥ ceil(t·max(|A|,|B|)), and missing the whole prefix
     * would cap the intersection below that. So indexing ONLY the prefixes
