@@ -72,5 +72,64 @@ object EventWindows {
       .orderBy("user_id", "session_start")
   }
 
-  val all: Seq[Q] = Seq(w1Tumbling, w2Session)
+  /** typed row for the debounce iterator (µs epoch keeps the arithmetic
+    * exact and engine-portable; see Tables.events ns→µs truncation)
+    */
+  final case class DebEv(user_id: Long, event_id: Long, tsUs: Long)
+
+  /** Greedy per-user debounce — keep an event only if ≥ 5 minutes have
+    * passed since the last KEPT event (first always kept). This is the
+    * throttle/notification-suppression operator, and it is genuinely
+    * SEQUENTIAL per key: whether a row survives depends on which earlier
+    * rows survived, so no window function expresses it. The Spark shape
+    * is `groupByKey(user).flatMapSortedGroups(ts, event_id)` — the
+    * secondary-sort pattern: one shuffle on the key, the sort rides the
+    * shuffle, and the greedy scan is a per-group O(n) iterator with O(1)
+    * state. At 100 TB this is exactly how it must run (state never
+    * exceeds one timestamp per open group); the oracle walks the same
+    * recurrence with a recursive CTE. Keep-decisions compare µs-exact
+    * timestamps, so ties and boundaries are bit-deterministic.
+    */
+  val w8Debounce: Q = Q.sql(
+    "w8_debounce",
+    "Per-user greedy 5-minute debounce (keep iff >= 5 min since last kept) via flatMapSortedGroups.",
+    """WITH RECURSIVE n AS (
+      |  SELECT user_id, event_id, ts,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |walk(user_id, rn, last_kept, kept) AS (
+      |  SELECT user_id, rn, ts, TRUE FROM n WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.user_id, n.rn,
+      |         CASE WHEN n.ts >= w.last_kept + INTERVAL 5 MINUTE THEN n.ts
+      |              ELSE w.last_kept END,
+      |         n.ts >= w.last_kept + INTERVAL 5 MINUTE
+      |  FROM walk w JOIN n ON n.user_id = w.user_id AND n.rn = w.rn + 1),
+      |kept AS (
+      |  SELECT n.user_id, n.event_id, n.ts
+      |  FROM n JOIN walk w ON n.user_id = w.user_id AND n.rn = w.rn
+      |  WHERE w.kept)
+      |SELECT user_id, event_id, ts FROM kept
+      |ORDER BY user_id, ts, event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val gapUs = 5L * 60 * 1000000L
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsUs"))
+      .as[DebEv]
+      .groupByKey(_.user_id)
+      .flatMapSortedGroups(col("tsUs"), col("event_id")) { (_: Long, it: Iterator[DebEv]) =>
+        var last = Long.MinValue
+        it.flatMap { e =>
+          if (last == Long.MinValue || e.tsUs >= last + gapUs) {
+            last = e.tsUs
+            Iterator.single(e)
+          } else Iterator.empty
+        }
+      }
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("tsUs")).as("ts"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  val all: Seq[Q] = Seq(w1Tumbling, w2Session, w8Debounce)
 }

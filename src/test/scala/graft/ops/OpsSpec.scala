@@ -365,6 +365,24 @@ class OpsSpec extends AnyFunSuite {
       s"implausible mean byte ${r.getDouble(1)}"))
   }
 
+  test("w8: kept set equals an independent in-memory greedy debounce") {
+    val kept = EventWindows.w8Debounce.run(spark, sf)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val events = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      var last = Long.MinValue
+      es.sortBy(e => (e._3, e._2)).toSeq.flatMap { case (u, id, us) =>
+        if (last == Long.MinValue || us >= last + 300000000L) { last = us; Some((u, id)) }
+        else None
+      }
+    }.toSet
+    assert(kept === expected, "debounce diverged from the reference greedy scan")
+    assert(kept.size < events.length, "debounce dropped nothing — vacuous data")
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
