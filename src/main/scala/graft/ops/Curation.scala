@@ -292,6 +292,51 @@ object Curation {
       .orderBy("source", "split")
   }
 
+  /** Deterministic mixture resampling — reweight sources toward target
+    * mixture proportions, UP or down: each doc is emitted
+    * `floor(w) + (hash-fraction < frac(w))` times, so a source with
+    * w = 2.0 duplicates every doc and w = 0.5 keeps a deterministic
+    * half. This is the mixture-weights step of training-data assembly
+    * (p7 only drops; upsampling needs row multiplication). Map-only —
+    * the repeat count is a pure function of (source, doc_id) and the
+    * explode multiplies rows on the scan with no shuffle; the weights
+    * here derive from the source's numeric suffix so both engines
+    * compute them from data alone.
+    */
+  val p8MixtureResample: Q = Q.sql(
+    "p8_mixture_resample",
+    "Deterministic mixture reweighting: floor(w) copies + hash-fractional extra per doc.",
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    0.5 + (CAST(regexp_extract(source, '[0-9]+') AS INT) % 4) * 0.5 AS wgt
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, wgt,
+      |    CAST(FLOOR(wgt) AS BIGINT)
+      |      + CASE WHEN ('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000
+      |                  < CAST((wgt - FLOOR(wgt)) * 1000 AS BIGINT)
+      |             THEN 1 ELSE 0 END AS copies
+      |  FROM w)
+      |SELECT doc_id, source, CAST(wgt AS DOUBLE) AS weight, u.copy_id
+      |FROM c, UNNEST(range(c.copies)) AS u(copy_id)
+      |ORDER BY doc_id, copy_id""".stripMargin) { (spark, dir) =>
+    val wgt = lit(0.5) +
+      (regexp_extract(col("source"), "[0-9]+", 0).cast("int") % 4) * 0.5
+    val frac = pmod(graft.functions.DetHash.md5Long28(
+      concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), wgt.as("wgt"))
+      .withColumn("copies",
+        floor(col("wgt")) +
+          when(frac < ((col("wgt") - floor(col("wgt"))) * 1000).cast("long"), 1L)
+            .otherwise(0L))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("source"), col("wgt").cast("double").as("weight"),
+        explode(sequence(lit(0L), col("copies") - 1)).as("copy_id"))
+      .orderBy("doc_id", "copy_id")
+  }
+
   val all: Seq[Q] = Seq(p1Curation, p2HashSplit, p3IncrementalDedup,
-    p4Decontamination, p5DomainQuota, p6SequencePack, p7StratifiedSample)
+    p4Decontamination, p5DomainQuota, p6SequencePack, p7StratifiedSample,
+    p8MixtureResample)
 }

@@ -481,10 +481,13 @@ object Dedup {
     * The DuckDB oracle computes components independently via a recursive
     * transitive closure and must agree bit-for-bit.
     */
-  val d6DedupClusters: Q = Q.sql(
-    "d6_dedup_clusters",
-    "Connected-component dup clusters over jaccard >= 0.8 pairs; min doc_id is canonical.",
-    s"""WITH RECURSIVE $shinglesSqlCte,
+  /** The d6 cluster derivation as a reusable CTE chain (shingles →
+    * exact-jaccard pairs → recursive connected components → labels +
+    * sizes) — d6 emits the clusters, d7 applies them to the corpus; ONE
+    * definition so the two oracles cannot drift.
+    */
+  private val clusterCteSql: String =
+    s"""$shinglesSqlCte,
        |cnt AS (SELECT doc_id, len(s) AS nsh FROM sh WHERE len(s) > 0),
        |ex AS (SELECT doc_id, UNNEST(s) AS s FROM sh WHERE len(s) > 0),
        |common AS (
@@ -504,7 +507,12 @@ object Dedup {
        |  UNION
        |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc),
        |lab AS (SELECT doc, MIN(root) AS cluster_id FROM reach GROUP BY doc),
-       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)""".stripMargin
+
+  val d6DedupClusters: Q = Q.sql(
+    "d6_dedup_clusters",
+    "Connected-component dup clusters over jaccard >= 0.8 pairs; min doc_id is canonical.",
+    s"""WITH RECURSIVE $clusterCteSql
        |SELECT l.doc AS doc_id, l.cluster_id, s.cluster_size,
        |       l.doc = l.cluster_id AS is_canonical
        |FROM lab l JOIN sz s USING (cluster_id) ORDER BY doc_id""".stripMargin) { (spark, dir) =>
@@ -566,6 +574,38 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Dedup APPLY — the step that turns d6's cluster table into the
+    * deliverable: the retained corpus (every unclustered doc + each
+    * cluster's canonical minimum), with the number of near-dups each
+    * kept doc absorbed. One anti-join shape: documents LEFT JOIN labels,
+    * keep rows that are unlabeled or canonical — at 100 TB the labels
+    * side is the (much smaller) cluster table, broadcast or
+    * shuffle-joined on doc_id, and the output IS the next pipeline
+    * stage's input corpus.
+    */
+  val d7DedupApply: Q = Q.sql(
+    "d7_dedup_apply",
+    "Retained corpus after cluster dedup: unclustered + canonical docs, with absorbed-dup counts.",
+    s"""WITH RECURSIVE $clusterCteSql
+       |SELECT d.doc_id, d.source, d.n_chars,
+       |  COALESCE(s.cluster_size - 1, 0) AS n_removed
+       |FROM documents d
+       |LEFT JOIN lab l ON d.doc_id = l.doc
+       |LEFT JOIN sz s ON l.cluster_id = s.cluster_id AND l.doc = l.cluster_id
+       |WHERE l.doc IS NULL OR l.doc = l.cluster_id
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val clusters = d6DedupClusters.run(spark, dir)
+      .select(col("doc_id"), col("cluster_size"), col("is_canonical"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(clusters, Seq("doc_id"), "left")
+      .filter(col("is_canonical").isNull || col("is_canonical"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        when(col("is_canonical"), col("cluster_size") - 1)
+          .otherwise(lit(0L)).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
-    d5EmbeddingCosine, d6DedupClusters)
+    d5EmbeddingCosine, d6DedupClusters, d7DedupApply)
 }

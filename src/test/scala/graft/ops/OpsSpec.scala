@@ -383,6 +383,33 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.size < events.length, "debounce dropped nothing — vacuous data")
   }
 
+  test("d7: kept docs + absorbed dups account for the whole corpus") {
+    val rows = Dedup.d7DedupApply.run(spark, sf)
+      .select("n_removed").collect().map(_.getLong(0))
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.length + rows.sum === total,
+      s"${rows.length} kept + ${rows.sum} removed != $total docs")
+  }
+
+  test("p8: copy counts bracket the weight and totals track it") {
+    val rows = Curation.p8MixtureResample.run(spark, sf)
+      .groupBy("doc_id").agg(count(lit(1)).as("copies"),
+        first(col("weight")).as("w"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    rows.foreach { case (copies, w) =>
+      assert(copies === math.floor(w).toLong || copies === math.floor(w).toLong + 1,
+        s"copies $copies outside floor/ceil of weight $w")
+    }
+    // docs with fractional weight 0 must appear exactly floor(w) times;
+    // the emitted total should track the expected weight mass loosely
+    val emitted = rows.map(_._1).sum.toDouble
+    val expected = Curation.p8MixtureResample.run(spark, sf)
+      .select("doc_id", "weight").distinct()
+      .agg(sum(col("weight"))).collect()(0).getDouble(0)
+    assert(math.abs(emitted - expected) / expected < 0.35,
+      s"emitted $emitted far from weight mass $expected")
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
