@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream the forked JVM's stdout through unprefixed: sbt's default logger
+// prepends "[info] " to every line, which breaks machine parsing of the
+// Bench JSON metric line (BENCH_r03.json "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the bench persists several shared index frames
+  // (shingles, signatures, normed vectors) across 88 queries; at 8g the
+  // storage region evicts under concurrent query pressure and recompute
+  // cascades — the machine has 128 GiB, so headroom is free locally.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
