@@ -203,22 +203,19 @@ object Dedup {
     pairCache.getOrElseUpdate(spark, (dir, t)) {
       val docs = shingledDocs(spark, dir)
       // materialize the prefix index ONCE before the self-join — unpersisted,
-      // Spark recomputes the explode→df-join→window subtree for both join
-      // sides (this was the d2 bench regression in round 2)
+      // Spark recomputes the explode→df-join→sort subtree for both join
+      // sides (this was the d2 bench regression in round 2). No eager
+      // count(): cached-block locking already computes each partition
+      // exactly once when the self-join's two branches race, and the
+      // barrier pass was pure extra wall-clock. cand needs no persist at
+      // all — it is referenced once, as join 1's broadcast probe.
       val idx = prefixIndex(docs, t)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      idx.count()
-      // candidates persist too: jaccardVerify references them as both the
-      // probe of join 1 and (via the joined result) the stream of join 2,
-      // and recomputing means re-running the prefix self-join
       val cand = prefixSelfJoin(idx)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cand.count()
       val pairs = jaccardVerify(docs, cand, t)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pairs.count() // eager: the pair table is the product; the index is scratch
       idx.unpersist(false)
-      cand.unpersist(false)
       pairs
     }
 
@@ -509,6 +506,23 @@ object Dedup {
        |lab AS (SELECT doc, MIN(root) AS cluster_id FROM reach GROUP BY doc),
        |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)""".stripMargin
 
+  private val clusterCache = new SessionCache[String, DataFrame](df => { df.unpersist(false); () })
+
+  /** The cluster table (doc_id, cluster_id, cluster_size, is_canonical),
+    * one row per clustered doc — computed once per (session, dataset) and
+    * persisted: d6 emits it and d7 joins it against the corpus, and the
+    * label-propagation loop is by far the most expensive part of both.
+    * At 100 TB this is the cluster assignment table a dedup run writes to
+    * storage once and every downstream consumer reads.
+    */
+  private def clusterTable(spark: SparkSession, dir: String): DataFrame =
+    clusterCache.getOrElseUpdate(spark, dir) {
+      val t = computeClusters(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t.count()
+      t
+    }
+
   val d6DedupClusters: Q = Q.sql(
     "d6_dedup_clusters",
     "Connected-component dup clusters over jaccard >= 0.8 pairs; min doc_id is canonical.",
@@ -516,6 +530,10 @@ object Dedup {
        |SELECT l.doc AS doc_id, l.cluster_id, s.cluster_size,
        |       l.doc = l.cluster_id AS is_canonical
        |FROM lab l JOIN sz s USING (cluster_id) ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    clusterTable(spark, dir).orderBy("doc_id")
+  }
+
+  private def computeClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = jaccardPairs(spark, dir, 0.8)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs
@@ -570,7 +588,6 @@ object Dedup {
         .join(broadcast(sz), "label")
         .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("label")).as("is_canonical"))
-        .orderBy("doc_id")
     } finally edges.unpersist()
   }
 
@@ -594,7 +611,7 @@ object Dedup {
        |LEFT JOIN sz s ON l.cluster_id = s.cluster_id AND l.doc = l.cluster_id
        |WHERE l.doc IS NULL OR l.doc = l.cluster_id
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val clusters = d6DedupClusters.run(spark, dir)
+    val clusters = clusterTable(spark, dir)
       .select(col("doc_id"), col("cluster_size"), col("is_canonical"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))

@@ -37,7 +37,8 @@ object StreamingQueries {
     spark.catalog.dropTempView(name)
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)
-    if (saved.toInt > 4) spark.conf.set(key, "4")
+    val target = sys.env.getOrElse("GRAFT_STREAM_PARTITIONS", "4").toInt
+    if (saved.toInt > target) spark.conf.set(key, target.toString)
     try {
       val q = df.writeStream
         .format("memory")

@@ -90,6 +90,45 @@ object PerfProbe {
       ops.Dedup.d2NgramJaccard.run(spark, sf).count())
     time("full-d6 (reuses pairs)")(
       ops.Dedup.d6DedupClusters.run(spark, sf).count())
+
+    // --- t11 stage dissection (mirrors TextAnalysis.tfidfTopK) ---
+    val wcol = col("w")
+    val trigrams = when(size(wcol) >= 3,
+      transform(sequence(lit(1), size(wcol) - 2), i =>
+        concat_ws(" ", element_at(wcol, i), element_at(wcol, i + 1),
+          element_at(wcol, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val tok = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(trigrams).as("term"))
+      .select(col("doc_id"), graft.functions.DetHash.md5Long60(col("term")).as("tk"))
+    time("t11 tok explode+md5")(tok.count())
+    val tf = tok.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf")).persist()
+    time("t11 tf agg+persist")(tf.count())
+    val dfq = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    time("t11 df agg")(dfq.count())
+    val score = col("tf").cast("double") / col("df")
+    val wW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(score.desc, col("tk"))
+    val topk = tf.join(dfq, "tk")
+      .withColumn("rnk", row_number().over(wW))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("tk"), floor(lit(1000000.0) * score).as("w"))
+      .persist()
+    time("t11 topk join+window")(topk.count())
+    val nrm = topk.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("n2"))
+    val dotp = topk.as("a").join(topk.as("b"),
+        col("a.tk") === col("b.tk") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dp"))
+    val cosv = col("dp").cast("double") /
+      (sqrt(col("na.n2").cast("double")) * sqrt(col("nb.n2").cast("double")))
+    val outv = dotp
+      .join(nrm.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(nrm.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .filter(cosv >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(cosv, 6).as("cosine"))
+    time("t11 pair-join+norms")(outv.count())
     spark.stop()
   }
 }
