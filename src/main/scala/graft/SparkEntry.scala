@@ -15,7 +15,7 @@ object SparkEntry {
     ops.Relational.all ++ ops.Caliper.all ++ ops.TextAnalysis.all ++
       ops.Dedup.all ++ ops.Similarity.all ++ ops.EventWindows.all ++
       ops.StreamingQueries.all ++ ops.Curation.all ++ ops.Multimodal.all ++
-      ops.EtlQueries.all
+      ops.EtlQueries.all ++ ops.Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core dataflow end-to-end: event construction →

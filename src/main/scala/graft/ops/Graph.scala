@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-centrality operators over the co-purchase graph — the iterative
+  * half of the dedup family's connected components ([[Dedup.d6DedupClusters]]):
+  * same distributed shape (driver-side control loop, per-round equi-join +
+  * aggregate, `localCheckpoint` lineage truncation), different fixpoint.
+  *
+  * Determinism contract: ranks are FIXED-POINT integers (×1e6) and every
+  * per-iteration op is integer arithmetic (`div`, `*`, `+`) — sums of
+  * integers are order-independent, so Spark's partitioned aggregation and
+  * DuckDB's single-threaded fold produce bit-identical ranks after any
+  * number of iterations. A floating-point PageRank would drift at the
+  * 15th digit between engines purely from reduction order.
+  */
+object Graph {
+
+  private val SCALE = 1000000L
+  private val ITERS = 10
+  /** teleport = floor(0.15 · SCALE); damped share = (85·x) div 100 */
+  private val TELEPORT = 15L * SCALE / 100L
+
+  /** Undirected co-purchase edges: customer c bought from supplier s in
+    * some order. Node ids interleave the two key spaces (customer → 2k,
+    * supplier → 2k+1) so one BIGINT column carries both entity types.
+    */
+  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val eg = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    eg.union(eg.select(col("b").as("a"), col("a").as("b")))
+  }
+
+  /** PageRank with damping 0.85 over the undirected co-purchase graph,
+    * run for a fixed [[ITERS]] power iterations in ×1e6 fixed point:
+    *
+    *   r₀(v)    = SCALE
+    *   rₖ₊₁(v) = TELEPORT + (85 · Σ_{u∈N(v)} (rₖ(u) div deg(u))) div 100
+    *
+    * Undirected edges mean no dangling nodes (every node in the edge list
+    * has out-degree ≥ 1), so no dangling-mass redistribution term is
+    * needed and the per-node update is a pure neighbor aggregate.
+    *
+    * 100 TB shape: edges and (node, deg) are the persisted inputs; each
+    * iteration is one shuffle-join of edges against the current rank
+    * frame plus one aggregate on the destination key — both partition by
+    * node id, both have map-side partials. The driver loop carries only
+    * iteration CONTROL; no row-sized data ever hits the driver. Skewed
+    * hubs (a supplier half the customers bought from) fan their single
+    * rank value out through the join — the aggregate side combines
+    * map-side, so hot destinations cost one reducer each, the classic
+    * Pregel/GraphX PageRank cost model.
+    */
+  val g1PageRank: Q = Q.sql(
+    "g1_pagerank",
+    s"Fixed-point (×1e6) PageRank, damping 0.85, $ITERS iterations, over the customer–supplier co-purchase graph.",
+    {
+      val iters = (0 until ITERS).map { i =>
+        s"""it${i + 1} AS (
+           |  SELECT e.b AS node,
+           |         $TELEPORT + (85 * SUM(r.r // d.deg)) // 100 AS r
+           |  FROM it$i r
+           |  JOIN deg d ON r.node = d.node
+           |  JOIN edges e ON e.a = r.node
+           |  GROUP BY e.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH eg AS (
+         |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT a, b FROM eg UNION ALL SELECT b, a FROM eg),
+         |deg AS (SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY a),
+         |it0 AS (SELECT node, CAST($SCALE AS BIGINT) AS r FROM deg),
+         |$iters
+         |SELECT f.node AS node_id,
+         |       CASE WHEN f.node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+         |       f.node // 2 AS entity_key,
+         |       d.deg, f.r AS rank_fp
+         |FROM it$ITERS f JOIN deg d ON f.node = d.node
+         |ORDER BY node_id""".stripMargin
+    }) { (spark, dir) =>
+    val edges = copurchaseEdges(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var deg: DataFrame = null
+    try {
+      deg = edges.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // (node, r, deg) carried together so each iteration is exactly one
+      // edges-join + one aggregate + one deg re-attach
+      var rank = deg.select(col("node"), lit(SCALE).as("r"), col("deg"))
+        .localCheckpoint()
+      for (_ <- 1 to ITERS) {
+        val contrib = edges
+          .join(rank, edges("a") === rank("node"))
+          .select(col("b"), expr("r div deg").as("c"))
+        rank = contrib.groupBy(col("b").as("node"))
+          .agg((lit(TELEPORT) + expr("(85 * sum(c)) div 100")).as("r"))
+          .join(deg.withColumnRenamed("node", "dn"), col("node") === col("dn"))
+          .select(col("node"), col("r"), col("deg"))
+          .localCheckpoint()
+      }
+      rank
+        .select(col("node").as("node_id"),
+          when(col("node") % 2 === 0, "customer").otherwise("supplier").as("entity"),
+          expr("node div 2").as("entity_key"),
+          col("deg"), col("r").as("rank_fp"))
+        .orderBy("node_id")
+    } finally {
+      // safe pre-consumption: every iteration localCheckpoints, so the
+      // returned plan reads the final checkpointed rank frame, not these
+      edges.unpersist(false)
+      if (deg != null) deg.unpersist(false)
+    }
+  }
+
+  val all: Seq[Q] = Seq(g1PageRank)
+}

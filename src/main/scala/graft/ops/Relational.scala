@@ -1014,11 +1014,104 @@ object Relational {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** SCD2 dimension build: each customer's order history becomes validity
+    * intervals — row k is valid from its own date until the next order's
+    * date (open-ended for the latest). The window is per-customer with a
+    * deterministic (date, orderkey) tiebreak, the partition key is the
+    * natural distribution key, and at 100 TB this is one shuffle on
+    * o_custkey with no skew hazard (per-customer history is small).
+    * The CDC complement of q32's latest-per-key.
+    */
+  val q35Scd2: Q = Q.sql(
+    "q35_scd2",
+    "SCD2 validity intervals per customer from order history (lead window, open-ended current row).",
+    """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+      |       LEAD(o_orderdate) OVER w AS valid_to,
+      |       LEAD(o_orderdate) OVER w IS NULL AS is_current
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").as("valid_from"),
+        lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
+  /** Column profiler — the ANALYZE-style data-quality sweep every
+    * ingestion pipeline runs first: per column, row/null/distinct counts
+    * and min/max rendered through a canonical string form. Numerics
+    * round-trip through DECIMAL(18,2) so both engines format identically
+    * (raw double→string formatting differs between engines); timestamps
+    * through DATE. One wide aggregate computes every metric in a single
+    * scan (Spark plans multi-distinct aggregates with one Expand), then a
+    * literal unpivot shapes the row-per-column report.
+    */
+  val dp1Profile: Q = Q.sql(
+    "dp1_profile",
+    "Single-scan per-column profile of lineitem: counts, nulls, distincts, canonical min/max.",
+    """WITH m AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(l_quantity) AS c1, COUNT(DISTINCT l_quantity) AS d1,
+      |      CAST(CAST(MIN(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS mn1,
+      |      CAST(CAST(MAX(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS mx1,
+      |    COUNT(l_extendedprice) AS c2, COUNT(DISTINCT l_extendedprice) AS d2,
+      |      CAST(CAST(MIN(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn2,
+      |      CAST(CAST(MAX(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx2,
+      |    COUNT(l_returnflag) AS c3, COUNT(DISTINCT l_returnflag) AS d3,
+      |      MIN(l_returnflag) AS mn3, MAX(l_returnflag) AS mx3,
+      |    COUNT(l_shipdate) AS c4, COUNT(DISTINCT l_shipdate) AS d4,
+      |      CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR) AS mn4,
+      |      CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR) AS mx4
+      |  FROM lineitem)
+      |SELECT col_name, n AS n_rows, n - c AS n_nulls, d AS n_distinct,
+      |       mn AS min_str, mx AS max_str
+      |FROM (
+      |  SELECT n, 'l_quantity' AS col_name, c1 AS c, d1 AS d, mn1 AS mn, mx1 AS mx FROM m
+      |  UNION ALL SELECT n, 'l_extendedprice', c2, d2, mn2, mx2 FROM m
+      |  UNION ALL SELECT n, 'l_returnflag', c3, d3, mn3, mx3 FROM m
+      |  UNION ALL SELECT n, 'l_shipdate', c4, d4, mn4, mx4 FROM m)
+      |ORDER BY col_name""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val m = li.agg(
+      count(lit(1)).as("n"),
+      count(col("l_quantity")).as("c1"),
+      countDistinct(col("l_quantity")).as("d1"),
+      min(col("l_quantity")).cast("decimal(18,2)").cast("string").as("mn1"),
+      max(col("l_quantity")).cast("decimal(18,2)").cast("string").as("mx1"),
+      count(col("l_extendedprice")).as("c2"),
+      countDistinct(col("l_extendedprice")).as("d2"),
+      min(col("l_extendedprice")).cast("decimal(18,2)").cast("string").as("mn2"),
+      max(col("l_extendedprice")).cast("decimal(18,2)").cast("string").as("mx2"),
+      count(col("l_returnflag")).as("c3"),
+      countDistinct(col("l_returnflag")).as("d3"),
+      min(col("l_returnflag")).as("mn3"),
+      max(col("l_returnflag")).as("mx3"),
+      count(col("l_shipdate")).as("c4"),
+      countDistinct(col("l_shipdate")).as("d4"),
+      min(col("l_shipdate")).cast("date").cast("string").as("mn4"),
+      max(col("l_shipdate")).cast("date").cast("string").as("mx4"))
+    // literal unpivot via stack() so the whole report stays ONE scan —
+    // a union of per-column selects would re-run the aggregate per branch
+    m.select(expr(
+      """stack(4,
+        |  'l_quantity',      n, n - c1, d1, mn1, mx1,
+        |  'l_extendedprice', n, n - c2, d2, mn2, mx2,
+        |  'l_returnflag',    n, n - c3, d3, mn3, mx3,
+        |  'l_shipdate',      n, n - c4, d4, mn4, mx4
+        |) AS (col_name, n_rows, n_nulls, n_distinct, min_str, max_str)""".stripMargin))
+      .orderBy("col_name")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
     q18AsofJoin, q19Percentile, q20Cube, q21Pivot, q22RangeJoin, q23StringAgg,
     q24JsonFuncs, q25ApproxQuantiles, q26MovingWindow, q27Lateral,
     q28GroupingSets, q29GapFill, q30Unpivot, q31SaltedJoin, q32LatestPerKey,
-    q33RankFamily, q34CorrelatedSubquery)
+    q33RankFamily, q34CorrelatedSubquery, q35Scd2, dp1Profile)
 }

@@ -410,6 +410,62 @@ class OpsSpec extends AnyFunSuite {
       s"emitted $emitted far from weight mass $expected")
   }
 
+  test("g1: every node keeps >= teleport rank and ids round-trip entity keys") {
+    val rows = Graph.g1PageRank.run(spark, sf)
+      .select("node_id", "entity", "entity_key", "deg", "rank_fp").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (node, entity, key, deg, rank) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // teleport term is the floor of every iteration's update
+      assert(rank >= 150000L, s"node $node rank $rank below teleport floor")
+      assert(deg >= 1L)
+      if (entity == "customer") assert(node === 2 * key)
+      else { assert(entity === "supplier"); assert(node === 2 * key + 1) }
+    }
+    // fixed-point iteration is deterministic: a rerun is bit-identical
+    val again = Graph.g1PageRank.run(spark, sf)
+      .select("node_id", "rank_fp").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq === rows.map(r => (r.getLong(0), r.getLong(4))).toSeq)
+  }
+
+  test("q35: one current row per customer; intervals chain without overlap") {
+    val rows = Relational.q35Scd2.run(spark, sf)
+      .select("o_custkey", "valid_from", "valid_to", "is_current").collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    byCust.foreach { case (cust, rs) =>
+      assert(rs.count(_.getBoolean(3)) === 1, s"customer $cust current-row count != 1")
+      // rows arrive ordered (valid_from, orderkey); each valid_to must
+      // equal the next row's valid_from (contiguous history chain)
+      rs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.get(2) === b.get(1),
+            s"customer $cust: interval break ${a.get(2)} vs ${b.get(1)}")
+        case _ => ()
+      }
+      assert(rs.last.getBoolean(3), s"customer $cust: current row not last")
+    }
+  }
+
+  test("dp1: profile metrics are internally consistent with the table") {
+    val li = graft.Tables.lineitem(spark, sf)
+    val n = li.count()
+    val rows = Relational.dp1Profile.run(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("l_extendedprice", "l_quantity", "l_returnflag", "l_shipdate"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === n)
+      assert(r.getAs[Long]("n_nulls") === 0L)
+      val d = r.getAs[Long]("n_distinct")
+      assert(d >= 1L && d <= n)
+      assert(r.getAs[String]("min_str") <= r.getAs[String]("max_str") ||
+        r.getString(0) == "l_extendedprice") // lexicographic vs numeric order
+    }
+    val rf = rows.find(_.getString(0) == "l_returnflag").get
+    assert(rf.getAs[Long]("n_distinct") ===
+      li.select(countDistinct(col("l_returnflag"))).collect()(0).getLong(0))
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
