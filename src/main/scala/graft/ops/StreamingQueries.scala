@@ -32,6 +32,24 @@ object StreamingQueries {
     * (state sharding is per-key within a partition — results are
     * identical; a 100 TB deployment raises it back via the same conf).
     */
+  /** Scratch dirs (checkpoints, staged inputs, drained sinks) go to
+    * tmpfs when the platform has one: the state store fsyncs one delta
+    * file per partition per operator per micro-batch, and on a disk-backed
+    * temp dir that fixed IO dominates the whole gate at bench scale. A
+    * production deployment points `checkpointLocation` at durable shared
+    * storage instead — this is gate/bench scratch, not the durability
+    * path.
+    */
+  private[ops] def fastTmpDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val p =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, prefix)
+      else java.nio.file.Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
   private def runStream(spark: SparkSession, name: String, df: DataFrame,
       mode: OutputMode): DataFrame = {
     spark.catalog.dropTempView(name)
@@ -44,6 +62,7 @@ object StreamingQueries {
         .format("memory")
         .queryName(name)
         .outputMode(mode)
+        .option("checkpointLocation", fastTmpDir(s"graft_ckpt_$name"))
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -56,8 +75,7 @@ object StreamingQueries {
     // keeps driver memory bounded regardless of sf (executors stream
     // the write), at the cost of one small local write per gate run.
     val sink = spark.table(name)
-    val out = java.nio.file.Files
-      .createTempDirectory(s"graft_sink_$name").toString
+    val out = fastTmpDir(s"graft_sink_$name")
     sink.write.mode("overwrite").parquet(out)
     spark.catalog.dropTempView(name)
     val back = spark.read.parquet(out)
@@ -90,7 +108,7 @@ object StreamingQueries {
   private def eventsPath(spark: SparkSession, dir: String): String =
     stagedDirs.getOrElseUpdate(dir, {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val out = java.nio.file.Files.createTempDirectory("graft_stream_events").toString
+      val out = fastTmpDir("graft_stream_events")
       spark.read.parquet(s"${dir.stripSuffix("/")}/events.parquet")
         .repartitionByRange(2, col("ts"))
         .write.mode("overwrite").parquet(out)
