@@ -18,7 +18,7 @@ import graft.functions.GraftExpressions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExpressions.builders.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         // the full 11-arg ctor is the only non-deprecated one that
@@ -27,4 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "", "", "", "", "", "", "built-in"),
         builder))
     }
+    // plan rewrites: size(array_intersect(…)) → one-pass count kernel
+    e.injectOptimizerRule(_ => IntersectCountRewrite)
+  }
 }

@@ -184,7 +184,10 @@ object Dedup {
     val withA = broadcast(cand)
       .join(docs.as("sa"), col("doc_a") === col("sa.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("sa.s").as("s_a"))
-    val nCommon = size(array_intersect(col("s_a"), col("sb.s")))
+    // one-pass count kernel: same value as size(array_intersect(…)) but
+    // never allocates the intersection array (also available as an
+    // automatic rewrite via GraftExtensions' IntersectCountRewrite)
+    val nCommon = GraftExpressions.intersectCount(col("s_a"), col("sb.s"))
     val j = nCommon.cast("double") /
       (size(col("s_a")) + size(col("sb.s")) - nCommon)
     withA.hint("merge")
@@ -302,7 +305,7 @@ object Dedup {
       .distinct()
     // shingle counts fall out of the joined sets directly (size(s)) — no
     // separate cnt frame, two fewer verify joins than the oracle's shape
-    val nCommon = size(array_intersect(col("sa.s"), col("sb.s")))
+    val nCommon = GraftExpressions.intersectCount(col("sa.s"), col("sb.s"))
     val j = nCommon.cast("double") /
       (size(col("sa.s")) + size(col("sb.s")) - nCommon)
     cand

@@ -47,6 +47,42 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val simOk = spark.sql(
         "SELECT graft_simhash(array('x','y'), 60) AS s").collect()(0).getLong(0)
       assert(simOk >= 0L)
+      // the injected optimizer rule rewrites the built-in verify pattern
+      // to the one-pass count kernel — and values are unchanged. The
+      // input must be a file-backed relation: literal or VALUES input
+      // constant-folds / ConvertToLocalRelation-evaluates away before
+      // any plan inspection could see either formulation.
+      val docs = s"${TestSpark.sf0001}/documents.parquet"
+      val q = spark.sql(
+        s"""SELECT doc_id,
+           |  size(array_intersect(split(text, ' '), array('b','c','d'))) AS k,
+           |  size(array_intersect(split(text, ' '), split(text, ' '))) AS self_k,
+           |  size(array_distinct(split(text, ' '))) AS distinct_k
+           |FROM parquet.`$docs`""".stripMargin)
+      assert(q.queryExecution.optimizedPlan.toString.contains("graft_intersect_count"),
+        s"IntersectCountRewrite did not fire:\n${q.queryExecution.optimizedPlan}")
+      // |A ∩ A| == |distinct(A)| — kernel value check across the corpus
+      assert(q.filter("self_k != distinct_k").count() === 0)
+      // guard: legacy size(null)=-1 semantics must NOT be rewritten.
+      // (the legacy flag is only effective with ANSI mode off — Spark 4
+      // defaults ANSI on, under which Size always carries
+      // legacySizeOfNull=false and the rewrite stays semantics-safe)
+      val legacyKey = "spark.sql.legacy.sizeOfNull"
+      val ansiKey = "spark.sql.ansi.enabled"
+      spark.conf.set(legacyKey, "true")
+      spark.conf.set(ansiKey, "false")
+      try {
+        val ql = spark.sql(
+          s"""SELECT size(array_intersect(split(text, ' '),
+             |  cast(null as array<string>))) AS k
+             |FROM parquet.`$docs` LIMIT 1""".stripMargin)
+        assert(!ql.queryExecution.optimizedPlan.toString.contains("graft_intersect_count"),
+          "rewrite fired under legacy sizeOfNull semantics")
+        assert(ql.collect()(0).getInt(0) === -1)
+      } finally {
+        spark.conf.set(legacyKey, "false")
+        spark.conf.set(ansiKey, "true")
+      }
     } finally {
       // restore the shared session for the remaining suites; never stop()
       // — the SparkContext is JVM-wide

@@ -92,6 +92,36 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(mismatches === 0)
   }
 
+  test("IntersectCountS == size(array_intersect) incl. dups, empties, nulls") {
+    GraftExpressions.register(spark)
+    // corpus shingle arrays: bulk agreement on real data
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), GraftExpressions.shingles(col("text"), 3).as("s"))
+    val pairs = docs.as("a").join(docs.as("b"),
+        pmod(col("a.doc_id"), lit(7)) === pmod(col("b.doc_id"), lit(7)) &&
+          col("a.doc_id") < col("b.doc_id"))
+    val bulkMismatch = pairs.filter(
+      GraftExpressions.intersectCount(col("a.s"), col("b.s")) =!=
+        size(array_intersect(col("a.s"), col("b.s")))).count()
+    assert(bulkMismatch === 0)
+    // adversarial literals: duplicates (distinct-count semantics), empty
+    // arrays, null elements, asymmetric sizes, null arrays
+    val cases = Seq(
+      "array('a','a','b')" -> "array('a','c','a')",
+      "cast(array() as array<string>)" -> "array('a')",
+      "cast(null as array<string>)" -> "array('a')",
+      "array('a', cast(null as string))" -> "array(cast(null as string),'b')",
+      "array('x','y','z','x')" -> "array('z','z','x','q','r','s','t')")
+    cases.foreach { case (l, r) =>
+      val row = spark.sql(
+        s"SELECT graft_intersect_count($l, $r) AS k, size(array_intersect($l, $r)) AS ref")
+        .collect()(0)
+      assert(row.isNullAt(0) === row.isNullAt(1), s"null mismatch for ($l, $r)")
+      if (!row.isNullAt(0))
+        assert(row.getInt(0) === row.getInt(1), s"count mismatch for ($l, $r)")
+    }
+  }
+
   test("ByteHistStats == hex/explode/group-by relational formulation") {
     GraftExpressions.register(spark)
     val ref = graft.Tables.documents(spark, sf)
