@@ -197,6 +197,62 @@ object EtlQueries {
       .orderBy("source")
   }
 
+  private val partDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** documents written once per (JVM, dataset) as a lang-partitioned
+    * parquet table (`lang=en/part-*.parquet` hive layout).
+    */
+  private def partitionedPath(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    partDirs.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+      graft.Tables.documents(spark, dir)
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      val root = new java.io.File(out)
+      root.deleteOnExit()
+      // partitionBy nests one dir per lang value — register depth-first
+      // so deleteOnExit (reverse order, empty-dirs-only) can clear it
+      Option(root.listFiles()).getOrElse(Array.empty).foreach { d =>
+        d.deleteOnExit()
+        Option(d.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
+      }
+      out
+    })
+
+  /** Partitioned-sink → partition-pruned-scan roundtrip: documents are
+    * written `partitionBy("lang")` (the hive layout a 100 TB corpus
+    * actually uses — lang/source/date are THE partition keys of training
+    * corpora), then read back with a `lang IN ('en','fr')` filter. The
+    * filter must resolve at FILE LISTING time — a pruned scan touches
+    * only the matching directories, never opening the other partitions'
+    * files (PlanSpec asserts the plan's partition filters; at 100 TB
+    * this is the difference between scanning 2 languages and 50). The
+    * partition column itself round-trips through directory names —
+    * string encoding survival is part of the contract. Oracle: same
+    * filter + aggregates from the unpartitioned parquet table.
+    */
+  val e5PartitionedRoundtrip: Q = Q.sql(
+    "e5_partitioned_roundtrip",
+    "documents -> lang-partitioned parquet sink -> partition-pruned scan -> aggregates vs oracle.",
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(('0x' || substring(md5(text), 1, 7))::BIGINT) AS BIGINT) AS text_checksum
+      |FROM documents WHERE lang IN ('en', 'fr')
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (spark, dir) =>
+    prunedLangScan(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(graft.functions.DetHash.md5Long28(col("text"))).as("text_checksum"))
+      .orderBy("lang", "source")
+  }
+
+  /** The pruned scan itself (shared with PlanSpec's pruning assertion). */
+  def prunedLangScan(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    spark.read.parquet(partitionedPath(spark, dir))
+      .filter(col("lang").isin("en", "fr"))
+
   val all: Seq[Q] = Seq(e1ItemPipeline, e2AssessmentPipeline, e3JsonlRoundtrip,
-    e4OrcRoundtrip)
+    e4OrcRoundtrip, e5PartitionedRoundtrip)
 }

@@ -131,5 +131,39 @@ object EventWindows {
       .orderBy("user_id", "ts", "event_id")
   }
 
-  val all: Seq[Q] = Seq(w1Tumbling, w2Session, w8Debounce)
+  /** Hopping (sliding) windows — 1-hour span every 15 minutes, so each
+    * event lands in exactly 4 overlapping windows. Spark's `window()`
+    * with a slide replicates each row across its windows BEFORE the
+    * aggregate (one shuffle on (window, key), 4× map-side fan-out, no
+    * self-join); the oracle derives the same 4 window starts per event
+    * from epoch-µs integer arithmetic — `window()` aligns its grid to
+    * the epoch, so `(epoch_us div slide) · slide − k·slide` reproduces
+    * the starts exactly.
+    */
+  val w9Hopping: Q = Q.sql(
+    "w9_window_hopping",
+    "Hopping 1h window every 15 min × event_type: count + exact sum (4 windows per event).",
+    """WITH expanded AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+      |           - k.k * 900000000) AS window_start,
+      |         event_type, value
+      |  FROM events CROSS JOIN (SELECT UNNEST(range(4)) AS k) k)
+      |SELECT window_start,
+      |       window_start + INTERVAL 1 HOUR AS window_end,
+      |       event_type,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM expanded
+      |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(w1Tumbling, w2Session, w8Debounce, w9Hopping)
 }

@@ -119,5 +119,73 @@ object Graph {
     }
   }
 
-  val all: Seq[Q] = Seq(g1PageRank)
+  private val HOPS = 4
+
+  /** K-bounded multi-source BFS: shortest hop distance (≤ [[HOPS]]) from
+    * the seed set — customers of nation 0 — through the co-purchase
+    * graph. Semantics are "distance after exactly K relaxation rounds",
+    * which both engines compute identically whatever the true diameter
+    * is; integer mins are order-independent, so parity is unconditional.
+    *
+    * Distributed shape per round: one edges equi-join (frontier
+    * expansion) + one min-aggregate on the destination key — the
+    * Bellman-Ford relaxation step, `localCheckpoint` between rounds. At
+    * 100 TB this is the standard Pregel iteration; a real deployment
+    * would keep only the CHANGED frontier as the join probe (delta
+    * iteration) — at gate scale the full frame is smaller than the
+    * bookkeeping, and the K-round contract is identical.
+    */
+  val g2BfsHops: Q = Q.sql(
+    "g2_bfs_hops",
+    s"Multi-source BFS: min hop distance (<= $HOPS) from nation-0 customers over the co-purchase graph.",
+    {
+      val iters = (0 until HOPS).map { i =>
+        s"""it${i + 1} AS (
+           |  SELECT node, MIN(dist) AS dist FROM (
+           |    SELECT node, dist FROM it$i
+           |    UNION ALL
+           |    SELECT e.b AS node, r.dist + 1 AS dist
+           |    FROM it$i r JOIN edges e ON e.a = r.node
+           |  ) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH eg AS (
+         |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT a, b FROM eg UNION ALL SELECT b, a FROM eg),
+         |it0 AS (
+         |  SELECT c_custkey * 2 AS node, 0 AS dist FROM customer
+         |  WHERE c_nationkey = 0),
+         |$iters
+         |SELECT node AS node_id,
+         |       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+         |       node // 2 AS entity_key,
+         |       dist AS hops
+         |FROM it$HOPS ORDER BY node_id""".stripMargin
+    }) { (spark, dir) =>
+    val edges = copurchaseEdges(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var dist = Tables.customer(spark, dir)
+        .filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node"), lit(0).as("dist"))
+        .localCheckpoint()
+      for (_ <- 1 to HOPS) {
+        val relaxed = edges
+          .join(dist, edges("a") === dist("node"))
+          .select(col("b").as("node"), (col("dist") + 1).as("dist"))
+        dist = dist.union(relaxed)
+          .groupBy(col("node"))
+          .agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+      }
+      dist
+        .select(col("node").as("node_id"),
+          when(col("node") % 2 === 0, "customer").otherwise("supplier").as("entity"),
+          expr("node div 2").as("entity_key"),
+          col("dist").as("hops"))
+        .orderBy("node_id")
+    } finally edges.unpersist(false)
+  }
+
+  val all: Seq[Q] = Seq(g1PageRank, g2BfsHops)
 }

@@ -116,4 +116,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"),
       s"dim was broadcast — the salt demo is vacuous in:\n$p")
   }
+
+  test("e5: lang filter prunes at partition level, not as a data filter") {
+    val df = EtlQueries.prunedLangScan(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"lang not in PartitionFilters:\n$p")
+    // the scan must list only the 2 matching partition dirs; a lang
+    // DATA filter (PushedFilters on lang) would mean pruning failed
+    assert(!p.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1").contains("lang"),
+      s"lang degraded to a data filter:\n$p")
+  }
 }
