@@ -1042,6 +1042,49 @@ object Relational {
       .orderBy("o_custkey", "valid_from", "o_orderkey")
   }
 
+  /** Incremental aggregation — the batch half of the streaming-batch
+    * unification story: a pre-aggregated STATE table (events before the
+    * split point) is combined with a DELTA batch (events after it)
+    * purely by merging partial aggregates — count adds, sum adds,
+    * min/max take least/greatest — without ever re-reading the state's
+    * raw rows. At 100 TB this is how daily aggregates actually run: the
+    * state table is millions of rows, the raw history is petabytes, and
+    * correctness rests on the aggregates being MERGEABLE (the same
+    * property Spark's own partial aggregation uses per-partition). The
+    * split point is the integer midpoint of the event-time range —
+    * derived from the data, deterministic. Oracle: one direct aggregate
+    * over all events; any merge error breaks the hash.
+    */
+  val q36IncrementalAgg: Q = Q.sql(
+    "q36_incremental_agg",
+    "State + delta partial-aggregate merge (count/sum/min/max) vs direct full aggregation.",
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+      |  CAST(MIN(value) AS DOUBLE) AS min_value,
+      |  CAST(MAX(value) AS DOUBLE) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+    val mid = ev.agg(((min(col("us")) + max(col("us"))) / 2).cast("long").as("mid"))
+    def partial(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).as("psum"),
+        min(col("value")).as("pmin"), max(col("value")).as("pmax"))
+    val withMid = ev.crossJoin(broadcast(mid))
+    val state = partial(withMid.filter(col("us") < col("mid")))
+    val delta = partial(withMid.filter(col("us") >= col("mid")))
+    // the merge: group the two partial frames on the key and COMBINE —
+    // no raw state rows are touched
+    state.union(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("psum")).cast("double").as("sum_value"),
+        min(col("pmin")).cast("double").as("min_value"),
+        max(col("pmax")).cast("double").as("max_value"))
+      .orderBy("event_type")
+  }
+
   /** Column profiler — the ANALYZE-style data-quality sweep every
     * ingestion pipeline runs first: per column, row/null/distinct counts
     * and min/max rendered through a canonical string form. Numerics
@@ -1113,5 +1156,5 @@ object Relational {
     q18AsofJoin, q19Percentile, q20Cube, q21Pivot, q22RangeJoin, q23StringAgg,
     q24JsonFuncs, q25ApproxQuantiles, q26MovingWindow, q27Lateral,
     q28GroupingSets, q29GapFill, q30Unpivot, q31SaltedJoin, q32LatestPerKey,
-    q33RankFamily, q34CorrelatedSubquery, q35Scd2, dp1Profile)
+    q33RankFamily, q34CorrelatedSubquery, q35Scd2, q36IncrementalAgg, dp1Profile)
 }

@@ -367,6 +367,74 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  private val MIPS_K = 5
+
+  /** Maximum-inner-product search (MIPS) — retrieval with UNNORMALIZED
+    * embeddings, where the score is the raw dot product (magnitude
+    * matters: popularity-weighted item embeddings, unscaled retrieval
+    * heads). Exact top-[[MIPS_K]] per probe here, plus the
+    * norm-augmentation witness that reduces MIPS to cosine ANN
+    * (Bachrach et al., RecSys'14 / Neyshabur & Srebro, ICML'15): with
+    * M² = max‖x‖², augment corpus x → [x, √(M²−‖x‖²)] and probe
+    * q → [q, 0]; every augmented corpus vector then has norm exactly M,
+    * so augmented-cosine = ⟨q,x⟩/(‖q‖·M) — a per-probe monotone map of
+    * the dot product. The emitted `aug_cosine` column IS that value;
+    * because it orders identically to `dot`, the same LSH/IVF bucketing
+    * of s2/s3 applied to augmented vectors is the sub-linear MIPS path
+    * at 100 TB, with zero new machinery. OpsSpec asserts the rank
+    * equivalence on the full output.
+    *
+    * Determinism: dot via the codegen'd left-to-right kernel (oracle
+    * folds the same order); M² is a global MAX (order-independent);
+    * √ is a single correctly-rounded IEEE op in both engines.
+    */
+  val s7Mips: Q = Q.sql(
+    "s7_mips",
+    s"Exact MIPS top-$MIPS_K per probe by raw dot product, with the norm-augmentation cosine witness.",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y) AS n2
+       |  FROM e),
+       |mx AS (SELECT MAX(n2) AS m2 FROM n),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(p.v) + 1), i -> p.v[i] * c.v[i])), (x, y) -> x + y) AS dot,
+       |         sqrt(p.n2) AS pnrm, m2
+       |  FROM n p JOIN n c ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+       |  CROSS JOIN mx),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id, dot,
+       |         dot / (pnrm * sqrt(m2)) AS aug_cos,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dot DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, neighbor_id, ROUND(dot, 6) AS dot,
+       |       ROUND(aug_cos, 6) AS aug_cosine
+       |FROM ranked WHERE rank <= $MIPS_K ORDER BY probe_id, rank""".stripMargin) { (spark, dir) =>
+    val n = Dedup.normedVectors(spark, dir)
+      .select(col("vec_id"), col("v"),
+        graft.functions.GraftExpressions.dot(col("v"), col("v")).as("n2"))
+    val mx = n.agg(max(col("n2")).as("m2"))
+    val probes = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("n2").as("pn2"))
+    val dotc = graft.functions.GraftExpressions.dot(col("pv"), col("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("dot").desc, col("neighbor_id"))
+    broadcast(probes).join(n, col("vec_id") =!= col("probe_id"))
+      .crossJoin(broadcast(mx))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        dotc.as("dot"), (sqrt(col("pn2")) * sqrt(col("m2"))).as("denom"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= MIPS_K)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("dot"), 6).as("dot"),
+        round(col("dot") / col("denom"), 6).as("aug_cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4LabelCentroids,
-    s5KnnJoin, s6Quantize)
+    s5KnnJoin, s6Quantize, s7Mips)
 }

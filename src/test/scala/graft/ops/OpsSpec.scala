@@ -466,6 +466,37 @@ class OpsSpec extends AnyFunSuite {
       li.select(countDistinct(col("l_returnflag"))).collect()(0).getLong(0))
   }
 
+  test("s7: augmented-cosine witness orders exactly like the raw dot product") {
+    val rows = Similarity.s7Mips.run(spark, sf)
+      .select("probe_id", "rank", "dot", "aug_cosine").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (probe, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      // within a probe, both scores must be non-increasing along ranks —
+      // the monotone-map property the MIPS→cosine reduction rests on
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(2) >= b.getDouble(2), s"probe $probe: dot not sorted")
+          assert(a.getDouble(3) >= b.getDouble(3),
+            s"probe $probe: aug_cosine order diverges from dot order")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q36: merged state+delta equals a direct aggregate") {
+    val merged = Relational.q36IncrementalAgg.run(spark, sf)
+      .select("event_type", "n", "sum_value", "min_value", "max_value").collect()
+    val direct = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"),
+        min(col("value")).cast("double").as("min_value"),
+        max(col("value")).cast("double").as("max_value"))
+      .orderBy("event_type")
+      .collect()
+    assert(merged.map(_.toSeq).toSeq === direct.map(_.toSeq).toSeq)
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
