@@ -86,25 +86,38 @@ object Graph {
     }) { (spark, dir) =>
     val edges = copurchaseEdges(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var deg: DataFrame = null
+    var dedges: DataFrame = null
     try {
-      deg = edges.groupBy(col("a").as("node"))
+      val deg = edges.groupBy(col("a").as("node"))
         .agg(count(lit(1)).as("deg"))
+      // enrich edges with the SENDER's degree once: the contribution
+      // r div deg only ever needs deg(u) of the sending side, so carrying
+      // it on the edge removes the per-iteration deg re-join (10 joins
+      // over the run); the receiver's degree is attached once at the end
+      dedges = edges
+        .join(deg, edges("a") === deg("node"))
+        .select(col("a"), col("b"), col("deg").as("deg_a"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // (node, r, deg) carried together so each iteration is exactly one
-      // edges-join + one aggregate + one deg re-attach
-      var rank = deg.select(col("node"), lit(SCALE).as("r"), col("deg"))
+      var rank = deg.select(col("node"), lit(SCALE).as("r"))
         .localCheckpoint()
-      for (_ <- 1 to ITERS) {
-        val contrib = edges
-          .join(rank, edges("a") === rank("node"))
-          .select(col("b"), expr("r div deg").as("c"))
+      for (it <- 1 to ITERS) {
+        val contrib = dedges
+          .join(rank, col("a") === rank("node"))
+          .select(col("b"), expr("r div deg_a").as("c"))
+        // eager per-round checkpoints: lazy (single-DAG) was measured
+        // equivalent at best and showed rare pathological outliers; the
+        // eager job per round is predictable and truncates lineage the
+        // same way
         rank = contrib.groupBy(col("b").as("node"))
           .agg((lit(TELEPORT) + expr("(85 * sum(c)) div 100")).as("r"))
-          .join(deg.withColumnRenamed("node", "dn"), col("node") === col("dn"))
-          .select(col("node"), col("r"), col("deg"))
           .localCheckpoint()
       }
+      // re-attach each node's own degree once, checkpointed so the
+      // returned plan survives the finally-unpersist below
+      rank = rank
+        .join(deg.withColumnRenamed("node", "dn"), col("node") === col("dn"))
+        .select(col("node"), col("r"), col("deg"))
+        .localCheckpoint()
       rank
         .select(col("node").as("node_id"),
           when(col("node") % 2 === 0, "customer").otherwise("supplier").as("entity"),
@@ -112,10 +125,10 @@ object Graph {
           col("deg"), col("r").as("rank_fp"))
         .orderBy("node_id")
     } finally {
-      // safe pre-consumption: every iteration localCheckpoints, so the
+      // safe pre-consumption: the loop ends on a localCheckpoint, so the
       // returned plan reads the final checkpointed rank frame, not these
       edges.unpersist(false)
-      if (deg != null) deg.unpersist(false)
+      if (dedges != null) dedges.unpersist(false)
     }
   }
 
