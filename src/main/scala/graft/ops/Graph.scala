@@ -93,16 +93,25 @@ object Graph {
       // enrich edges with the SENDER's degree once: the contribution
       // r div deg only ever needs deg(u) of the sending side, so carrying
       // it on the edge removes the per-iteration deg re-join (10 joins
-      // over the run); the receiver's degree is attached once at the end
+      // over the run); the receiver's degree is attached once at the end.
+      // Pre-partitioned on the join key so the per-iteration join reuses
+      // this layout and only the rank frame moves — at 100 TB the edge
+      // list is the ~everything of the graph and must NOT re-shuffle per
+      // round (the Pregel invariant: edges stay put, messages move).
       dedges = edges
         .join(deg, edges("a") === deg("node"))
         .select(col("a"), col("b"), col("deg").as("deg_a"))
+        .repartition(col("a"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var rank = deg.select(col("node"), lit(SCALE).as("r"))
         .localCheckpoint()
       for (it <- 1 to ITERS) {
+        // shuffle_hash on the rank side: hash-build the small per-node
+        // rank vector, stream the persisted edge partitions — no per-round
+        // sort of the edge frame (SMJ would re-sort it all 10 times), no
+        // broadcast of a frame that grows with |V|
         val contrib = dedges
-          .join(rank, col("a") === rank("node"))
+          .join(rank.hint("shuffle_hash"), col("a") === rank("node"))
           .select(col("b"), expr("r div deg_a").as("c"))
         // eager per-round checkpoints: lazy (single-DAG) was measured
         // equivalent at best and showed rare pathological outliers; the
@@ -175,7 +184,10 @@ object Graph {
          |       dist AS hops
          |FROM it$HOPS ORDER BY node_id""".stripMargin
     }) { (spark, dir) =>
+    // pre-partitioned on the expansion key for the same Pregel invariant
+    // as g1: the edge list stays put, only the frontier frame moves
     val edges = copurchaseEdges(spark, dir)
+      .repartition(col("a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var dist = Tables.customer(spark, dir)
@@ -184,7 +196,7 @@ object Graph {
         .localCheckpoint()
       for (_ <- 1 to HOPS) {
         val relaxed = edges
-          .join(dist, edges("a") === dist("node"))
+          .join(dist.hint("shuffle_hash"), edges("a") === dist("node"))
           .select(col("b").as("node"), (col("dist") + 1).as("dist"))
         dist = dist.union(relaxed)
           .groupBy(col("node"))
