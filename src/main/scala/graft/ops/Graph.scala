@@ -80,7 +80,7 @@ object Graph {
          |SELECT f.node AS node_id,
          |       CASE WHEN f.node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
          |       f.node // 2 AS entity_key,
-         |       d.deg, f.r AS rank_fp
+         |       d.deg, CAST(f.r AS BIGINT) AS rank_fp
          |FROM it$ITERS f JOIN deg d ON f.node = d.node
          |ORDER BY node_id""".stripMargin
     }) { (spark, dir) =>

@@ -40,13 +40,32 @@ object StreamingQueries {
     * storage instead — this is gate/bench scratch, not the durability
     * path.
     */
+  private val scratchRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+
+  // deleteOnExit cannot remove non-empty dirs and the state store writes
+  // nested offsets/commits/state subtrees after dir creation — a recursive
+  // shutdown hook is the only way the tmpfs scratch actually gets freed.
+  private lazy val scratchCleanup: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchRoots.forEach { root =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(root)
+      }))
+    ()
+  }
+
   private[ops] def fastTmpDir(prefix: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val p =
       if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
         java.nio.file.Files.createTempDirectory(shm, prefix)
       else java.nio.file.Files.createTempDirectory(prefix)
-    p.toFile.deleteOnExit()
+    scratchCleanup
+    scratchRoots.add(p.toFile)
     p.toString
   }
 
@@ -78,12 +97,9 @@ object StreamingQueries {
     val out = fastTmpDir(s"graft_sink_$name")
     sink.write.mode("overwrite").parquet(out)
     spark.catalog.dropTempView(name)
-    val back = spark.read.parquet(out)
-    // temp-dir hygiene: delete on JVM exit (files first, dirs last)
-    val root = new java.io.File(out)
-    root.deleteOnExit()
-    Option(root.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
-    back
+    // temp-dir hygiene: fastTmpDir registered the root with the recursive
+    // shutdown hook, which handles the staged files too
+    spark.read.parquet(out)
   }
 
   /** The test tables are single parquet FILES; the file streaming source
