@@ -236,5 +236,54 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(m1Meta, m2PayloadStats, m3FrameSample, m4TypedRollup)
+  private val SHARD_BYTES = 4096
+  private val SHARDS = 8
+
+  /** WebDataset-style shard manifest — the multimodal batch-construction
+    * step: assets are deterministically shuffled (md5 order — training
+    * wants decorrelated neighbors), split across [[SHARDS]] hash shards,
+    * and packed into [[SHARD_BYTES]]-byte archive members with byte
+    * offsets. Byte-budget twin of `p6_sequence_pack`'s token budget: one
+    * shuffle on the shard key + a per-shard cumulative-sum window; shard
+    * count is the free parallelism knob at 100 TB (shards are
+    * independent by construction), and the emitted (pack_id, offset)
+    * pairs ARE the tar-member layout a writer needs.
+    */
+  val m5ShardPack: Q = Q.sql(
+    "m5_shard_pack",
+    s"Shard manifest: md5-shuffled assets packed into $SHARD_BYTES-byte members across $SHARDS shards.",
+    s"""WITH a AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % $SHARDS AS shard,
+       |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, shard, n_bytes,
+       |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS seq,
+       |    SUM(n_bytes) OVER (PARTITION BY shard ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM a)
+       |SELECT doc_id, shard, CAST(seq AS BIGINT) AS seq,
+       |  CAST(n_bytes AS BIGINT) AS n_bytes,
+       |  CAST((cum - n_bytes) // $SHARD_BYTES AS BIGINT) AS pack_id,
+       |  CAST((cum - n_bytes) % $SHARD_BYTES AS BIGINT) AS pack_offset
+       |FROM c ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val a = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        pmod(DetHash.md5Long28(col("doc_id").cast("string")), lit(SHARDS)).as("shard"),
+        DetHash.md5Long60(col("doc_id").cast("string")).as("h"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    a.withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n_bytes"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("shard"), col("seq"), col("n_bytes"),
+        expr(s"cast((cum - n_bytes) div $SHARD_BYTES as bigint)").as("pack_id"),
+        pmod(col("cum") - col("n_bytes"), lit(SHARD_BYTES.toLong)).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(m1Meta, m2PayloadStats, m3FrameSample, m4TypedRollup,
+    m5ShardPack)
 }

@@ -1157,11 +1157,76 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** Runtime-filter join: a selective dim predicate (top ~4% of orders
+    * by price) reaches the FACT scan as an injected bloom filter —
+    * Catalyst's InjectRuntimeFilter plants a `might_contain` probe on
+    * `l_orderkey` built from the filtered orders side, so lineitem rows
+    * with no chance of joining die at the scan instead of riding the
+    * shuffle. The 100 TB point of the pattern: the fact-side shuffle —
+    * the dominant cost of a selective fact⋈dim join — shrinks by the
+    * dim predicate's selectivity before a single row moves.
+    *
+    * Runs on a child session (shared SparkContext, own SQL conf):
+    * injection is gated by `applicationSideScanSizeThreshold` = 10 GB by
+    * default, sized for real clusters — the child session lowers it so
+    * the plan DEMONSTRABLY carries the filter at gate scale (asserted in
+    * `RelationalSpec`) without perturbing any other query's planning.
+    * The merge hint keeps the join a shuffle join — broadcast would hide
+    * the pattern (a broadcast join semi-filters for free; q3 shows it).
+    * The filter is a pure optimization: the oracle is the plain join.
+    */
+  val q37BloomJoin: Q = Q.sql(
+    "q37_bloom_join",
+    "Selective dim predicate pushed to the fact scan as an injected runtime bloom filter.",
+    """SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+      |       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_totalprice > 480000
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    bloomJoinFrame(spark, dir)
+  }
+
+  /** q37's frame on its bloom-enabled child session — factored out so the
+    * plan spec asserts on exactly what the gate runs.
+    */
+  def bloomJoinFrame(spark: SparkSession, dir: String): DataFrame = {
+    val s = bloomSessions.synchronized {
+      val cached = bloomSessions.get(spark)
+      if (cached != null) cached
+      else {
+        val child = spark.newSession()
+        child.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        bloomSessions.put(spark, child)
+        child
+      }
+    }
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity")).hint("merge")
+      .join(Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 480000)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** One bloom-enabled child session per parent session. WeakHashMap is
+    * sound here (unlike the Dataset caches — see [[SessionCache]]): the
+    * child references the shared SparkContext, not the parent key, so
+    * entries are not self-referential and evict with the parent.
+    */
+  private val bloomSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
     q18AsofJoin, q19Percentile, q20Cube, q21Pivot, q22RangeJoin, q23StringAgg,
     q24JsonFuncs, q25ApproxQuantiles, q26MovingWindow, q27Lateral,
     q28GroupingSets, q29GapFill, q30Unpivot, q31SaltedJoin, q32LatestPerKey,
-    q33RankFamily, q34CorrelatedSubquery, q35Scd2, q36IncrementalAgg, dp1Profile)
+    q33RankFamily, q34CorrelatedSubquery, q35Scd2, q36IncrementalAgg,
+    q37BloomJoin, dp1Profile)
 }

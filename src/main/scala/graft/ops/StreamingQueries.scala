@@ -271,6 +271,28 @@ object StreamingQueries {
       .orderBy("purchase_id", "click_ts")
   }
 
+  /** Stream-static join under the gate: the event stream enriched
+    * against the static customer dim (broadcast per micro-batch — the
+    * stateless join kind; only the downstream windowed aggregate holds
+    * state), Complete mode so the drained sink equals the batch join +
+    * aggregate exactly. This is the enrichment shape every streaming
+    * pipeline starts with — dim lookup before stateful logic.
+    */
+  val w10StreamStatic: Q = Q.sql(
+    "w10_stream_static_join",
+    "Stream-static broadcast enrichment (events x customer dim) + tumbling 1h window per nation.",
+    """SELECT date_trunc('hour', e.ts) AS window_start, c.c_nationkey AS nation,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2 ORDER BY window_start, nation""".stripMargin) { (spark, dir) =>
+    val stream = EventsStream.enrichedNationCounts(
+      EventsStream.read(spark, eventsPath(spark, dir)),
+      Tables.customer(spark, dir))
+    runStream(spark, "w10_stream_static_join", stream, OutputMode.Complete())
+      .orderBy("window_start", "nation")
+  }
+
   val all: Seq[Q] = Seq(w3StreamTumbling, w4StreamSession, w5StreamDedup,
-    w6CustomSessionizer, w7StreamJoin)
+    w6CustomSessionizer, w7StreamJoin, w10StreamStatic)
 }

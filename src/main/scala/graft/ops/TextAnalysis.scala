@@ -516,7 +516,139 @@ object TextAnalysis {
       .orderBy("doc_a", "doc_b")
   }
 
+  private val CHUNK = 32
+  private val STRIDE = 24
+
+  /** Overlapping token chunking — the RAG / context-window prep step:
+    * every doc fans out to [[CHUNK]]-token chunks at stride [[STRIDE]]
+    * (8-token overlap). Pure map-side explode — no shuffle at all; at
+    * 100 TB this is an embarrassingly parallel scan whose output feeds
+    * the embedding stage. Chunk text is emitted as an md5 checksum so
+    * the gate compares content without hauling full text through the
+    * comparator.
+    */
+  val t12Chunk: Q = Q.sql(
+    "t12_chunk",
+    s"Overlapping $CHUNK-token chunks at stride $STRIDE (RAG/context-window prep), md5 per chunk.",
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |c AS (SELECT doc_id, len(w) AS n, w,
+       |             UNNEST(range(1, len(w) + 1, $STRIDE)) AS start FROM w)
+       |SELECT doc_id, CAST((start - 1) // $STRIDE AS BIGINT) AS chunk_idx,
+       |  CAST(LEAST($CHUNK, n - start + 1) AS BIGINT) AS n_chunk_tokens,
+       |  md5(array_to_string(list_slice(w, start, start + ${CHUNK - 1}), ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("w"))
+      .withColumn("n", size(col("w")))
+      .select(col("doc_id"), col("n"), col("w"),
+        explode(sequence(lit(1), col("n"), lit(STRIDE))).as("start"))
+      .select(col("doc_id"),
+        expr(s"cast((start - 1) div $STRIDE as bigint)").as("chunk_idx"),
+        least(lit(CHUNK), col("n") - col("start") + 1).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("w"), col("start"), lit(CHUNK)))
+          .cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Email / phone patterns shared by the Spark impl and the DuckDB
+    * oracle — restricted to syntax Java regex and RE2 interpret
+    * identically (character classes, bounded repetition; no lookaround,
+    * no backrefs).
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** PII detection + redaction — the scrubbing pass every training corpus
+    * needs. The bundled corpus is synthetic word-salad with no natural
+    * PII, so contact strings are INJECTED deterministically from
+    * (doc_id, source) inside the query on BOTH engines — honest about
+    * the data, while the machinery under test (count + redact regexes,
+    * Java vs RE2 parity, replace-all semantics) is exactly what runs on a
+    * real corpus. Per-row map stage; nothing shuffles.
+    */
+  val t13PiiRedact: Q = Q.sql(
+    "t13_pii_redact",
+    "PII scrub: count + redact emails/phones (deterministically injected contacts; Java-vs-RE2-parity patterns).",
+    s"""WITH synth AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 3 <> 0
+       |         THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@' || source || '.net'
+       |         ELSE ' no contact' END ||
+       |    CASE WHEN doc_id % 5 = 0
+       |         THEN ' cc admin.' || CAST(doc_id AS VARCHAR) || '@example.org' ELSE '' END ||
+       |    CASE WHEN doc_id % 2 = 0
+       |         THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |    AS s
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(s, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(s, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(s, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+       |FROM synth ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val synth = concat(col("text"),
+      when(col("doc_id") % 3 =!= 0,
+        concat(lit(" reach user"), col("doc_id").cast("string"), lit("@"),
+          col("source"), lit(".net"))).otherwise(" no contact"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" cc admin."), col("doc_id").cast("string"),
+          lit("@example.org"))).otherwise(""),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(""))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), synth.as("s"))
+      .select(col("doc_id"),
+        regexp_count(col("s"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("s"), lit(PhoneRe)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("s"), lit(EmailRe), lit("<EMAIL>")),
+          lit(PhoneRe), lit("<PHONE>")).cast("binary")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus drift detection — total-variation distance between the token
+    * distributions of two corpus halves (even vs odd doc_id — in
+    * production, yesterday's crawl vs today's). Emitted per token as the
+    * INTEGER numerator |c_even·N_odd − c_odd·N_even| (TV distance =
+    * Σ numer / (2·N_even·N_odd)), so every value is exact cross-engine
+    * integer arithmetic — no floating-point KL/PSI drift. Shape: one
+    * token-keyed partial-aggregating shuffle + a broadcast of the two
+    * scalar totals; at 100 TB the token vocabulary is the small side by
+    * construction.
+    */
+  val dp2Drift: Q = Q.sql(
+    "dp2_drift",
+    "Token-distribution drift between even/odd doc halves: integer-exact TV numerators per token.",
+    """WITH tok AS (
+      |  SELECT doc_id % 2 AS half, UNNEST(string_split(text, ' ')) AS t FROM documents),
+      |c AS (
+      |  SELECT t AS token,
+      |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_even,
+      |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_odd
+      |  FROM tok GROUP BY t),
+      |n AS (SELECT CAST(SUM(c_even) AS BIGINT) AS n_even,
+      |             CAST(SUM(c_odd) AS BIGINT) AS n_odd FROM c)
+      |SELECT c.token, c.c_even, c.c_odd,
+      |  CAST(abs(c.c_even * n.n_odd - c.c_odd * n.n_even) AS BIGINT) AS tv_num,
+      |  n.n_even, n.n_odd
+      |FROM c, n ORDER BY tv_num DESC, token""".stripMargin) { (spark, dir) =>
+    val tok = Tables.documents(spark, dir)
+      .select((col("doc_id") % 2).as("half"), explode(words).as("t"))
+    val c = tok.groupBy(col("t").as("token"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c_even"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("c_odd"))
+    val n = c.agg(sum("c_even").as("n_even"), sum("c_odd").as("n_odd"))
+    c.crossJoin(broadcast(n))
+      .select(col("token"), col("c_even"), col("c_odd"),
+        abs(col("c_even") * col("n_odd") - col("c_odd") * col("n_even")).as("tv_num"),
+        col("n_even"), col("n_odd"))
+      .orderBy(col("tv_num").desc, col("token"))
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3TokenStats, t4Fingerprint,
     t5BpeTokens, t6HeavyHitters, t7Normalize, t8DistinctiveTerms,
-    t9Repetition, t10Commonness, t11TfidfCosine)
+    t9Repetition, t10Commonness, t11TfidfCosine, t12Chunk, t13PiiRedact,
+    dp2Drift)
 }

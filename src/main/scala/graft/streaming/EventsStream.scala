@@ -68,6 +68,23 @@ object EventsStream {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  /** Stream-static enrichment: each micro-batch joins against the static
+    * customer dim (broadcast — the static side is re-planned per batch,
+    * which is how Structured Streaming picks up slowly-changing dims on
+    * restart), then aggregates tumbling 1h windows per nation. State is
+    * per (window, nation) only; the join itself is stateless.
+    */
+  def enrichedNationCounts(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(customers.select(col("c_custkey"), col("c_nationkey"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("c_nationkey").as("nation"), col("n"), col("sum_value"))
+
   /** Streaming exact dedup on event_id with bounded state:
     * `dropDuplicatesWithinWatermark` keeps each key only until the
     * watermark passes it, so state size tracks the late-data horizon
