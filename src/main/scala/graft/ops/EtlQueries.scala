@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.Q
+import graft.{Q, Tables}
 import graft.etl.{AssessmentEvents, ItemEvents}
 import org.apache.spark.sql.functions._
 
@@ -253,6 +253,76 @@ object EtlQueries {
     spark.read.parquet(partitionedPath(spark, dir))
       .filter(col("lang").isin("en", "fr"))
 
+  private val BUCKETS = 8
+
+  private val bucketedCache =
+    new SessionCache[String, (String, String)]()
+
+  /** Write lineitem and orders as BUCKETED tables (same bucket count,
+    * same key) once per (session, dataset); returns the catalog table
+    * names. Bucketing is the storage-level half of the co-located join:
+    * both tables are hash-partitioned into [[BUCKETS]] files by the join
+    * key at WRITE time, so every future join on that key reads matching
+    * buckets directly — no exchange of either side, ever again.
+    */
+  private[ops] def bucketedTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) =
+    bucketedCache.getOrElseUpdate(spark, dir) {
+      // table names carry the dataset identity so sf0.01 and sf0.1 can
+      // coexist in one session catalog
+      val id = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+      val li = s"graft_bkt_lineitem_$id"
+      val ord = s"graft_bkt_orders_$id"
+      if (!spark.catalog.tableExists(li)) {
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .write.bucketBy(BUCKETS, "l_orderkey").sortBy("l_orderkey")
+          .option("path", StreamingQueries.fastTmpDir("graft_bkt_li"))
+          .mode("overwrite").saveAsTable(li)
+      }
+      if (!spark.catalog.tableExists(ord)) {
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .write.bucketBy(BUCKETS, "o_orderkey").sortBy("o_orderkey")
+          .option("path", StreamingQueries.fastTmpDir("graft_bkt_ord"))
+          .mode("overwrite").saveAsTable(ord)
+      }
+      (li, ord)
+    }
+
+  /** The bucket-co-located fact⋈dim join, exposed so the plan spec can
+    * assert the join runs with ZERO exchanges (both scans emit the
+    * bucket-hash partitioning the sort-merge join requires).
+    */
+  private[graft] def bucketedJoinFrame(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val (li, ord) = bucketedTables(spark, dir)
+    spark.table(li).join(spark.table(ord),
+      col("l_orderkey") === col("o_orderkey"))
+  }
+
+  /** Bucketed co-located join — the 100 TB pattern this library leans on
+    * for repeated fact⋈fact joins: pay the bucket-hash ONCE at write
+    * time, then every join on the bucket key is exchange-free (the scan
+    * itself reports the hash partitioning, so EnsureRequirements inserts
+    * no shuffle for either 600 GB side; only the final small aggregate
+    * shuffles). The oracle reads the plain parquet — bucketing changes
+    * the physical plan, never the result.
+    */
+  val e6BucketedJoin: Q = Q.sql(
+    "e6_bucketed_join",
+    s"Exchange-free lineitem⋈orders join over $BUCKETS-bucket tables bucketed on the join key.",
+    """SELECT o_orderstatus, COUNT(*) AS n_lines,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    bucketedJoinFrame(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[Q] = Seq(e1ItemPipeline, e2AssessmentPipeline, e3JsonlRoundtrip,
-    e4OrcRoundtrip, e5PartitionedRoundtrip)
+    e4OrcRoundtrip, e5PartitionedRoundtrip, e6BucketedJoin)
 }

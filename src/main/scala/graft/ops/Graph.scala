@@ -261,5 +261,81 @@ object Graph {
       .orderBy("node_id")
   }
 
-  val all: Seq[Q] = Seq(g1PageRank, g2BfsHops)
+  private val AFFINITY_TOP = 5
+
+  /** Link prediction / item-item affinity over the co-purchase graph:
+    * for every supplier, its top-[[AFFINITY_TOP]] most-associated
+    * suppliers by shared-customer count, with the customer-set Jaccard —
+    * the "customers who bought from X also bought from Y" primitive of a
+    * recommender or a product-dedup pass.
+    *
+    * Distributed shape: the shared-customer counts come from an inverted
+    * index join — co-purchase rows self-join on the CUSTOMER key, so
+    * pairs meet on a plain equi-join shuffle (never a cross join), and
+    * the pair aggregate has map-side partials. The top-k is a
+    * row_number window partitioned by supplier — each supplier's
+    * partner list sorts independently, no global sort. Ties break
+    * deterministically (count desc, partner asc). The scale risk of any
+    * co-occurrence mine is the hot-entity blowup — a customer of d
+    * suppliers emits d² pairs; the standard mitigation (cap or sample
+    * per-entity fan-out above a frequency ceiling) is a semantics
+    * change, so this exact variant keeps the full join and relies on
+    * the pair aggregate's partial combine, which is exact and
+    * sufficient while max-degree² rows fit a task (true for every gate
+    * sf; a 100 TB catalog would cap).
+    */
+  val g3SupplierAffinity: Q = Q.sql(
+    "g3_supplier_affinity",
+    s"Top-$AFFINITY_TOP co-purchase partner suppliers by shared customers, with customer-set Jaccard.",
+    s"""WITH eg AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |co AS (
+       |  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS co
+       |  FROM eg a JOIN eg b ON a.c = b.c AND a.s < b.s
+       |  GROUP BY 1, 2),
+       |deg AS (SELECT s, COUNT(*) AS d FROM eg GROUP BY s),
+       |bidir AS (
+       |  SELECT s1 AS s, s2 AS p, co FROM co
+       |  UNION ALL SELECT s2, s1, co FROM co),
+       |r AS (
+       |  SELECT s, p, co,
+       |         ROW_NUMBER() OVER (PARTITION BY s ORDER BY co DESC, p) AS rnk
+       |  FROM bidir)
+       |SELECT r.s AS supp_key, r.rnk, r.p AS partner_key, r.co AS n_common,
+       |       ROUND(CAST(r.co AS DOUBLE) / (da.d + dp.d - r.co), 6) AS jaccard
+       |FROM r JOIN deg da ON r.s = da.s JOIN deg dp ON r.p = dp.s
+       |WHERE r.rnk <= $AFFINITY_TOP
+       |ORDER BY supp_key, rnk""".stripMargin) { (spark, dir) =>
+    // the cached undirected frame holds each edge once per direction;
+    // keeping only even (customer-side) sources recovers the distinct
+    // customer→supplier incidence exactly
+    val cs = copurchaseEdges(spark, dir)
+      .filter(col("a") % 2 === 0)
+      .select(expr("a div 2").as("c"), expr("b div 2").as("s"))
+    val co = cs.as("x").join(cs.as("y"),
+        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("s1"), col("y.s").as("s2"))
+      .agg(count(lit(1)).as("co"))
+    val deg = cs.groupBy(col("s")).agg(count(lit(1)).as("d"))
+    val bidir = co.select(col("s1").as("s"), col("s2").as("p"), col("co"))
+      .union(co.select(col("s2").as("s"), col("s1").as("p"), col("co")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("co").desc, col("p"))
+    val top = bidir
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= AFFINITY_TOP)
+    top
+      .join(broadcast(deg.select(col("s").as("das"), col("d").as("da"))),
+        col("s") === col("das"))
+      .join(broadcast(deg.select(col("s").as("dps"), col("d").as("dp"))),
+        col("p") === col("dps"))
+      .select(col("s").as("supp_key"), col("rnk"), col("p").as("partner_key"),
+        col("co").as("n_common"),
+        round(col("co").cast("double") / (col("da") + col("dp") - col("co")), 6)
+          .as("jaccard"))
+      .orderBy("supp_key", "rnk")
+  }
+
+  val all: Seq[Q] = Seq(g1PageRank, g2BfsHops, g3SupplierAffinity)
 }

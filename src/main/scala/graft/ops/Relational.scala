@@ -1221,6 +1221,81 @@ object Relational {
   private val bloomSessions =
     new java.util.WeakHashMap[SparkSession, SparkSession]()
 
+  private val HIST_BUCKETS = 16
+
+  /** Equi-width histograms for three lineitem numeric columns — the
+    * second half of a column profiler (dp1 gives the moments, this gives
+    * the shape). Two narrow scans total: one tiny min/max aggregate
+    * (broadcast back as a single row), one pass that buckets all three
+    * columns via a literal `stack` unpivot and counts (col, bucket)
+    * groups with map-side partials — the 3× row replication carries two
+    * doubles per row into an aggregate of ≤ 3·[[HIST_BUCKETS]] groups, so
+    * the combine collapses it before the shuffle. At 100 TB this is the
+    * standard histogram-build: no per-column repeat scans, no driver-side
+    * bound collection (the bounds row rides a broadcast join).
+    *
+    * Determinism: bucket edges are pure double arithmetic from the
+    * min/max — both engines evaluate the IDENTICAL expression tree
+    * left-to-right in IEEE doubles, so edges and bucket ids match
+    * bit-for-bit (same reasoning as the fixed-point graph family, but
+    * division is exact per-op here, no reduction-order term).
+    */
+  val dp3Histogram: Q = Q.sql(
+    "dp3_histogram",
+    s"Single-pass equi-width $HIST_BUCKETS-bucket histograms of three lineitem columns.",
+    s"""WITH b AS (
+       |  SELECT CAST(l_quantity AS DOUBLE) AS q,
+       |         CAST(l_extendedprice AS DOUBLE) AS p,
+       |         CAST(l_discount AS DOUBLE) AS d
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT MIN(q) AS mnq, MAX(q) AS mxq, MIN(p) AS mnp, MAX(p) AS mxp,
+       |         MIN(d) AS mnd, MAX(d) AS mxd
+       |  FROM b),
+       |s AS (
+       |  SELECT 'l_quantity' AS col_name, q AS x, mnq AS mn, mxq AS mx FROM b, m
+       |  UNION ALL SELECT 'l_extendedprice', p, mnp, mxp FROM b, m
+       |  UNION ALL SELECT 'l_discount', d, mnd, mxd FROM b, m),
+       |g AS (
+       |  SELECT col_name,
+       |         LEAST(${HIST_BUCKETS - 1},
+       |               CAST(FLOOR((x - mn) * $HIST_BUCKETS / (mx - mn)) AS BIGINT)) AS bucket,
+       |         mn, mx, COUNT(*) AS n_rows
+       |  FROM s GROUP BY 1, 2, 3, 4)
+       |SELECT col_name, bucket,
+       |       mn + bucket * ((mx - mn) / $HIST_BUCKETS) AS bucket_lo,
+       |       mn + (bucket + 1) * ((mx - mn) / $HIST_BUCKETS) AS bucket_hi,
+       |       n_rows
+       |FROM g ORDER BY col_name, bucket""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("double").as("q"),
+        col("l_extendedprice").cast("double").as("p"),
+        col("l_discount").cast("double").as("d"))
+    val bounds = li.agg(
+      min(col("q")).as("mnq"), max(col("q")).as("mxq"),
+      min(col("p")).as("mnp"), max(col("p")).as("mxp"),
+      min(col("d")).as("mnd"), max(col("d")).as("mxd"))
+    li.crossJoin(broadcast(bounds))
+      .select(expr(
+        """stack(3,
+          |  'l_quantity',      q, mnq, mxq,
+          |  'l_extendedprice', p, mnp, mxp,
+          |  'l_discount',      d, mnd, mxd
+          |) AS (col_name, x, mn, mx)""".stripMargin))
+      .select(col("col_name"),
+        least(lit(HIST_BUCKETS - 1),
+          floor((col("x") - col("mn")) * HIST_BUCKETS / (col("mx") - col("mn")))
+            .cast("bigint")).as("bucket"),
+        col("mn"), col("mx"))
+      .groupBy(col("col_name"), col("bucket"), col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("col_name"), col("bucket"),
+        (col("mn") + col("bucket") * ((col("mx") - col("mn")) / HIST_BUCKETS)).as("bucket_lo"),
+        (col("mn") + (col("bucket") + 1) * ((col("mx") - col("mn")) / HIST_BUCKETS)).as("bucket_hi"),
+        col("n_rows"))
+      .orderBy("col_name", "bucket")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
@@ -1228,5 +1303,5 @@ object Relational {
     q24JsonFuncs, q25ApproxQuantiles, q26MovingWindow, q27Lateral,
     q28GroupingSets, q29GapFill, q30Unpivot, q31SaltedJoin, q32LatestPerKey,
     q33RankFamily, q34CorrelatedSubquery, q35Scd2, q36IncrementalAgg,
-    q37BloomJoin, dp1Profile)
+    q37BloomJoin, dp1Profile, dp3Histogram)
 }

@@ -647,8 +647,57 @@ object TextAnalysis {
       .orderBy(col("tv_num").desc, col("token"))
   }
 
+  /** Per-document bigram predictability against the corpus bigram
+    * model — the cheap language-model-ish signal a curation pipeline
+    * uses before any neural scorer: documents whose word transitions are
+    * corpus-typical (high mean bigram frequency, few hapax transitions)
+    * read as fluent/templated; documents full of corpus-unique
+    * transitions are either novel or garbled. Two shuffles at any
+    * scale: one to build the corpus bigram count table (map-side
+    * partials over exploded bigram instances), one to join it back to
+    * the instances and re-aggregate per doc. The count table is the
+    * n-gram LM table of the corpus; at 100 TB you'd materialize it once
+    * and reuse it across scoring runs.
+    *
+    * Determinism: every emitted number is an integer count or a single
+    * division of two integer sums (rounded) — no double reductions, so
+    * partitioned and single-threaded evaluation agree exactly.
+    */
+  val t14BigramStats: Q = Q.sql(
+    "t14_bigram_stats",
+    "Per-doc bigram predictability vs the corpus bigram table: counts, hapax transitions, mean frequency.",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |b AS (
+      |  SELECT doc_id, [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS bg
+      |  FROM w WHERE len(w) >= 2),
+      |ex AS (SELECT doc_id, UNNEST(bg) AS bg FROM b),
+      |cnt AS (SELECT bg, COUNT(*) AS c FROM ex GROUP BY bg)
+      |SELECT e.doc_id,
+      |       COUNT(*) AS n_bigrams,
+      |       COUNT(DISTINCT e.bg) AS n_distinct_bigrams,
+      |       CAST(SUM(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |       ROUND(CAST(SUM(c.c) AS DOUBLE) / COUNT(*), 6) AS mean_bigram_freq
+      |FROM ex e JOIN cnt c ON e.bg = c.bg
+      |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin) { (spark, dir) =>
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        (x, i) => concat(x, lit(" "), element_at(col("w"), i + 2)))).as("bg"))
+    val cnt = ex.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    ex.join(cnt, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bg")).as("n_distinct_bigrams"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        round(sum(col("c")).cast("double") / count(lit(1)), 6).as("mean_bigram_freq"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3TokenStats, t4Fingerprint,
     t5BpeTokens, t6HeavyHitters, t7Normalize, t8DistinctiveTerms,
     t9Repetition, t10Commonness, t11TfidfCosine, t12Chunk, t13PiiRedact,
-    dp2Drift)
+    t14BigramStats, dp2Drift)
 }

@@ -107,6 +107,30 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("e6 gate frame consumes bucketed scans with no pre-join exchange") {
+    val sf = TestSpark.sf0001
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at gate sf the orders side is broadcast-sized, which would hide
+      // the bucketing; disable it so the spec pins the SMJ shape the
+      // layout exists for
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = EtlQueries.bucketedJoinFrame(spark, sf)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scans not bucketed in:\n$plan")
+      val exchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(exchanges === Seq("o_orderstatus"),
+        s"join inputs were shuffled despite bucketing: $exchanges\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("partitioned layout prunes non-matching partitions at the scan") {
     val sf = TestSpark.sf0001
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
