@@ -23,6 +23,19 @@ object Bench {
     // definition; note count() lets Catalyst prune final projections of
     // map-shaped queries — full-result execution is exercised by Verify,
     // which writes every query's complete output
+    // fixed-work machine-speed sanity probes, reported alongside the
+    // query times: cross-round comparisons are only meaningful scaled by
+    // these (the bench box is a shared VM — host contention between
+    // rounds shows up here as a uniform shift, distinct from a real
+    // engine regression)
+    val calT0 = System.nanoTime()
+    spark.range(3000000000L).selectExpr("sum(id % 1000)").collect()
+    val calPar = (System.nanoTime() - calT0) / 1e9
+    val calS0 = System.nanoTime()
+    var calAcc = 0L; var calI = 0L
+    while (calI < 300000000L) { calAcc += calI * 31; calI += 1 }
+    val calSingle =
+      if (calAcc != 0L) (System.nanoTime() - calS0) / 1e9 else -1.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -34,7 +47,9 @@ object Bench {
         .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""cal_single_sec":${fmt(calSingle)},"cal_parallel_sec":${fmt(calPar)},""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
     }
     val full = jsonLine(results)
     // the full map to a bare file at an absolute path (sbt's cwd is the
