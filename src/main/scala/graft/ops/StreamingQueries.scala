@@ -293,6 +293,74 @@ object StreamingQueries {
       .orderBy("window_start", "nation")
   }
 
+  /** foreachBatch upsert sink — the pattern behind every "stream into a
+    * keyed table" deployment: each micro-batch MERGEs into the running
+    * per-user latest-event state. Without a transactional table format
+    * the merge is expressed as versioned snapshots — batch k reads
+    * snapshot k-1, unions its own batch-local winners, keeps the
+    * per-key winner by the SAME (ts, event_id) order on both levels, and
+    * writes snapshot k; the final snapshot must equal the batch
+    * latest-per-key over all events (the oracle). That equality is the
+    * whole point: upsert-merge is associative under a total per-key
+    * order, so incremental maintenance matches the full recompute no
+    * matter how the stream is batched.
+    *
+    * 100 TB shape: state is one row per key (users ≪ events); each
+    * micro-batch pre-collapses map-side to its per-key winners before
+    * touching state, so merge IO is O(|keys|), not O(|batch|). The
+    * snapshot rewrite is what Delta/Iceberg replace with a MERGE commit
+    * — same dataflow, transactional bookkeeping instead of directory
+    * versions.
+    */
+  val w11StreamUpsert: Q = Q.sql(
+    "w11_stream_upsert",
+    "foreachBatch upsert: per-user latest event merged across micro-batches via versioned snapshots.",
+    """WITH ranked AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         CAST(value AS DOUBLE) AS value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+      |       event_type AS last_type, value AS last_value
+      |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val root = fastTmpDir("graft_upsert_w11")
+    val latestW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    def latestPerKey(df: DataFrame): DataFrame = df
+      .withColumn("rn", row_number().over(latestW))
+      .filter(col("rn") === 1).drop("rn")
+    @volatile var current: Option[String] = None
+    val src = EventsStream.read(spark, eventsPath(spark, dir))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        // collapse the batch to its per-key winners BEFORE touching
+        // state — merge IO is then O(|keys in batch|)
+        val winners = latestPerKey(batch)
+        val merged = current match {
+          case None => winners
+          case Some(prev) => latestPerKey(s.read.parquet(prev).union(winners))
+        }
+        val out = s"$root/v$batchId"
+        merged.write.mode("overwrite").parquet(out)
+        current = Some(out)
+        ()
+      }
+      .option("checkpointLocation", fastTmpDir("graft_ckpt_w11"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(current.getOrElse(
+      sys.error("w11: no micro-batch ran")))
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), col("event_type").as("last_type"),
+        col("value").cast("double").as("last_value"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(w3StreamTumbling, w4StreamSession, w5StreamDedup,
-    w6CustomSessionizer, w7StreamJoin, w10StreamStatic)
+    w6CustomSessionizer, w7StreamJoin, w10StreamStatic, w11StreamUpsert)
 }
