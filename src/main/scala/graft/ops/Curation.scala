@@ -402,7 +402,93 @@ object Curation {
       .orderBy("stage")
   }
 
+  /** The dataset card — the corpus-level summary a released training
+    * set ships with: scale (docs, tokens, chars), composition (language
+    * shares, source count), redundancy (exact-dup rate), and mean
+    * quality. One row per metric, every value a DOUBLE (exact integers
+    * stay exact below 2^53; ratios are one division of integer sums).
+    *
+    * One corpus scan feeds a single wide aggregate (counts + integer
+    * sums + two lone distinct-counts) and a tiny per-lang aggregate for
+    * the composition rows; the report is a constant-size union of the
+    * two. The mean quality uses the s4 quantized-integer-sum trick
+    * (`floor(q·1e7)` summed as BIGINT) so the double reduction is
+    * order-independent — a raw SUM(double) would drift between
+    * partitioned and single-threaded evaluation.
+    */
+  val p10DatasetCard: Q = Q.sql(
+    "p10_dataset_card",
+    "Corpus dataset card: scale, language composition, dup rate, mean quality — one row per metric.",
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |         string_split(text, ' ') AS w,
+       |         md5(lower(trim(text))) AS content_key
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang, source, n_chars, content_key,
+       |         len(w) AS n_tokens,
+       |         ${TextAnalysis.qualitySql("w")} AS quality
+       |  FROM w),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |         CAST(COUNT(DISTINCT content_key) AS BIGINT) AS n_uniq,
+       |         CAST(SUM(CAST(FLOOR(quality * 10000000.0) AS BIGINT)) AS BIGINT) AS q_fp
+       |  FROM scored),
+       |langs AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM scored GROUP BY lang)
+       |SELECT metric, ROUND(value, 6) AS value FROM (
+       |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM agg
+       |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM agg
+       |  UNION ALL SELECT 'n_chars', CAST(n_chars AS DOUBLE) FROM agg
+       |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM agg
+       |  UNION ALL SELECT 'exact_dup_rate',
+       |    1.0 - CAST(n_uniq AS DOUBLE) / n_docs FROM agg
+       |  UNION ALL SELECT 'mean_quality',
+       |    CAST(q_fp AS DOUBLE) / 10000000.0 / n_docs FROM agg
+       |  UNION ALL SELECT 'mean_chars', CAST(n_chars AS DOUBLE) / n_docs FROM agg
+       |  UNION ALL SELECT 'pct_lang_' || lang,
+       |    CAST(n AS DOUBLE) / (SELECT n_docs FROM agg) FROM langs)
+       |ORDER BY metric""".stripMargin) { (spark, dir) =>
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        TextAnalysis.words.as("w"),
+        md5(lower(trim(col("text")))).as("content_key"))
+      .select(col("lang"), col("source"), col("n_chars"), col("content_key"),
+        size(col("w")).as("n_tokens"),
+        TextAnalysis.qualityCol(col("w")).as("quality"))
+    val agg = scored.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      sum(floor(col("quality") * 10000000.0).cast("bigint")).as("q_fp"))
+    // each lone distinct-count as its own scan (dp1's rationale: mixing
+    // distinct and plain aggregates forces an Expand row explosion)
+    val srcs = scored.agg(countDistinct(col("source")).as("n_sources"))
+    val uniq = scored.agg(countDistinct(col("content_key")).as("n_uniq"))
+    val scalars = agg.crossJoin(broadcast(srcs)).crossJoin(broadcast(uniq)).select(expr(
+      """stack(7,
+        |  'n_docs',         CAST(n_docs AS DOUBLE),
+        |  'n_tokens',       CAST(n_tokens AS DOUBLE),
+        |  'n_chars',        CAST(n_chars AS DOUBLE),
+        |  'n_sources',      CAST(n_sources AS DOUBLE),
+        |  'exact_dup_rate', 1.0D - CAST(n_uniq AS DOUBLE) / n_docs,
+        |  'mean_quality',   CAST(q_fp AS DOUBLE) / 10000000.0D / n_docs,
+        |  'mean_chars',     CAST(n_chars AS DOUBLE) / n_docs
+        |) AS (metric, value)""".stripMargin))
+    val nDocs = agg.select(col("n_docs"))
+    val langRows = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(nDocs))
+      .select(concat(lit("pct_lang_"), col("lang")).as("metric"),
+        (col("n").cast("double") / col("n_docs")).as("value"))
+    scalars.union(langRows)
+      .select(col("metric"), round(col("value"), 6).as("value"))
+      .orderBy("metric")
+  }
+
   val all: Seq[Q] = Seq(p1Curation, p2HashSplit, p3IncrementalDedup,
     p4Decontamination, p5DomainQuota, p6SequencePack, p7StratifiedSample,
-    p8MixtureResample, p9RejectFunnel)
+    p8MixtureResample, p9RejectFunnel, p10DatasetCard)
 }
