@@ -341,13 +341,12 @@ object Curation {
   /** Pipeline observability: the per-stage rejection funnel every
     * production curation run reports — how many documents each gate
     * (language → quality → length → exact dedup) admitted and rejected.
-    * ONE corpus scan computes every stage: each doc gets cumulative
-    * pass/fail flags, a single aggregate sums them (the dedup stage's
-    * survivor count is a distinct-count of content keys among stage-3
-    * passers — a lone distinct aggregate, so it plans as a two-phase
-    * distinct without an Expand), and a literal `stack` shapes the
-    * 4-row report. At 100 TB this replaces 4 separate filtered counts —
-    * 4 scans — with 1, and the report row count is constant.
+    * Each doc gets cumulative pass/fail flags and one aggregate sums
+    * them all; the dedup stage's survivor count is a lone distinct-count
+    * of content keys among stage-3 passers, which Spark plans as its own
+    * narrow two-phase scan (no Expand). A literal `stack` shapes the
+    * 4-row report. Scans don't scale with the stage count — 4 gates cost
+    * 2 narrow passes (pinned by PlanSpec), not 4 filtered counts.
     */
   val p9RejectFunnel: Q = Q.sql(
     "p9_reject_funnel",

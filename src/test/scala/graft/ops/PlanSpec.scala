@@ -128,4 +128,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1").contains("lang"),
       s"lang degraded to a data filter:\n$p")
   }
+
+  test("dp3: histogram is one corpus pass — bounds ride a broadcast, never a shuffle") {
+    val p = plan(Relational.dp3Histogram)
+    // the single-row bounds frame joins back via BroadcastNestedLoopJoin
+    // (cross join of one row); a shuffled join here would mean the main
+    // scan waits on a repartition of itself
+    assert(p.contains("BroadcastNestedLoop") || p.contains("BroadcastExchange"),
+      s"bounds row not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian in:\n$p")
+  }
+
+  test("p9: funnel scans don't scale with the stage count") {
+    val p = plan(Curation.p9RejectFunnel)
+    // all four cumulative stage counters come from ONE scan; the lone
+    // distinct-count (dedup survivors) gets its own narrow scan — 4
+    // stages must never mean 4 scans
+    assert("documents\\.parquet".r.findAllIn(p).size <= 2,
+      s"funnel re-scans the corpus per stage:\n$p")
+  }
+
+  test("g3: affinity pairs meet on a customer equi-join, never a cross join") {
+    val p = plan(Graph.g3SupplierAffinity)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pair generation degraded to a cross join:\n$p")
+  }
+
+  test("t14: bigram stats shuffle on the bigram and the doc key only") {
+    val p = plan(TextAnalysis.t14BigramStats)
+    assert(!p.contains("CartesianProduct"), s"cross join in:\n$p")
+    // corpus count table joins back to instances as an equi-join on bg
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join on bigram key in:\n$p")
+  }
 }
