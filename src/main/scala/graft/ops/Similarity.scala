@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.Q
+import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
@@ -556,6 +556,87 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  private val RETRIEVE_K = 3
+
+  /** End-to-end retrieval — the composed query a RAG / nearest-example
+    * pipeline actually runs, crossing both modality tables: probe
+    * DOCUMENTS (doc_id < 10) → their embeddings (vec_id = doc_id) →
+    * hyperplane-LSH in-bucket neighbors (s2's buckets, bit-identical
+    * planes) → top-[[RETRIEVE_K]] by exact cosine → joined BACK to the
+    * documents table for the neighbor's language and a text fingerprint.
+    *
+    * Composition is the point: embeddings never leave the bucket
+    * equi-join, the documents table contributes only the two narrow
+    * columns the output needs (column pruning reaches both scans), and
+    * the final text join touches just probe·k rows — at 100 TB the
+    * corpus text is petabytes the retrieval never drags through the
+    * similarity plan.
+    */
+  val s9RetrievalE2e: Q = Q.sql(
+    "s9_retrieval_e2e",
+    s"Cross-table retrieval: probe docs → LSH-bucket ANN top-$RETRIEVE_K → neighbor docs with lang + fingerprint.",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm,
+       |         ${(0 until PLANES).map(p =>
+            s"""CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               |           list_transform(range(1, len(v) + 1), i -> v[i] * (${planeSqlArray(p)})[i])), (x, y) -> x + y) > 0
+               |      THEN ${1 << p} ELSE 0 END""".stripMargin).mkString(" + ")} AS bucket
+       |  FROM e),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_doc_id, c.vec_id AS neighbor_doc_id,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(p.v) + 1), i -> p.v[i] * c.v[i])), (x, y) -> x + y)
+       |           / (p.nrm * c.nrm) AS cos
+       |  FROM n p JOIN n c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
+       |  WHERE p.vec_id < 10),
+       |ranked AS (
+       |  SELECT probe_doc_id, neighbor_doc_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_doc_id ORDER BY cos DESC, neighbor_doc_id) AS rnk
+       |  FROM scored)
+       |SELECT r.probe_doc_id, r.rnk, r.neighbor_doc_id, ROUND(r.cos, 6) AS cosine,
+       |       nd.lang AS neighbor_lang,
+       |       CASE WHEN nd.lang = pd.lang THEN 1 ELSE 0 END AS same_lang,
+       |       md5(nd.text) AS neighbor_md5
+       |FROM ranked r
+       |JOIN documents pd ON r.probe_doc_id = pd.doc_id
+       |JOIN documents nd ON r.neighbor_doc_id = nd.doc_id
+       |WHERE r.rnk <= $RETRIEVE_K
+       |ORDER BY r.probe_doc_id, r.rnk""".stripMargin) { (spark, dir) =>
+    val n0 = Dedup.normedVectors(spark, dir)
+    val bucket = (0 until PLANES).map { p =>
+      when(aggregate(zip_with(col("v"), planeCol(p), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val n = n0.withColumn("bucket", bucket)
+    val probes = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_doc_id"), col("bucket"),
+        col("v").as("pv"), col("nrm").as("pnrm"))
+    val cos = Dedup.cosineCol(col("pv"), col("v"), col("pnrm"), col("nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_doc_id")).orderBy(col("cos").desc, col("neighbor_doc_id"))
+    val ranked = broadcast(probes)
+      .join(n.drop("bucket").withColumn("bucket2", bucket),
+        col("bucket") === col("bucket2") && col("vec_id") =!= col("probe_doc_id"))
+      .select(col("probe_doc_id"), col("vec_id").as("neighbor_doc_id"), cos.as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= RETRIEVE_K)
+    val docs = Tables.documents(spark, dir)
+    ranked
+      .join(broadcast(docs.select(col("doc_id").as("pd_id"), col("lang").as("probe_lang"))),
+        col("probe_doc_id") === col("pd_id"))
+      .join(docs.select(col("doc_id").as("nd_id"), col("lang").as("neighbor_lang"),
+          md5(col("text").cast("binary")).as("neighbor_md5")),
+        col("neighbor_doc_id") === col("nd_id"))
+      .select(col("probe_doc_id"), col("rnk"), col("neighbor_doc_id"),
+        round(col("cos"), 6).as("cosine"), col("neighbor_lang"),
+        when(col("neighbor_lang") === col("probe_lang"), 1).otherwise(0).as("same_lang"),
+        col("neighbor_md5"))
+      .orderBy("probe_doc_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4LabelCentroids,
-    s5KnnJoin, s6Quantize, s7Mips, s8AnnRerank)
+    s5KnnJoin, s6Quantize, s7Mips, s8AnnRerank, s9RetrievalE2e)
 }
