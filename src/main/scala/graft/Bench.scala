@@ -41,6 +41,13 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
+    // re-run the parallel probe AFTER the query loop: contention that
+    // arrives mid-run is invisible to the start-of-run sample, so the
+    // pair brackets the run (matching values = clean run; a higher end
+    // value = totals are contention-inflated)
+    val calT1 = System.nanoTime()
+    spark.range(3000000000L).selectExpr("sum(id % 1000)").collect()
+    val calParEnd = (System.nanoTime() - calT1) / 1e9
     def fmt(v: Double): String = f"$v%.3f"
     def jsonLine(m: Map[String, Double]): String = {
       val qs = m.toSeq.sortBy(-_._2)
@@ -49,6 +56,7 @@ object Bench {
       val total = if (results.nonEmpty) results.values.sum else 0.0
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""cal_single_sec":${fmt(calSingle)},"cal_parallel_sec":${fmt(calPar)},""" +
+        s""""cal_parallel_end_sec":${fmt(calParEnd)},""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     }
     val full = jsonLine(results)
