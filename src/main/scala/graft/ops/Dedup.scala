@@ -626,6 +626,97 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  private val CONTAIN_T = 0.8
+
+  /** Containment / near-superset detection: pairs whose overlap
+    * coefficient |A∩B| / min(|A|,|B|) ≥ [[CONTAIN_T]] over the 3-shingle
+    * sets. Jaccard (d2) misses the prefix/truncation duplicates every
+    * crawl corpus has — a doc that is 90% CONTAINED in a much longer doc
+    * has high overlap coefficient but low Jaccard (the size difference
+    * inflates the union). This is the asymmetric-dup operator that
+    * catches them.
+    *
+    * Candidate generation stays prefix-filtered but ASYMMETRIC: for a
+    * qualifying pair, the SMALLER set must share ≥ ⌈t·m⌉ of its m
+    * shingles, so its canonical-order prefix of m − ⌈t·m⌉ + 1 elements
+    * must intersect the other doc's FULL set (missing the entire prefix
+    * caps the intersection at ⌈t·m⌉ − 1). Hence: join each doc's prefix
+    * ([[prefixIndex]], reused from d2 — the t-threshold prefix is valid
+    * for any measure needing ≥ ⌈t·min⌉ shared elements) against the full
+    * inverted postings of all OTHER docs. One side of the join is
+    * prefix-thin (rare shingles by df-ascending selection), so hot-shingle
+    * df² blowup only arises where a hot shingle lands in some prefix —
+    * which df-ascending ordering makes rare by construction. Verify is
+    * exact on the real shingle sets ([[GraftExpressions.intersectCount]]),
+    * same two-join shape as [[jaccardVerify]].
+    */
+  val d8Containment: Q = Q.sql(
+    "d8_dedup_containment",
+    s"Near-superset pairs: shingle overlap coefficient >= $CONTAIN_T via asymmetric prefix filter.",
+    s"""WITH $shinglesSqlCte,
+       |cnt AS (SELECT doc_id, len(s) AS nsh FROM sh WHERE len(s) > 0),
+       |ex AS (SELECT doc_id, UNNEST(s) AS s FROM sh WHERE len(s) > 0),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b, ca.nsh AS nsh_a, cb.nsh AS nsh_b,
+       |  ROUND(CAST(c.n_common AS DOUBLE) / LEAST(ca.nsh, cb.nsh), 6) AS overlap_coef
+       |FROM common c
+       |JOIN cnt ca ON c.doc_a = ca.doc_id
+       |JOIN cnt cb ON c.doc_b = cb.doc_id
+       |WHERE CAST(c.n_common AS DOUBLE) / LEAST(ca.nsh, cb.nsh) >= $CONTAIN_T
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val docs = shingledDocs(spark, dir)
+    val full = docs
+      .select(col("doc_id"), explode(col("s")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("sh"))
+    val cand = prefixIndex(docs, CONTAIN_T).as("p")
+      .join(full.as("f"),
+        col("p.sh") === col("f.sh") && col("p.doc_id") =!= col("f.doc_id"))
+      .select(least(col("p.doc_id"), col("f.doc_id")).as("doc_a"),
+        greatest(col("p.doc_id"), col("f.doc_id")).as("doc_b"))
+      .distinct()
+    // verify join order: bare candidate pairs broadcast into the corpus
+    // scan; the array-carrying intermediate then sort-merges on doc_b so
+    // each shingle array moves once — same measured shape as jaccardVerify
+    val withA = broadcast(cand)
+      .join(docs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("sa.s").as("s_a"))
+    val nCommon = GraftExpressions.intersectCount(col("s_a"), col("sb.s"))
+    val oc = nCommon.cast("double") /
+      least(size(col("s_a")), size(col("sb.s")))
+    withA.hint("merge")
+      .join(docs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(oc >= CONTAIN_T)
+      .select(col("doc_a"), col("doc_b"),
+        size(col("s_a")).cast("bigint").as("nsh_a"),
+        size(col("sb.s")).cast("bigint").as("nsh_b"),
+        round(oc, 6).as("overlap_coef"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Naive full-inverted-index containment pairs — the cross-check
+    * reference proving d8's asymmetric prefix filter lossless (OpsSpec).
+    */
+  def containmentPairsNaive(spark: SparkSession, dir: String, t: Double): DataFrame = {
+    val docs = shingledDocs(spark, dir)
+    val ex = docs.select(col("doc_id"), explode(col("s")).as("s"))
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withA = broadcast(cand)
+      .join(docs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("sa.s").as("s_a"))
+    val nCommon = GraftExpressions.intersectCount(col("s_a"), col("sb.s"))
+    val oc = nCommon.cast("double") /
+      least(size(col("s_a")), size(col("sb.s")))
+    withA.join(docs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(oc >= t)
+      .select(col("doc_a"), col("doc_b"), round(oc, 6).as("overlap_coef"))
+  }
+
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
-    d5EmbeddingCosine, d6DedupClusters, d7DedupApply)
+    d5EmbeddingCosine, d6DedupClusters, d7DedupApply, d8Containment)
 }

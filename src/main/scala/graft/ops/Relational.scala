@@ -1296,6 +1296,148 @@ object Relational {
       .orderBy("col_name", "bucket")
   }
 
+  /** Peak session concurrency per hour — the interval/sweep-line
+    * operator: how many 30-minute-gap user sessions are simultaneously
+    * open. The naive formulation is an interval self-join (every session
+    * × every overlapping session — O(n²) on busy hours); the sweep line
+    * reduces it to boundary events (+1 at session start, −1 at end) and
+    * ONE running sum in global (t, delta) order.
+    *
+    * The running sum is the scale hazard: a bare `Window.orderBy` funnels
+    * every boundary through one task. Same cure as c6 — two-phase:
+    * range-partition on the sweep key, partition-local running sums, then
+    * add per-partition offsets (the offsets frame is #partitions rows).
+    * Determinism under ties: equal (t, delta) rows may order arbitrarily,
+    * but a tie group's prefix sums form the same value MULTISET in any
+    * order (ends sort before starts at equal t via delta asc, so the
+    * "free before claim" convention is fixed), and the hourly MAX/COUNT
+    * read only that multiset — bit-stable on both engines.
+    */
+  val q38PeakConcurrency: Q = Q.sql(
+    "q38_peak_concurrency",
+    "Peak concurrent 30-min-gap sessions per hour via two-phase sweep line.",
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT MIN(ts) AS ss, MAX(ts) + INTERVAL 30 MINUTE AS se
+      |  FROM numbered GROUP BY user_id, sid),
+      |b AS (
+      |  SELECT ss AS t, 1 AS delta FROM sess
+      |  UNION ALL SELECT se, -1 FROM sess),
+      |r AS (
+      |  SELECT t, CAST(SUM(delta) OVER (ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+      |  FROM b)
+      |SELECT date_trunc('hour', t) AS hour, MAX(running) AS peak_concurrent,
+      |       COUNT(*) AS n_boundaries
+      |FROM r GROUP BY 1 ORDER BY hour""".stripMargin) { (spark, dir) =>
+    val sess = Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("ss"),
+        col("session_window.end").as("se"))
+    val b = sess.select(col("ss").as("t"), lit(1).as("delta"))
+      .unionAll(sess.select(col("se").as("t"), lit(-1).as("delta")))
+    // Phase 1: range partitioning makes partition i's keys precede
+    // partition i+1's, so local running sums + a per-partition base offset
+    // reconstruct the global sweep without a single-task sort.
+    val local = b.repartitionByRange(col("t"), col("delta"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("run_local", sum(col("delta")).over(
+        Window.partitionBy("pid").orderBy("t", "delta")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    // Phase 2: offsets frame has #partitions rows — the only ordered
+    // window left is O(#partitions), data-volume-independent.
+    val offsets = local.groupBy("pid")
+      .agg(sum(col("delta")).as("tot"))
+      .withColumn("offset",
+        coalesce(sum("tot").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("pid", "offset")
+    local.join(broadcast(offsets), "pid")
+      .select(col("t"),
+        (col("offset") + col("run_local")).cast("bigint").as("running"))
+      .groupBy(date_trunc("hour", col("t")).as("hour"))
+      .agg(max(col("running")).as("peak_concurrent"),
+        count(lit(1)).as("n_boundaries"))
+      .orderBy("hour")
+  }
+
+  /** Single-scan exact Pearson correlation for the three lineitem
+    * measure columns — the dependence half of the column profiler (dp1
+    * moments, dp3 shapes, dp4 relationships). All accumulation is
+    * integer-exact: values become ×100 fixed-point BIGINTs at the scan
+    * (2-decimal money-shaped inputs, so ROUND(x·100) is lossless), the
+    * ten sufficient statistics (n, Σx, Σx², Σxy per pair) accumulate in
+    * one aggregate over one scan, and the correlation numerators
+    * n·Σxy − Σx·Σy are formed in 38-digit exact arithmetic (DECIMAL on
+    * Spark, HUGEINT on DuckDB) before ONE final cast to double — so
+    * reduction order cannot perturb the result on either engine. Scale:
+    * this is a map-side-combined aggregate to a single row (the classic
+    * sufficient-statistics pattern); adding columns grows the row, never
+    * the pass count. Σ(p²) at ×100 scale tops 2⁶³ around 1 B rows —
+    * hence the DECIMAL(38,0)/HUGEINT accumulators, good to ~10²⁴ rows.
+    */
+  val dp4Correlation: Q = Q.sql(
+    "dp4_correlation",
+    "Exact-arithmetic Pearson correlation matrix of three lineitem columns in one scan.",
+    """WITH f AS (
+      |  SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS q,
+      |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+      |         CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT COUNT(*) AS n,
+      |         SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd,
+      |         SUM(q*q) AS sqq, SUM(p*p) AS spp, SUM(d*d) AS sdd,
+      |         SUM(q*p) AS sqp, SUM(q*d) AS sqd, SUM(p*d) AS spd
+      |  FROM f),
+      |pairs AS (
+      |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
+      |         n*sqp - sq*sp AS cov_num, n*sqq - sq*sq AS varx, n*spp - sp*sp AS vary
+      |  FROM s
+      |  UNION ALL
+      |  SELECT 'l_quantity', 'l_discount', n, n*sqd - sq*sd, n*sqq - sq*sq, n*sdd - sd*sd
+      |  FROM s
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', 'l_discount', n, n*spd - sp*sd, n*spp - sp*sp, n*sdd - sd*sd
+      |  FROM s)
+      |SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+      |       ROUND(CAST(cov_num AS DOUBLE) / SQRT(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 6) AS corr
+      |FROM pairs ORDER BY col_x, col_y""".stripMargin) { (spark, dir) =>
+    val f = Tables.lineitem(spark, dir).select(
+      round(col("l_quantity") * 100, 0).cast("bigint").as("q"),
+      round(col("l_extendedprice") * 100, 0).cast("bigint").as("p"),
+      round(col("l_discount") * 100, 0).cast("bigint").as("d"))
+    // BIGINT per-row products (max ~1e14, no overflow) summed in
+    // DECIMAL(38,0) (Σp² passes 2^63 well inside the gate sfs)
+    def sdec(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    val s = f.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sdec(col("q")).as("sq"), sdec(col("p")).as("sp"), sdec(col("d")).as("sd"),
+      sdec(col("q") * col("q")).as("sqq"), sdec(col("p") * col("p")).as("spp"),
+      sdec(col("d") * col("d")).as("sdd"), sdec(col("q") * col("p")).as("sqp"),
+      sdec(col("q") * col("d")).as("sqd"), sdec(col("p") * col("d")).as("spd"))
+    s.select(expr(
+        """stack(3,
+          |  'l_quantity', 'l_extendedprice', n, n*sqp - sq*sp, n*sqq - sq*sq, n*spp - sp*sp,
+          |  'l_quantity', 'l_discount',      n, n*sqd - sq*sd, n*sqq - sq*sq, n*sdd - sd*sd,
+          |  'l_extendedprice', 'l_discount', n, n*spd - sp*sd, n*spp - sp*sp, n*sdd - sd*sd
+          |) AS (col_x, col_y, n0, cov_num, varx, vary)""".stripMargin))
+      .select(col("col_x"), col("col_y"), col("n0").cast("bigint").as("n"),
+        round(col("cov_num").cast("double") /
+          sqrt(col("varx").cast("double") * col("vary").cast("double")), 6)
+          .as("corr"))
+      .orderBy("col_x", "col_y")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
@@ -1303,5 +1445,5 @@ object Relational {
     q24JsonFuncs, q25ApproxQuantiles, q26MovingWindow, q27Lateral,
     q28GroupingSets, q29GapFill, q30Unpivot, q31SaltedJoin, q32LatestPerKey,
     q33RankFamily, q34CorrelatedSubquery, q35Scd2, q36IncrementalAgg,
-    q37BloomJoin, dp1Profile, dp3Histogram)
+    q37BloomJoin, q38PeakConcurrency, dp1Profile, dp3Histogram, dp4Correlation)
 }

@@ -271,6 +271,36 @@ object StreamingQueries {
       .orderBy("purchase_id", "click_ts")
   }
 
+  /** Hopping windows on the streaming engine — the streaming twin of the
+    * batch w9: 1-hour span sliding every 15 minutes, Complete mode so
+    * every window emits and the drained sink equals the batch epoch-grid
+    * oracle exactly. The interesting streaming property vs w3: each input
+    * row feeds FOUR window states, so the state store holds ~4× the
+    * window keys while the watermark retires a slide boundary every 15
+    * minutes — the fan-out happens map-side before the single shuffle,
+    * never as a self-join.
+    */
+  val w12StreamHopping: Q = Q.sql(
+    "w12_stream_hopping",
+    "Streaming hopping 1h/15min window x event_type (readStream -> memory sink) vs epoch-grid SQL.",
+    """WITH expanded AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+      |           - k.k * 900000000) AS window_start,
+      |         event_type, value
+      |  FROM events CROSS JOIN (SELECT UNNEST(range(4)) AS k) k)
+      |SELECT window_start,
+      |       window_start + INTERVAL 1 HOUR AS window_end,
+      |       event_type,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM expanded
+      |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin) { (spark, dir) =>
+    val stream = EventsStream.hoppingCounts(
+      EventsStream.read(spark, eventsPath(spark, dir)))
+    runStream(spark, "w12_stream_hopping", stream, OutputMode.Complete())
+      .orderBy("window_start", "event_type")
+  }
+
   /** Stream-static join under the gate: the event stream enriched
     * against the static customer dim (broadcast per micro-batch — the
     * stateless join kind; only the downstream windowed aggregate holds
@@ -362,5 +392,6 @@ object StreamingQueries {
   }
 
   val all: Seq[Q] = Seq(w3StreamTumbling, w4StreamSession, w5StreamDedup,
-    w6CustomSessionizer, w7StreamJoin, w10StreamStatic, w11StreamUpsert)
+    w6CustomSessionizer, w7StreamJoin, w10StreamStatic, w11StreamUpsert,
+    w12StreamHopping)
 }

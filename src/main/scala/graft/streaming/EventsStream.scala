@@ -59,6 +59,24 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Hopping (sliding) 1h windows every 15 minutes with a 10-minute
+    * watermark — each event is replicated into its 4 overlapping windows
+    * map-side before the one shuffle on (window, event_type), exactly
+    * like the batch twin (`ops.EventWindows.w9Hopping`); state is per
+    * (window, event_type) and the watermark closes windows 4× faster
+    * than a tumbling 1h because a new slide boundary passes every 15
+    * minutes.
+    */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Native session windows (30-minute gap) per user with watermark. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

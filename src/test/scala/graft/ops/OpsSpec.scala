@@ -81,6 +81,60 @@ class OpsSpec extends AnyFunSuite {
     assert(exact.subsetOf(lsh))
   }
 
+  test("d8 asymmetric prefix filter is lossless: equals the naive containment join") {
+    val pref = Dedup.d8Containment.run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("overlap_coef"))).toSet
+    val naive = Dedup.containmentPairsNaive(spark, sf, 0.8).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("overlap_coef"))).toSet
+    assert(pref === naive)
+  }
+
+  test("d8 ⊇ d2: overlap coefficient dominates jaccard at the same threshold") {
+    val jac = Dedup.d2NgramJaccard.run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val cont = Dedup.d8Containment.run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(jac.subsetOf(cont))
+  }
+
+  test("q38: two-phase sweep equals a driver-side sweep over the w2 sessions") {
+    val sessions = EventWindows.w2Session.run(spark, sf).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start").getTime,
+        r.getAs[java.sql.Timestamp]("session_end").getTime))
+    val bounds = sessions.flatMap { case (s, e) => Seq((s, 1), (e, -1)) }
+      .sortBy { case (t, d) => (t, d) }
+    var running = 0L
+    val perHour = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    bounds.foreach { case (t, d) =>
+      running += d
+      val hour = math.floorDiv(t, 3600000L) * 3600000L
+      val (mx, n) = perHour.getOrElse(hour, (Long.MinValue, 0L))
+      perHour(hour) = (math.max(mx, running), n + 1)
+    }
+    assert(running === 0L) // every opened session closes
+    val got = Relational.q38PeakConcurrency.run(spark, sf).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour").getTime,
+        (r.getAs[Long]("peak_concurrent"), r.getAs[Long]("n_boundaries"))))
+      .toMap
+    assert(got === perHour.toMap)
+  }
+
+  test("dp4: exact-arithmetic corr matches Spark's built-in corr to 1e-6") {
+    val li = graft.Tables.lineitem(spark, sf)
+    val builtin = li.agg(
+      corr(col("l_quantity"), col("l_extendedprice")),
+      corr(col("l_quantity"), col("l_discount")),
+      corr(col("l_extendedprice"), col("l_discount"))).first()
+    val got = Relational.dp4Correlation.run(spark, sf).collect()
+      .map(r => (r.getAs[String]("col_x"), r.getAs[String]("col_y")) ->
+        r.getAs[Double]("corr")).toMap
+    assert(math.abs(got(("l_quantity", "l_extendedprice")) - builtin.getDouble(0)) < 1e-6)
+    assert(math.abs(got(("l_quantity", "l_discount")) - builtin.getDouble(1)) < 1e-6)
+    assert(math.abs(got(("l_extendedprice", "l_discount")) - builtin.getDouble(2)) < 1e-6)
+  }
+
   test("s1: each probe gets exactly top-10, ranks 1..10, cosine non-increasing") {
     val rows = Similarity.s1AnnBruteForce.run(spark, sf).collect()
     val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
