@@ -35,4 +35,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // storage region evicts under concurrent query pressure and recompute
   // cascades — the machine has 128 GiB, so headroom is free locally.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++
+  // dev-only GC visibility: SPARK_GRAFT_GC_LOG=/path writes a unified
+  // GC log from the forked JVM (perf triage; never set by the driver)
+  sys.env.get("SPARK_GRAFT_GC_LOG").map(p => s"-Xlog:gc*:file=$p").toSeq

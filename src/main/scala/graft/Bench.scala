@@ -11,8 +11,20 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep AQE (coalescing, skew splits) but disable RUNTIME demotion
+      // of shuffle joins to broadcast: demotion cancels the in-flight map
+      // stage, cancelled tasks are not reliably interruptible, and the
+      // abandoned work degrades every later query (measured 5-10×,
+      // intermittent). Every small-dim join in the registry already
+      // broadcasts EXPLICITLY at plan time, so demotion had nothing left
+      // to win here.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // when AQE cancels a superseded stage (runtime join replan), actually
+    // interrupt its tasks — otherwise an abandoned aggregate keeps burning
+    // cores as a zombie and every later query's time is noise
+    spark.sparkContext.setLocalProperty("spark.job.interruptOnCancel", "true")
     // warm up the JVM/codegen/parquet reader so the first measured query
     // doesn't absorb ~5s of one-time cost
     try {
@@ -36,7 +48,16 @@ object Bench {
     while (calI < 300000000L) { calAcc += calI * 31; calI += 1 }
     val calSingle =
       if (calAcc != 0L) (System.nanoTime() - calS0) / 1e9 else -1.0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only subset (comma-separated names); the driver never sets it,
+    // so its runs always measure the full registry
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // dev-only per-query trace on stderr (never set by the driver)
+    val trace = sys.env.get("SPARK_GRAFT_BENCH_TRACE").contains("1")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      if (trace) System.err.println(s"[bench] ${System.currentTimeMillis()} start $name")
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -17,8 +17,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS); see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // no runtime broadcast demotion (see Bench.scala) — cancelled map
+      // stages leave zombie tasks that slow every later dump
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // interrupt tasks of AQE-cancelled stages (see Bench) — zombie tasks
+    // from one query would otherwise slow every later dump
+    spark.sparkContext.setLocalProperty("spark.job.interruptOnCancel", "true")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

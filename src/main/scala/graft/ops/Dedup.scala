@@ -81,10 +81,18 @@ object Dedup {
     // is the shingle index you'd materialize to storage once per corpus.
     shingleCache.getOrElseUpdate(spark, dir) {
       GraftExpressions.register(spark)
-      Tables.documents(spark, dir)
+      val df = Tables.documents(spark, dir)
         .select(col("doc_id"), shingles(col("text"), 3).as("s"))
         .filter(size(col("s")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager barrier: many consumers reference this frame from several
+      // join branches of ONE query; if the first query to touch it lets
+      // AQE materialize two branches concurrently, a runtime replan can
+      // cancel one mid-compute and the abandoned tasks burn cores as
+      // zombies (cancelled tasks are not interrupted). One cheap job
+      // materializes every block exactly once, before any race exists.
+      df.count()
+      df
     }
 
   /** Candidate pairs by prefix filtering (AllPairs/PPJoin): with a global
@@ -198,6 +206,27 @@ object Dedup {
 
   private val pairCache = new SessionCache[(String, Double), DataFrame](df => { df.unpersist(false); () })
 
+  private val prefixIdxCache = new SessionCache[(String, Double), DataFrame](df => { df.unpersist(false); () })
+
+  /** The materialized prefix index, persisted once per (session, dataset,
+    * threshold) and shared by d2 (self-join candidates) and d8 (prefix ×
+    * full-postings candidates). The count() barrier is LOAD-BEARING, not
+    * scratch: without it, AQE materializes a consuming join's two map
+    * stages concurrently, both racing to compute this same subtree; once
+    * one side's runtime size is known AQE replans the join and CANCELS
+    * the other stage — and cancelled tasks are not interrupted by
+    * default, so the abandoned sort-based collect_list aggregate keeps
+    * burning every core as a zombie long after the query returns
+    * (measured: later bench queries degraded 5-10× for minutes).
+    */
+  private def prefixIndexCached(spark: SparkSession, dir: String, t: Double): DataFrame =
+    prefixIdxCache.getOrElseUpdate(spark, (dir, t)) {
+      val idx = prefixIndex(shingledDocs(spark, dir), t)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx.count()
+      idx
+    }
+
   /** Verified jaccard ≥ t pairs, persisted once per (session, dataset,
     * threshold): d2 emits them and d6's cluster graph consumes them — at
     * 100 TB this is the pair table a dedup run materializes once.
@@ -205,20 +234,17 @@ object Dedup {
   private def jaccardPairs(spark: SparkSession, dir: String, t: Double): DataFrame =
     pairCache.getOrElseUpdate(spark, (dir, t)) {
       val docs = shingledDocs(spark, dir)
-      // materialize the prefix index ONCE before the self-join — unpersisted,
-      // Spark recomputes the explode→df-join→sort subtree for both join
-      // sides (this was the d2 bench regression in round 2). No eager
-      // count(): cached-block locking already computes each partition
-      // exactly once when the self-join's two branches race, and the
-      // barrier pass was pure extra wall-clock. cand needs no persist at
-      // all — it is referenced once, as join 1's broadcast probe.
-      val idx = prefixIndex(docs, t)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the prefix index is materialized ONCE (see prefixIndexCached —
+      // its count() barrier is what keeps AQE from cancelling a racing
+      // duplicate materialization and leaving zombie tasks; this was the
+      // round-5 bench mystery: "host contention" that was actually our
+      // own abandoned collect_list stages). Shared with d8, so it stays
+      // persisted instead of being dropped after the pair build.
+      val idx = prefixIndexCached(spark, dir, t)
       val cand = prefixSelfJoin(idx)
       val pairs = jaccardVerify(docs, cand, t)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pairs.count() // eager: the pair table is the product; the index is scratch
-      idx.unpersist(false)
+      pairs.count() // eager: the pair table is the product
       pairs
     }
 
@@ -292,6 +318,10 @@ object Dedup {
     // signature kernel once per join branch
     val sig = docs.select(col("doc_id"), col("s"), minhash(col("s"), K).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager barrier before the band self-join: see prefixIndexCached —
+    // a racing duplicate materialization cancelled by AQE leaves zombie
+    // tasks burning cores past the end of this query
+    sig.count()
     val bands = sig
       .select(col("doc_id"), explode(transform(sequence(lit(0), lit(BANDS - 1)), b =>
         struct(b.as("band"),
@@ -551,9 +581,13 @@ object Dedup {
     // they are RDD-level blocks a Dataset.unpersist cannot free, and
     // reclaiming them via internal LogicalRDD surgery is not worth the
     // fragility at this size.
-    try {
-      // inside the try: the eager checkpoint is already a Spark job, and
-      // a failure there must still unpersist edges
+    try Graph.withoutAqe(spark) {
+      // AQE off for the fixpoint loop, same as g1/g2: ~3 micro-stages per
+      // round over tiny known-size frames — per-stage re-planning was
+      // measured at 3× the loop cost on g1 and d6 shows the same
+      // intermittent multi-× inflation under AQE.
+      // (Inside the try: the eager checkpoint is already a Spark job, and
+      // a failure there must still unpersist edges.)
       var labels = edges.select(col("src").as("doc_id"))
         .distinct()
         .withColumn("label", col("doc_id"))
@@ -671,16 +705,19 @@ object Dedup {
     val full = docs
       .select(col("doc_id"), explode(col("s")).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("sh"))
-    val cand = prefixIndex(docs, CONTAIN_T).as("p")
+    val cand = prefixIndexCached(spark, dir, CONTAIN_T).as("p")
       .join(full.as("f"),
         col("p.sh") === col("f.sh") && col("p.doc_id") =!= col("f.doc_id"))
       .select(least(col("p.doc_id"), col("f.doc_id")).as("doc_a"),
         greatest(col("p.doc_id"), col("f.doc_id")).as("doc_b"))
       .distinct()
-    // verify join order: bare candidate pairs broadcast into the corpus
-    // scan; the array-carrying intermediate then sort-merges on doc_b so
-    // each shingle array moves once — same measured shape as jaccardVerify
-    val withA = broadcast(cand)
+    // verify joins are SHUFFLE joins here, unlike jaccardVerify's
+    // broadcast of d2's candidates: the asymmetric filter admits ~180k
+    // candidate pairs at sf0.1 (vs d2's few hundred) and the count grows
+    // with the corpus — a broadcast would serialize the whole pair table
+    // through the driver per join and is impossible at 100 TB. Two narrow
+    // shuffles on doc_a/doc_b move each shingle array exactly once.
+    val withA = cand.hint("merge")
       .join(docs.as("sa"), col("doc_a") === col("sa.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("sa.s").as("s_a"))
     val nCommon = GraftExpressions.intersectCount(col("s_a"), col("sb.s"))

@@ -64,8 +64,22 @@ object Graph {
         .select((col("o_custkey") * 2).as("a"),
           (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
-      eg.union(eg.select(col("b").as("a"), col("a").as("b")))
+      // both directions via a map-side explode, NOT union(eg, eg.swap):
+      // the union's second branch would recompute the whole
+      // join+distinct subtree a second time during materialization
+      val df = eg
+        .select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager barrier: g3's pair mine self-joins this frame, and an
+      // unmaterialized persisted frame under AQE risks a cancelled
+      // duplicate materialization whose tasks keep running as zombies
+      // (see Dedup.prefixIndexCached); g1/g2 also start from it, so the
+      // one materialization job is shared by the whole family
+      df.count()
+      df
     }
 
   /** Runs `body` with AQE off, restoring the previous setting. The
@@ -73,7 +87,7 @@ object Graph {
     * cannot improve (sizes are known, skew is impossible for a broadcast
     * probe), and per-stage re-planning was measured at 3× the loop cost.
     */
-  private def withoutAqe[A](spark: SparkSession)(body: => A): A = {
+  private[ops] def withoutAqe[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "false")
@@ -317,9 +331,19 @@ object Graph {
         col("x.c") === col("y.c") && col("x.s") < col("y.s"))
       .groupBy(col("x.s").as("s1"), col("y.s").as("s2"))
       .agg(count(lit(1)).as("co"))
+    // tiny (one row per supplier) but derived from a full incidence scan —
+    // checkpoint so its TWO broadcast consumers below don't re-run that
+    // scan each
     val deg = cs.groupBy(col("s")).agg(count(lit(1)).as("d"))
-    val bidir = co.select(col("s1").as("s"), col("s2").as("p"), col("co"))
-      .union(co.select(col("s2").as("s"), col("s1").as("p"), col("co")))
+      .localCheckpoint()
+    // both orientations via map-side explode, NOT union(co, co.swap): the
+    // union's branches would each recompute the whole pair-mine aggregate
+    // (measured 2× the query cost)
+    val bidir = co
+      .select(explode(array(
+        struct(col("s1").as("s"), col("s2").as("p"), col("co")),
+        struct(col("s2").as("s"), col("s1").as("p"), col("co")))).as("e"))
+      .select(col("e.s").as("s"), col("e.p").as("p"), col("e.co").as("co"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("s")).orderBy(col("co").desc, col("p"))
     val top = bidir

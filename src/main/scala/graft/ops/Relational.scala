@@ -1342,8 +1342,13 @@ object Relational {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("ss"),
         col("session_window.end").as("se"))
-    val b = sess.select(col("ss").as("t"), lit(1).as("delta"))
-      .unionAll(sess.select(col("se").as("t"), lit(-1).as("delta")))
+    // both boundary kinds via map-side explode, NOT union(starts, ends):
+    // the union's branches would each recompute the session aggregate
+    val b = sess
+      .select(explode(array(
+        struct(col("ss").as("t"), lit(1).as("delta")),
+        struct(col("se").as("t"), lit(-1).as("delta")))).as("e"))
+      .select(col("e.t").as("t"), col("e.delta").as("delta"))
     // Phase 1: range partitioning makes partition i's keys precede
     // partition i+1's, so local running sums + a per-partition base offset
     // reconstruct the global sweep without a single-task sort.

@@ -14,8 +14,14 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // no runtime broadcast demotion (see Bench.scala) — cancelled map
+      // stages leave zombie tasks that slow every later suite
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // interrupt tasks of AQE-cancelled stages (see Bench.scala) — zombie
+    // tasks from one suite would otherwise slow every later one
+    s.sparkContext.setLocalProperty("spark.job.interruptOnCancel", "true")
     s
   }
 

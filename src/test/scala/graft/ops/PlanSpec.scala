@@ -161,4 +161,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"no equi-join on bigram key in:\n$p")
   }
+
+  test("q38: no single-task window over the boundary stream (two-phase sweep)") {
+    val wins = Relational.q38PeakConcurrency.run(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.nonEmpty)
+    // the running sum must never order ALL boundaries through one task;
+    // the only unpartitioned window allowed is the O(#partitions)
+    // offsets frame (ordered on pid)
+    val globalOverBoundaries = wins.filter(w => w.partitionSpec.isEmpty &&
+      w.orderSpec.exists(_.references.exists(_.name == "t")))
+    assert(globalOverBoundaries.isEmpty,
+      s"global window over sweep boundaries:\n${globalOverBoundaries.mkString("\n")}")
+    assert(wins.exists(_.partitionSpec.exists(_.references.exists(_.name == "pid"))),
+      s"no pid-partitioned window in:\n${wins.mkString("\n")}")
+  }
+
+  test("d8: containment candidates meet on a shingle-hash equi-join, never a cross join") {
+    val p = plan(Dedup.d8Containment)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"candidate generation degraded to a cross join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join in:\n$p")
+  }
+
+  test("dp4: correlation is one fact scan with map-side partial aggregation") {
+    // count scans in the FINAL plan only — AdaptiveSparkPlan.toString
+    // appends the initial plan too, which would double-count the scan
+    val p = plan(Relational.dp4Correlation).split("== Initial Plan ==")(0)
+    assert("lineitem\\.parquet".r.findAllIn(p).size === 1,
+      s"correlation re-scans the fact table:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation in:\n$p")
+  }
 }
