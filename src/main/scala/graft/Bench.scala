@@ -19,6 +19,14 @@ object Bench {
       // broadcasts EXPLICITLY at plan time, so demotion had nothing left
       // to win here.
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // shuffle files + sort spills on tmpfs: the bench box is a shared
+      // VM whose disk stalls under co-tenant writeback throttling
+      // (observed: write/shuffle-heavy queries intermittently 5-10×
+      // while CPU calibration stays clean); RAM-backed local dirs take
+      // host disk out of the measurement. A real cluster points this at
+      // executor-local NVMe.
+      .config("spark.local.dir",
+        ops.StreamingQueries.fastTmpDir("graft_local_bench"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // when AQE cancels a superseded stage (runtime join replan), actually

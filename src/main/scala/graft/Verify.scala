@@ -20,6 +20,10 @@ object Verify {
       // no runtime broadcast demotion (see Bench.scala) — cancelled map
       // stages leave zombie tasks that slow every later dump
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // shuffle/spill scratch on tmpfs (see Bench) — the dump itself
+      // still writes results wherever outDir points
+      .config("spark.local.dir",
+        ops.StreamingQueries.fastTmpDir("graft_local_verify"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // interrupt tasks of AQE-cancelled stages (see Bench) — zombie tasks

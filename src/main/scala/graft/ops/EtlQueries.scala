@@ -115,7 +115,7 @@ object EtlQueries {
 
   private def jsonlPath(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     jsonlDirs.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val out = StreamingQueries.fastTmpDir("graft_jsonl")
       graft.Tables.documents(spark, dir)
         .write.mode("overwrite").json(out)
       // temp hygiene: deleteOnExit runs in reverse registration order and
@@ -165,7 +165,7 @@ object EtlQueries {
 
   private def orcPath(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     orcDirs.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val out = StreamingQueries.fastTmpDir("graft_orc")
       graft.Tables.documents(spark, dir)
         .write.mode("overwrite").orc(out)
       val root = new java.io.File(out)
@@ -205,7 +205,7 @@ object EtlQueries {
     */
   private def partitionedPath(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     partDirs.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val out = StreamingQueries.fastTmpDir("graft_part")
       graft.Tables.documents(spark, dir)
         .write.mode("overwrite").partitionBy("lang").parquet(out)
       val root = new java.io.File(out)

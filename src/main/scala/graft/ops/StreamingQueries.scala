@@ -58,7 +58,7 @@ object StreamingQueries {
     ()
   }
 
-  private[ops] def fastTmpDir(prefix: String): String = {
+  private[graft] def fastTmpDir(prefix: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val p =
       if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
