@@ -487,7 +487,62 @@ object Curation {
       .orderBy("metric")
   }
 
+  /** Curriculum schedule: the whole corpus in one deterministic global
+    * training order (shortest docs first — the easy→hard curriculum
+    * axis), with each doc's global sequence number and a third-split
+    * phase label derived FROM the sequence (`seq·3 div n`), so phase
+    * boundaries are exact row-count thirds, not value quantiles.
+    *
+    * Scale shape: the global order is materialized WITHOUT a global
+    * sort-to-one-partition window — the c6 two-phase pattern:
+    * range-partition on the order key, number rows per partition, then
+    * add cumulative partition offsets (an O(#partitions) window). The
+    * doc_id tiebreak makes the order total, so both engines agree on
+    * every position.
+    */
+  val p11Curriculum: Q = Q.sql(
+    "p11_curriculum",
+    "Deterministic curriculum order (shortest-first) with two-phase global sequence and easy/medium/hard phases.",
+    """WITH w AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+      |s AS (
+      |  SELECT doc_id, n_tokens,
+      |         ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1 AS seq
+      |  FROM w)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, seq,
+      |       CASE (seq * 3) // (SELECT COUNT(*) FROM w)
+      |            WHEN 0 THEN 'easy' WHEN 1 THEN 'medium'
+      |            ELSE 'hard' END AS phase
+      |FROM s ORDER BY seq""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TextAnalysis.words).cast("bigint").as("n_tokens"))
+    // Phase 1: range-partition by the order key, number locally
+    val local = scored
+      .repartitionByRange(col("n_tokens"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("local_rn",
+        row_number().over(Window.partitionBy("pid").orderBy("n_tokens", "doc_id")))
+    // Phase 2: cumulative per-partition counts → global offsets
+    val offsets = local.groupBy("pid")
+      .agg(max("local_rn").as("cnt"))
+      .withColumn("offset",
+        coalesce(sum("cnt").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("pid", "offset")
+    val n = scored.agg(count(lit(1)).as("n_total"))
+    local.join(broadcast(offsets), "pid")
+      .withColumn("seq", col("offset") + col("local_rn") - 1)
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_tokens"), col("seq"),
+        when(expr("(seq * 3) div n_total") === 0, "easy")
+          .when(expr("(seq * 3) div n_total") === 1, "medium")
+          .otherwise("hard").as("phase"))
+      .orderBy("seq")
+  }
+
   val all: Seq[Q] = Seq(p1Curation, p2HashSplit, p3IncrementalDedup,
     p4Decontamination, p5DomainQuota, p6SequencePack, p7StratifiedSample,
-    p8MixtureResample, p9RejectFunnel, p10DatasetCard)
+    p8MixtureResample, p9RejectFunnel, p10DatasetCard, p11Curriculum)
 }

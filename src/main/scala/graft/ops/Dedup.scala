@@ -754,6 +754,80 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(oc, 6).as("overlap_coef"))
   }
 
+  private val SEM_CELLS = 8
+  private val SEM_T = 0.4
+
+  /** SemDeDup-style semantic dedup: embeddings are clustered into
+    * [[SEM_CELLS]] Voronoi cells (the s3 IVF assignment, bit-identical
+    * arithmetic), and WITHIN each cell a vector is dropped when an
+    * earlier (lower-id) cell-mate sits above cosine [[SEM_T]] — the
+    * keep-first pruning rule training pipelines run after clustering,
+    * turning the pairwise d5 signal into an actual keep/drop decision
+    * without any global component computation (that's d6's job).
+    *
+    * Scale shape: cell assignment is one broadcast-centroid map pass; the
+    * only join is the in-cell self equi-join on the cell id, whose cost
+    * is Σ|cell|² — the clustering IS the candidate bound (with k-means'd
+    * centroids at 100 TB, cells are balanced by construction and each
+    * cell's block fits a task). No all-pairs join ever forms.
+    */
+  val d9SemanticDedup: Q = Q.sql(
+    "d9_semantic_dedup",
+    s"SemDeDup: per-IVF-cell keep-first pruning at cosine >= $SEM_T ($SEM_CELLS cells).",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
+       |  FROM e),
+       |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $SEM_CELLS),
+       |assigned AS (
+       |  SELECT vec_id, cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+       |  FROM (
+       |    SELECT n.vec_id, cent.cent_id,
+       |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |             list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cent.cv[i])), (x, y) -> x + y)
+       |             / (n.nrm * cent.cnrm) AS cos
+       |    FROM n CROSS JOIN cent)),
+       |cells AS (SELECT vec_id, cent_id AS cell FROM assigned WHERE rn = 1),
+       |dups AS (
+       |  SELECT b.vec_id, COUNT(*) AS n_earlier_dups
+       |  FROM n a JOIN cells ca ON a.vec_id = ca.vec_id
+       |  JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+       |  JOIN n b ON b.vec_id = cb.vec_id
+       |  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
+       |          / (a.nrm * b.nrm) >= $SEM_T
+       |  GROUP BY b.vec_id)
+       |SELECT c.vec_id AS vec_id, c.cell, COALESCE(d.n_earlier_dups, 0) AS n_earlier_dups,
+       |       d.vec_id IS NULL AS kept
+       |FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id
+       |ORDER BY c.vec_id""".stripMargin) { (spark, dir) =>
+    val n = normedVectors(spark, dir)
+    val cent = n.filter(col("vec_id") < SEM_CELLS)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assignW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+    val withCell = n.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosineCol(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("v"), col("nrm"))
+    val cos = cosineCol(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
+    val dups = withCell.as("a").join(withCell.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cos >= SEM_T)
+      .groupBy(col("b.vec_id").as("dv"))
+      .agg(count(lit(1)).as("n_earlier_dups"))
+    withCell.join(dups, col("vec_id") === col("dv"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_earlier_dups"), lit(0L)).as("n_earlier_dups"),
+        col("dv").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
-    d5EmbeddingCosine, d6DedupClusters, d7DedupApply, d8Containment)
+    d5EmbeddingCosine, d6DedupClusters, d7DedupApply, d8Containment,
+    d9SemanticDedup)
 }

@@ -323,6 +323,51 @@ object EtlQueries {
       .orderBy("o_orderstatus")
   }
 
+  private val csvDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def csvPath(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    csvDirs.getOrElseUpdate(dir, {
+      val out = StreamingQueries.fastTmpDir("graft_csv")
+      graft.Tables.events(spark, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val root = new java.io.File(out)
+      root.deleteOnExit()
+      Option(root.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
+      out
+    })
+
+  /** CSV sink→source parity — the reference's native format driven the
+    * other way (the engine WRITES csv, then reads its own output through
+    * the csv source with an explicit schema). The `props` column is JSON
+    * text full of quotes/commas/braces, so the loop exercises the
+    * quoting/escaping path for real; doubles survive via shortest-
+    * round-trip formatting, and timestamps travel as epoch-µs BIGINTs
+    * (a textual timestamp format would silently truncate sub-ms
+    * precision). Oracle aggregates the PARQUET table — any csv fidelity
+    * loss breaks the checksum.
+    */
+  val e7CsvRoundtrip: Q = Q.sql(
+    "e7_csv_roundtrip",
+    "events -> CSV sink -> CSV source -> per-type aggregates vs parquet-derived oracle.",
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+      |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us,
+      |  CAST(SUM(('0x' || substring(md5(props), 1, 7))::BIGINT) AS BIGINT) AS props_checksum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    spark.read
+      .schema("event_id LONG, ts_us LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .option("header", "true")
+      .csv(csvPath(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"),
+        min(col("ts_us")).as("min_ts_us"), max(col("ts_us")).as("max_ts_us"),
+        sum(graft.functions.DetHash.md5Long28(col("props"))).as("props_checksum"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(e1ItemPipeline, e2AssessmentPipeline, e3JsonlRoundtrip,
-    e4OrcRoundtrip, e5PartitionedRoundtrip, e6BucketedJoin)
+    e4OrcRoundtrip, e5PartitionedRoundtrip, e6BucketedJoin, e7CsvRoundtrip)
 }

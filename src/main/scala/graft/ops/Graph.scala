@@ -277,6 +277,32 @@ object Graph {
 
   private val AFFINITY_TOP = 5
 
+  private val pairCache = new SessionCache[String, DataFrame](df => { df.unpersist(false); () })
+
+  /** Shared-customer counts per supplier pair (s1 < s2) — the pair-mine
+    * aggregate both g3 (affinity top-k) and g4 (mutual-kNN triangles)
+    * start from. It is the expensive half of either query (an inverted
+    * index self-join on the customer key over the full incidence list),
+    * so it is persisted once per (session, dataset) with an eager count
+    * barrier, like [[copurchaseEdges]].
+    */
+  private def coPairs(spark: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate(spark, dir) {
+      // the cached undirected frame holds each edge once per direction;
+      // keeping only even (customer-side) sources recovers the distinct
+      // customer→supplier incidence exactly
+      val cs = copurchaseEdges(spark, dir)
+        .filter(col("a") % 2 === 0)
+        .select(expr("a div 2").as("c"), expr("b div 2").as("s"))
+      val df = cs.as("x").join(cs.as("y"),
+          col("x.c") === col("y.c") && col("x.s") < col("y.s"))
+        .groupBy(col("x.s").as("s1"), col("y.s").as("s2"))
+        .agg(count(lit(1)).as("co"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+
   /** Link prediction / item-item affinity over the co-purchase graph:
     * for every supplier, its top-[[AFFINITY_TOP]] most-associated
     * suppliers by shared-customer count, with the customer-set Jaccard —
@@ -321,16 +347,10 @@ object Graph {
        |FROM r JOIN deg da ON r.s = da.s JOIN deg dp ON r.p = dp.s
        |WHERE r.rnk <= $AFFINITY_TOP
        |ORDER BY supp_key, rnk""".stripMargin) { (spark, dir) =>
-    // the cached undirected frame holds each edge once per direction;
-    // keeping only even (customer-side) sources recovers the distinct
-    // customer→supplier incidence exactly
+    val co = coPairs(spark, dir)
     val cs = copurchaseEdges(spark, dir)
       .filter(col("a") % 2 === 0)
       .select(expr("a div 2").as("c"), expr("b div 2").as("s"))
-    val co = cs.as("x").join(cs.as("y"),
-        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
-      .groupBy(col("x.s").as("s1"), col("y.s").as("s2"))
-      .agg(count(lit(1)).as("co"))
     // tiny (one row per supplier) but derived from a full incidence scan —
     // checkpoint so its TWO broadcast consumers below don't re-run that
     // scan each
@@ -361,5 +381,112 @@ object Graph {
       .orderBy("supp_key", "rnk")
   }
 
-  val all: Seq[Q] = Seq(g1PageRank, g2BfsHops, g3SupplierAffinity)
+  private val MUTUAL_TOP = 8
+
+  /** Triangle count + local clustering coefficient over the mutual-top-K
+    * co-purchase partner graph. The raw supplier–supplier projection of a
+    * co-purchase bipartite graph is DENSE (at gate scale it is complete —
+    * every supplier pair shares customers), so the standard sparsifier is
+    * applied first: keep the top-[[MUTUAL_TOP]] partners per supplier by
+    * shared-customer count and an edge only where the selection is MUTUAL
+    * (each endpoint in the other's top-K). That graph has degree ≤ K by
+    * construction, so edges are O(K·|V|) and wedge fan-out per node is
+    * ≤ K² — triangle enumeration stays linear in |V| at any corpus scale,
+    * the reason mutual-kNN is the graph ANN/community pipelines actually
+    * build.
+    *
+    * Distributed shape: the pair mine is the shared [[coPairs]] frame;
+    * top-K is a per-supplier window (no global sort); the mutual filter
+    * is a self equi-join on the reversed key; triangles are the two-join
+    * wedge closure over id-oriented edges (a<b<c — each triangle found
+    * exactly once), and per-node credit is a map-side 3-way explode of
+    * the triangle rows followed by one aggregate. Every join is an
+    * equi-join; the oriented frame comes out of a `localCheckpoint`, so
+    * the planner sees its true (tiny) size and broadcasts it into the
+    * closure joins on its own — at 1e9 nodes those become shuffle joins
+    * on the same keys with no code change.
+    */
+  val g4TriangleCount: Q = Q.sql(
+    "g4_triangles",
+    s"Triangle count + clustering coefficient over the mutual-top-$MUTUAL_TOP co-purchase partner graph.",
+    s"""WITH eg AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |co AS (
+       |  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS co
+       |  FROM eg a JOIN eg b ON a.c = b.c AND a.s < b.s
+       |  GROUP BY 1, 2),
+       |bidir AS (
+       |  SELECT s1 AS s, s2 AS p, co FROM co
+       |  UNION ALL SELECT s2, s1, co FROM co),
+       |topk AS (
+       |  SELECT s, p FROM (
+       |    SELECT s, p,
+       |           ROW_NUMBER() OVER (PARTITION BY s ORDER BY co DESC, p) AS rnk
+       |    FROM bidir)
+       |  WHERE rnk <= $MUTUAL_TOP),
+       |mut AS (
+       |  SELECT a.s AS x, a.p AS y FROM topk a
+       |  JOIN topk b ON a.s = b.p AND a.p = b.s
+       |  WHERE a.s < a.p),
+       |tri AS (
+       |  SELECT ab.x AS a, ab.y AS b, bc.y AS c
+       |  FROM mut ab JOIN mut bc ON ab.y = bc.x
+       |  JOIN mut ac ON ac.x = ab.x AND ac.y = bc.y),
+       |tn AS (
+       |  SELECT a AS s FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri),
+       |tc AS (SELECT s, COUNT(*) AS tri FROM tn GROUP BY s),
+       |degm AS (
+       |  SELECT s, COUNT(*) AS deg FROM (
+       |    SELECT x AS s FROM mut UNION ALL SELECT y FROM mut)
+       |  GROUP BY s)
+       |SELECT d.s AS supp_key, d.deg, COALESCE(tc.tri, 0) AS triangles,
+       |       CASE WHEN d.deg >= 2
+       |            THEN ROUND(CAST(2 * COALESCE(tc.tri, 0) AS DOUBLE)
+       |                       / (d.deg * (d.deg - 1)), 6)
+       |            ELSE 0.0 END AS clustering
+       |FROM degm d LEFT JOIN tc ON d.s = tc.s
+       |ORDER BY supp_key""".stripMargin) { (spark, dir) =>
+    val co = coPairs(spark, dir)
+    val bidir = co
+      .select(explode(array(
+        struct(col("s1").as("s"), col("s2").as("p"), col("co")),
+        struct(col("s2").as("s"), col("s1").as("p"), col("co")))).as("e"))
+      .select(col("e.s").as("s"), col("e.p").as("p"), col("e.co").as("co"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("co").desc, col("p"))
+    val topk = bidir
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= MUTUAL_TOP)
+      .select(col("s"), col("p"))
+    // oriented mutual edges (x < y), checkpointed: 5 consumers below
+    // (3 closure aliases + degree + nothing else recomputes the window)
+    val mut = topk.as("a").join(topk.as("b"),
+        col("a.s") === col("b.p") && col("a.p") === col("b.s") &&
+          col("a.s") < col("a.p"))
+      .select(col("a.s").as("x"), col("a.p").as("y"))
+      .localCheckpoint()
+    val tri = mut.as("ab").join(mut.as("bc"), col("ab.y") === col("bc.x"))
+      .join(mut.as("ac"),
+        col("ac.x") === col("ab.x") && col("ac.y") === col("bc.y"))
+      .select(col("ab.x").as("ta"), col("ab.y").as("tb"), col("bc.y").as("tcn"))
+    val tc = tri
+      .select(explode(array(col("ta"), col("tb"), col("tcn"))).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("tri"))
+    val degm = mut
+      .select(explode(array(col("x"), col("y"))).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    degm.join(tc.withColumnRenamed("s", "ts"), col("s") === col("ts"), "left")
+      .select(col("s").as("supp_key"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          round((lit(2) * coalesce(col("tri"), lit(0L))).cast("double")
+            / (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+      .orderBy("supp_key")
+  }
+
+  val all: Seq[Q] = Seq(g1PageRank, g2BfsHops, g3SupplierAffinity, g4TriangleCount)
 }

@@ -1443,6 +1443,87 @@ object Relational {
       .orderBy("col_x", "col_y")
   }
 
+  /** The distribution window family — NTILE / PERCENT_RANK / CUME_DIST —
+    * over customer balances per market segment. The order key includes
+    * c_custkey as a tiebreak: NTILE assigns by row POSITION, so without a
+    * total order tied balances would land in engine-dependent tiles.
+    *
+    * Scale shape: one window partitioned by segment (hash shuffle on the
+    * partition key, per-partition sort — no global sort); the trailing
+    * orderBy exists only for oracle hash determinism.
+    */
+  val q39Distribution: Q = Q.sql(
+    "q39_distribution_windows",
+    "NTILE(4) / PERCENT_RANK / CUME_DIST over customer balances per market segment.",
+    """SELECT c_custkey, c_mktsegment AS segment,
+      |       CAST(c_acctbal AS DOUBLE) AS acctbal,
+      |       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      |       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      |       ROUND(CUME_DIST() OVER w, 6) AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        col("c_acctbal").cast("double").as("acctbal"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_custkey")
+  }
+
+  /** 3σ outlier detection per event_type in EXACT arithmetic: values are
+    * fixed-pointed (×100 → BIGINT), so per-group n/Σv/Σv² are exact
+    * integers and the outlier test |n·v − Σv| > 3·√(n·Σv² − (Σv)²) is an
+    * integer comparison against one deterministic double sqrt — the dp4
+    * trick applied to anomaly detection, where a floating-point mean
+    * would make boundary rows flip between engines by reduction order.
+    *
+    * Scale shape: one scan → per-type partial-aggregated stats (5 rows)
+    * broadcast back onto the stream for the per-row test — the classic
+    * two-pass z-score at any scale, no window, no global sort except the
+    * oracle-determinism orderBy.
+    */
+  val dp5Outliers: Q = Q.sql(
+    "dp5_outliers",
+    "Exact-arithmetic 3-sigma outliers per event_type (fixed-point z-scores).",
+    """WITH f AS (
+      |  SELECT event_id, event_type,
+      |         CAST(value AS DOUBLE) AS value,
+      |         CAST(ROUND(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(v) AS sv, SUM(v*v) AS svv
+      |  FROM f GROUP BY event_type)
+      |SELECT f.event_id, f.event_type, f.value,
+      |       ROUND(CAST(s.n * f.v - s.sv AS DOUBLE)
+      |             / SQRT(CAST(s.n * s.svv - s.sv * s.sv AS DOUBLE)), 6) AS z
+      |FROM f JOIN s ON f.event_type = s.event_type
+      |WHERE CAST(ABS(s.n * f.v - s.sv) AS DOUBLE)
+      |      > 3 * SQRT(CAST(s.n * s.svv - s.sv * s.sv AS DOUBLE))
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val f = Tables.events(spark, dir).select(
+      col("event_id"), col("event_type"),
+      col("value").cast("double").as("value"),
+      round(col("value") * 100, 0).cast("bigint").as("v"))
+    // BIGINT per-row squares summed in DECIMAL(38,0) (Σv² can pass 2^63);
+    // n·Σv² − (Σv)² stays decimal-exact, same as dp4
+    val s = f.groupBy(col("event_type").as("et")).agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("v").cast("decimal(38,0)")).as("sv"),
+      sum((col("v") * col("v")).cast("decimal(38,0)")).as("svv"))
+    val dev = col("n") * col("v") - col("sv")
+    val varn = col("n") * col("svv") - col("sv") * col("sv")
+    f.join(broadcast(s), col("event_type") === col("et"))
+      .filter(abs(dev).cast("double") > lit(3) * sqrt(varn.cast("double")))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(dev.cast("double") / sqrt(varn.cast("double")), 6).as("z"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
@@ -1450,5 +1531,6 @@ object Relational {
     q24JsonFuncs, q25ApproxQuantiles, q26MovingWindow, q27Lateral,
     q28GroupingSets, q29GapFill, q30Unpivot, q31SaltedJoin, q32LatestPerKey,
     q33RankFamily, q34CorrelatedSubquery, q35Scd2, q36IncrementalAgg,
-    q37BloomJoin, q38PeakConcurrency, dp1Profile, dp3Histogram, dp4Correlation)
+    q37BloomJoin, q38PeakConcurrency, q39Distribution, dp1Profile,
+    dp3Histogram, dp4Correlation, dp5Outliers)
 }

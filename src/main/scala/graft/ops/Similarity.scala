@@ -637,6 +637,78 @@ object Similarity {
       .orderBy("probe_doc_id", "rnk")
   }
 
+  private val PQ_M = 8        // subspaces
+  private val PQ_SUB = DIMS / PQ_M
+  private val PQ_CODES = 16   // codewords per subspace
+
+  /** codeword component: subspace m, codeword k, dim d → [-0.5, 0.499],
+    * md5-derived (matches the embedding value range), inlined into both
+    * the Spark plan and the oracle SQL so the codebooks are bit-identical.
+    */
+  private def pqWeight(m: Int, k: Int, d: Int): Double =
+    (java.lang.Long.parseLong(md5Hex(s"pq-$m-$k-$d").substring(0, 8), 16) % 1000L - 500L) / 1000.0
+
+  private def pqCodebook(m: Int): Seq[Seq[Double]] =
+    (0 until PQ_CODES).map(k => (0 until PQ_SUB).map(d => pqWeight(m, k, d)))
+
+  private def pqCbSql(m: Int): String =
+    pqCodebook(m).map(_.map(w => s"CAST($w AS DOUBLE)").mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+
+  private def pqCbCol(m: Int) =
+    array(pqCodebook(m).map(cw => array(cw.map(lit): _*)): _*)
+
+  /** Product quantization — the compression step behind every billion-
+    * vector ANN index (IVF-PQ): the 64-dim vector is split into
+    * [[PQ_M]] subvectors, each assigned to the nearest of [[PQ_CODES]]
+    * codewords by squared L2 (argmin ties → lowest code, identical
+    * first-min semantics in both engines), packing the vector into one
+    * [[PQ_M]]×4-bit BIGINT code plus its reconstruction error. A real
+    * build k-means-trains the codebooks; here they are md5-derived so
+    * the oracle replicates them bit-for-bit.
+    *
+    * Scale shape: pure map stage — one scan, 128 codegen'd fold
+    * expressions per row, no shuffle at all (the trailing orderBy is
+    * oracle determinism only). This is the shape that encodes 100 TB of
+    * embeddings in one pass.
+    */
+  val s10PqEncode: Q = Q.sql(
+    "s10_pq_encode",
+    s"Product quantization: ${PQ_M}x${PQ_SUB}-dim subspaces, $PQ_CODES codes each, packed code + reconstruction error.",
+    {
+      def distsSql(m: Int): String =
+        s"""list_transform(${pqCbSql(m)}, cw -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  list_transform(range(1, ${PQ_SUB + 1}), i -> (v[${m * PQ_SUB} + i] - cw[i]) * (v[${m * PQ_SUB} + i] - cw[i]))), (x, y) -> x + y))""".stripMargin
+      val dcols = (0 until PQ_M).map(m => s"${distsSql(m)} AS d$m").mkString(",\n")
+      val code = (0 until PQ_M)
+        .map(m => s"CAST(list_position(d$m, list_aggregate(d$m, 'min')) - 1 AS BIGINT) * ${math.pow(16, m).toLong}")
+        .mkString(" + ")
+      val err = (0 until PQ_M).map(m => s"list_aggregate(d$m, 'min')").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id, label, $dcols FROM e)
+         |SELECT vec_id, label, CAST($code AS BIGINT) AS pq_code,
+         |       ROUND($err, 6) AS recon_err
+         |FROM q ORDER BY vec_id""".stripMargin
+    }) { (spark, dir) =>
+    def distsCol(m: Int) =
+      transform(pqCbCol(m), cw =>
+        aggregate(zip_with(slice(col("v"), m * PQ_SUB + 1, PQ_SUB), cw,
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+    val withD = (0 until PQ_M).foldLeft(
+      Dedup.normedVectors(spark, dir).select(col("vec_id"), col("label"), col("v"))) {
+      (df, m) => df.withColumn(s"d$m", distsCol(m))
+    }
+    val code = (0 until PQ_M)
+      .map(m => (array_position(col(s"d$m"), array_min(col(s"d$m"))) - 1) *
+        lit(math.pow(16, m).toLong))
+      .reduce(_ + _)
+    val err = (0 until PQ_M).map(m => array_min(col(s"d$m"))).reduce(_ + _)
+    withD
+      .select(col("vec_id"), col("label"), code.cast("bigint").as("pq_code"),
+        round(err, 6).as("recon_err"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4LabelCentroids,
-    s5KnnJoin, s6Quantize, s7Mips, s8AnnRerank, s9RetrievalE2e)
+    s5KnnJoin, s6Quantize, s7Mips, s8AnnRerank, s9RetrievalE2e, s10PqEncode)
 }

@@ -391,7 +391,122 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Staged events + a trailing SENTINEL file (one click + one purchase
+    * row at max(ts)+1h under user_id −1, modification time bumped so the
+    * file source schedules it as the LAST micro-batch). The sentinel
+    * exists to advance the event-time watermark past every real row
+    * after the data batches: an OUTER stream-stream join only emits its
+    * null-padded rows when the watermark proves no match can still
+    * arrive, so without the sentinel every unmatched row in the final
+    * watermark horizon would be silently withheld at termination and the
+    * batch oracle could never match. Both event types are present
+    * because each side's watermark is tracked independently and the
+    * global watermark is their MIN — one sentinel per filtered branch.
+    */
+  private val sentinelDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def eventsPathWithSentinel(spark: SparkSession, dir: String): String =
+    sentinelDirs.getOrElseUpdate(dir, {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val out = fastTmpDir("graft_stream_events_sent")
+      val ev = spark.read.parquet(s"${dir.stripSuffix("/")}/events.parquet")
+      ev.repartitionByRange(2, col("ts"))
+        .write.mode("overwrite").parquet(out)
+      val maxTs = ev.agg(max("ts")).head.getLong(0)
+      import spark.implicits._
+      // TWO sentinel files → two trailing micro-batches: the first
+      // advances the watermark past every real row; the second EXISTS so
+      // a batch actually RUNS with that advanced watermark — AvailableNow
+      // stops after the last file and does not schedule a no-data batch,
+      // so with a single sentinel the final eviction pass would never
+      // execute (observed: the last unmatched purchase stayed in state).
+      //
+      // Sentinel rows must NEVER be filtered by the consuming query: any
+      // engine-side predicate that identifies them (user_id < 0,
+      // event_id < 0…) gets pushed down to the scan — and via join-
+      // constraint inference reaches the OTHER side's scan too — killing
+      // them BEFORE the watermark node, which silently un-advances the
+      // watermark (observed). Instead they are constructed to be
+      // output-inert: sentinel clicks sit at max+k·1h (matchable clicks
+      // must precede a purchase — nothing follows them, and unmatched
+      // right rows never emit from a LEFT join); sentinel purchases sit
+      // at max+k·2h, ABOVE the highest watermark any run can reach
+      // (min(click max+2h, purchase max+4h) − delay), so they are never
+      // evicted and their null-padded rows never emit.
+      val t = System.currentTimeMillis()
+      Seq(1, 2).foreach { k =>
+        val clickTs = maxTs + k * 3600L * 1000000000L // +k·1h, ns
+        val purchTs = maxTs + k * 7200L * 1000000000L // +k·2h, ns
+        val sent = Seq(
+          (-(2L * k - 1), clickTs, -1L, "click", 0.0, "{}"),
+          (-(2L * k), purchTs, -1L, "purchase", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        val tmp = fastTmpDir(s"graft_stream_sent_tmp$k")
+        sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error("w13: sentinel part file missing"))
+        val target = new java.io.File(out, s"zz-sentinel-$k.parquet")
+        java.nio.file.Files.move(part.toPath, target.toPath)
+        target.setLastModified(t + k * 60000)
+      }
+      // deterministic batch order: data files at T, sentinels after
+      val root = new java.io.File(out)
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filterNot(_.getName.startsWith("zz-sentinel"))
+        .foreach(f => f.setLastModified(t))
+      out
+    })
+
+  /** Stream-stream LEFT OUTER join: every purchase, with its preceding
+    * clicks (<10 min) where they exist and a null-padded row where none
+    * do — the attribution shape where "no touchpoint" is itself the
+    * signal. The semantics under test beyond w7's inner join: the state
+    * store must EMIT (not drop) an unmatched left row, and may do so
+    * only once its watermark proves no matching click can still arrive —
+    * see [[eventsPathWithSentinel]] for how the gate makes that provable
+    * at end-of-stream. Nulls are coalesced to sentinels (epoch ts /
+    * gap −1) because the gate's comparator sorts on the columns.
+    */
+  val w13StreamOuterJoin: Q = Q.sql(
+    "w13_stream_outer_join",
+    "Stream-stream LEFT OUTER join: purchases with preceding clicks (<10 min) or a null-padded row.",
+    """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |       COALESCE(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts,
+      |       COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us,
+      |       c.ts IS NOT NULL AS matched
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+      |ORDER BY purchase_id, click_ts""".stripMargin) { (spark, dir) =>
+    val staged = eventsPathWithSentinel(spark, dir)
+    val purchases = EventsStream.read(spark, staged)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = EventsStream.read(spark, staged)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") < col("p_ts"),
+        "left_outer")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("p_ts").as("purchase_ts"),
+        coalesce(col("c_ts"), timestamp_micros(lit(0L))).as("click_ts"),
+        coalesce(unix_micros(col("p_ts")) - unix_micros(col("c_ts")), lit(-1L))
+          .as("gap_us"),
+        col("c_ts").isNotNull.as("matched"))
+    runStream(spark, "w13_stream_outer_join", joined, OutputMode.Append())
+      .orderBy("purchase_id", "click_ts")
+  }
+
   val all: Seq[Q] = Seq(w3StreamTumbling, w4StreamSession, w5StreamDedup,
     w6CustomSessionizer, w7StreamJoin, w10StreamStatic, w11StreamUpsert,
-    w12StreamHopping)
+    w12StreamHopping, w13StreamOuterJoin)
 }
