@@ -383,6 +383,36 @@ object Graph {
 
   private val MUTUAL_TOP = 8
 
+  private val mutualCache = new SessionCache[String, DataFrame]()
+
+  /** Oriented (x < y) mutual-top-[[MUTUAL_TOP]] partner edges — the
+    * sparsified supplier graph g4 (triangles) and g5 (k-core) both run
+    * on. Derived from the shared [[coPairs]] frame; the localCheckpoint
+    * truncates the window lineage and gives the planner true (tiny)
+    * sizes, and the session cache keeps the top-K window from re-running
+    * per consumer query.
+    */
+  private def mutualEdges(spark: SparkSession, dir: String): DataFrame =
+    mutualCache.getOrElseUpdate(spark, dir) {
+      val co = coPairs(spark, dir)
+      val bidir = co
+        .select(explode(array(
+          struct(col("s1").as("s"), col("s2").as("p"), col("co")),
+          struct(col("s2").as("s"), col("s1").as("p"), col("co")))).as("e"))
+        .select(col("e.s").as("s"), col("e.p").as("p"), col("e.co").as("co"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s")).orderBy(col("co").desc, col("p"))
+      val topk = bidir
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= MUTUAL_TOP)
+        .select(col("s"), col("p"))
+      topk.as("a").join(topk.as("b"),
+          col("a.s") === col("b.p") && col("a.p") === col("b.s") &&
+            col("a.s") < col("a.p"))
+        .select(col("a.s").as("x"), col("a.p").as("y"))
+        .localCheckpoint()
+    }
+
   /** Triangle count + local clustering coefficient over the mutual-top-K
     * co-purchase partner graph. The raw supplier–supplier projection of a
     * co-purchase bipartite graph is DENSE (at gate scale it is complete —
@@ -409,27 +439,32 @@ object Graph {
   val g4TriangleCount: Q = Q.sql(
     "g4_triangles",
     s"Triangle count + clustering coefficient over the mutual-top-$MUTUAL_TOP co-purchase partner graph.",
-    s"""WITH eg AS (
+    // MATERIALIZED on every multiply-referenced CTE: DuckDB otherwise
+    // INLINES each reference (mut x5, topk x2, tri x3), compounding into
+    // one giant join tree whose mis-ordered plan ran 75+ min at sf0.1;
+    // materialization hints restore the obvious bottom-up evaluation
+    // (measured 3.4 s)
+    s"""WITH eg AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-       |co AS (
+       |co AS MATERIALIZED (
        |  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS co
        |  FROM eg a JOIN eg b ON a.c = b.c AND a.s < b.s
        |  GROUP BY 1, 2),
        |bidir AS (
        |  SELECT s1 AS s, s2 AS p, co FROM co
        |  UNION ALL SELECT s2, s1, co FROM co),
-       |topk AS (
+       |topk AS MATERIALIZED (
        |  SELECT s, p FROM (
        |    SELECT s, p,
        |           ROW_NUMBER() OVER (PARTITION BY s ORDER BY co DESC, p) AS rnk
        |    FROM bidir)
        |  WHERE rnk <= $MUTUAL_TOP),
-       |mut AS (
+       |mut AS MATERIALIZED (
        |  SELECT a.s AS x, a.p AS y FROM topk a
        |  JOIN topk b ON a.s = b.p AND a.p = b.s
        |  WHERE a.s < a.p),
-       |tri AS (
+       |tri AS MATERIALIZED (
        |  SELECT ab.x AS a, ab.y AS b, bc.y AS c
        |  FROM mut ab JOIN mut bc ON ab.y = bc.x
        |  JOIN mut ac ON ac.x = ab.x AND ac.y = bc.y),
@@ -449,25 +484,7 @@ object Graph {
        |            ELSE 0.0 END AS clustering
        |FROM degm d LEFT JOIN tc ON d.s = tc.s
        |ORDER BY supp_key""".stripMargin) { (spark, dir) =>
-    val co = coPairs(spark, dir)
-    val bidir = co
-      .select(explode(array(
-        struct(col("s1").as("s"), col("s2").as("p"), col("co")),
-        struct(col("s2").as("s"), col("s1").as("p"), col("co")))).as("e"))
-      .select(col("e.s").as("s"), col("e.p").as("p"), col("e.co").as("co"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("s")).orderBy(col("co").desc, col("p"))
-    val topk = bidir
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= MUTUAL_TOP)
-      .select(col("s"), col("p"))
-    // oriented mutual edges (x < y), checkpointed: 5 consumers below
-    // (3 closure aliases + degree + nothing else recomputes the window)
-    val mut = topk.as("a").join(topk.as("b"),
-        col("a.s") === col("b.p") && col("a.p") === col("b.s") &&
-          col("a.s") < col("a.p"))
-      .select(col("a.s").as("x"), col("a.p").as("y"))
-      .localCheckpoint()
+    val mut = mutualEdges(spark, dir)
     val tri = mut.as("ab").join(mut.as("bc"), col("ab.y") === col("bc.x"))
       .join(mut.as("ac"),
         col("ac.x") === col("ab.x") && col("ac.y") === col("bc.y"))
@@ -488,5 +505,99 @@ object Graph {
       .orderBy("supp_key")
   }
 
-  val all: Seq[Q] = Seq(g1PageRank, g2BfsHops, g3SupplierAffinity, g4TriangleCount)
+  private val CORE_K = 3
+  private val CORE_ROUNDS = 8
+
+  /** [[CORE_K]]-core of the mutual partner graph by fixed-round
+    * simultaneous peeling: each round drops every node with fewer than
+    * [[CORE_K]] neighbors in the current induced subgraph; after
+    * [[CORE_ROUNDS]] rounds (measured converged by round 6 at both gate
+    * scales; extra rounds are no-ops, so the fixed-R contract is
+    * engine-agnostic either way) the survivors are the densely
+    * co-purchased supplier cluster — the community-detection primitive
+    * k-core decomposition computes per level.
+    *
+    * Distributed shape per round, same as the g1/g2 fixpoints: induce
+    * the subgraph with two alive-set equi-joins (alive broadcast below
+    * [[BROADCAST_NODE_LIMIT]]), one degree aggregate, one filter;
+    * `localCheckpoint` truncates lineage; the driver loop carries only
+    * round CONTROL. The oracle unrolls the same rounds as MATERIALIZED
+    * CTEs (see g4 for why the hint matters).
+    */
+  val g5KCore: Q = Q.sql(
+    "g5_kcore",
+    s"$CORE_K-core of the mutual-top-$MUTUAL_TOP partner graph: $CORE_ROUNDS-round peel, survivors with core degree.",
+    {
+      // a node's degree is its count across BOTH endpoints of the
+      // oriented (x < y) edge list — per-orientation HAVING clauses
+      // would drop nodes whose degree splits across orientations
+      val iters = (0 until CORE_ROUNDS).map { i =>
+        s"""f$i AS MATERIALIZED (
+           |  SELECT m.x, m.y FROM mut m
+           |  JOIN a$i p ON m.x = p.node JOIN a$i q ON m.y = q.node),
+           |a${i + 1} AS MATERIALIZED (
+           |  SELECT s AS node FROM (
+           |    SELECT x AS s FROM f$i UNION ALL SELECT y FROM f$i)
+           |  GROUP BY s HAVING COUNT(*) >= $CORE_K)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH eg AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |co AS MATERIALIZED (
+         |  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS co
+         |  FROM eg a JOIN eg b ON a.c = b.c AND a.s < b.s
+         |  GROUP BY 1, 2),
+         |bidir AS (
+         |  SELECT s1 AS s, s2 AS p, co FROM co
+         |  UNION ALL SELECT s2, s1, co FROM co),
+         |topk AS MATERIALIZED (
+         |  SELECT s, p FROM (
+         |    SELECT s, p,
+         |           ROW_NUMBER() OVER (PARTITION BY s ORDER BY co DESC, p) AS rnk
+         |    FROM bidir)
+         |  WHERE rnk <= $MUTUAL_TOP),
+         |mut AS MATERIALIZED (
+         |  SELECT a.s AS x, a.p AS y FROM topk a
+         |  JOIN topk b ON a.s = b.p AND a.p = b.s
+         |  WHERE a.s < a.p),
+         |a0 AS (SELECT x AS node FROM mut UNION SELECT y FROM mut),
+         |$iters,
+         |fe AS (
+         |  SELECT m.x, m.y FROM mut m
+         |  JOIN a$CORE_ROUNDS p ON m.x = p.node
+         |  JOIN a$CORE_ROUNDS q ON m.y = q.node)
+         |SELECT s AS supp_key, COUNT(*) AS core_deg FROM (
+         |  SELECT x AS s FROM fe UNION ALL SELECT y FROM fe)
+         |GROUP BY s ORDER BY supp_key""".stripMargin
+    }) { (spark, dir) =>
+    val mut = mutualEdges(spark, dir)
+    def induced(alive: DataFrame): DataFrame = mut
+      .join(broadcast(alive.withColumnRenamed("node", "ax")), col("x") === col("ax"))
+      .join(broadcast(alive.withColumnRenamed("node", "ay")), col("y") === col("ay"))
+      .select(col("x"), col("y"))
+    def rounds(): DataFrame = {
+      var alive = mut
+        .select(explode(array(col("x"), col("y"))).as("node"))
+        .distinct().localCheckpoint()
+      for (_ <- 1 to CORE_ROUNDS) {
+        alive = induced(alive)
+          .select(explode(array(col("x"), col("y"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= CORE_K)
+          .select(col("node"))
+          .localCheckpoint()
+      }
+      induced(alive)
+        .select(explode(array(col("x"), col("y"))).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("core_deg"))
+        .localCheckpoint()
+    }
+    // tiny per-round frames — same AQE-off rationale as g1/g2
+    withoutAqe(spark)(rounds())
+      .select(col("s").as("supp_key"), col("core_deg"))
+      .orderBy("supp_key")
+  }
+
+  val all: Seq[Q] = Seq(g1PageRank, g2BfsHops, g3SupplierAffinity,
+    g4TriangleCount, g5KCore)
 }

@@ -284,6 +284,119 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  private val SIG_PLANES = 16
+  private val SIG_BANDS = 2
+  private val SIG_HAMMING_MAX = 1
+
+  /** Payload-signature near-dup: a CENTERED SimHash over each asset's
+    * BYTE histogram — the codec-free analog of a perceptual hash.
+    * Projection weights are md5-derived integers computed IN-QUERY from
+    * the (plane, byte) label, so both engines build bit-identical
+    * codebooks with no literal tables.
+    *
+    * Centering is what makes the signature informative: same-language
+    * text has a nearly CONSTANT byte distribution, so raw sign bits
+    * agree corpus-wide (measured: 60% of all pairs landed within
+    * hamming 1 of each other). Each plane's bit is therefore the sign
+    * of the doc's projection relative to the corpus-average direction:
+    * bit_p = [T·dot_p − n_doc·G_p > 0] with T = total corpus bytes and
+    * G_p = Σ_docs dot_p — all-integer (DECIMAL(38,0) products, exact in
+    * both engines), splitting each plane ~50/50 across the corpus so
+    * only genuinely similar payloads collide.
+    *
+    * Scale shape: histogram → signature is a map-side fan-out through a
+    * broadcast 16×256 weight table + one (doc, plane) aggregate; the
+    * 17-value global frame (16 plane sums + total bytes) broadcasts
+    * back; candidate pairs meet on a BAND equi-join ([[SIG_BANDS]]
+    * 8-bit bands — pigeonhole-lossless for hamming ≤
+    * [[SIG_HAMMING_MAX]]), then exact hamming verifies. The d4 SimHash
+    * shape applied to binary payloads instead of token streams.
+    */
+  val m6PayloadSig: Q = Q.sql(
+    "m6_payload_signature",
+    s"Centered byte-histogram SimHash ($SIG_PLANES planes): near-dup payload pairs at hamming <= $SIG_HAMMING_MAX via banded join.",
+    s"""WITH b AS (
+       |  SELECT doc_id, UNNEST(regexp_extract_all(hex(encode(text)), '[0-9A-F]{2}')) AS byte
+       |  FROM documents WHERE length(text) > 0),
+       |c AS (SELECT doc_id, byte, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+       |pw AS (
+       |  SELECT p.p, bb.byte,
+       |         ('0x' || substring(md5('pw-' || p.p || '-' || bb.byte), 1, 7))::BIGINT % 1000 - 500 AS w
+       |  FROM (SELECT UNNEST(range($SIG_PLANES)) AS p) p
+       |  CROSS JOIN (SELECT DISTINCT byte FROM c) bb),
+       |dots AS (
+       |  SELECT c.doc_id, pw.p, SUM(c.cnt * pw.w) AS dot, SUM(c.cnt) AS n_doc
+       |  FROM c JOIN pw ON c.byte = pw.byte GROUP BY 1, 2),
+       |g AS (SELECT p, SUM(dot) AS gp, SUM(n_doc) AS tot FROM dots GROUP BY p),
+       |sig AS (
+       |  SELECT d.doc_id,
+       |         CAST(SUM(CASE WHEN CAST(d.dot AS HUGEINT) * g.tot
+       |                            - CAST(d.n_doc AS HUGEINT) * g.gp > 0
+       |                       THEN 1 << d.p ELSE 0 END) AS BIGINT) AS sig
+       |  FROM dots d
+       |  JOIN g ON d.p = g.p
+       |  GROUP BY d.doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       a.sig AS sig_a, b.sig AS sig_b,
+       |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b
+       |  ON a.doc_id < b.doc_id
+       | AND (a.sig % 256 = b.sig % 256 OR a.sig // 256 = b.sig // 256)
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $SIG_HAMMING_MAX
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    // bytes of the payload as 2-hex-char tokens (uppercase both engines);
+    // Spark's split keeps a trailing empty token — drop it
+    val bytes = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(split(hex(col("text").cast("binary")), "(?<=\\G..)")).as("byte"))
+      .filter(col("byte") =!= "")
+    val c = bytes.groupBy(col("doc_id"), col("byte")).agg(count(lit(1)).as("cnt"))
+    // md5-derived (plane, byte) weight table: 16×256, broadcast
+    val planes = spark.range(SIG_PLANES).select(col("id").cast("int").as("p"))
+    val allBytes = spark.range(256)
+      .select(format_string("%02X", col("id")).as("wbyte"))
+    val pw = planes.crossJoin(allBytes)
+      .select(col("p"), col("wbyte"),
+        (DetHash.md5Long28(concat(lit("pw-"), col("p").cast("string"),
+          lit("-"), col("wbyte"))) % 1000 - 500).as("w"))
+    // n_doc rides the same (doc, plane) aggregate for free: each byte
+    // contributes once per group, so SUM(cnt) = doc length on every plane
+    val dots = c.join(broadcast(pw), col("byte") === col("wbyte"))
+      .groupBy(col("doc_id"), col("p"))
+      .agg(sum(col("cnt") * col("w")).as("dot"), sum(col("cnt")).as("n_doc"))
+      // 2 consumers (plane globals + the sign pass) — checkpoint so the
+      // histogram join runs once
+      .localCheckpoint()
+    // corpus-center frame: 16 rows (plane sum + total bytes), broadcast
+    val g = dots.groupBy(col("p"))
+      .agg(sum(col("dot")).as("gp"), sum(col("n_doc")).as("tot"))
+    val centered = expr(
+      "cast(dot as decimal(38,0)) * tot - cast(n_doc as decimal(38,0)) * gp")
+    val sig = dots
+      .join(broadcast(g.withColumnRenamed("p", "gp_p")), col("p") === col("gp_p"))
+      .withColumn("bit", when(centered > 0, expr("shiftleft(1L, p)")).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bit")).as("sig"))
+      .localCheckpoint() // 3 consumers below (2 band sides + the verify join)
+    // banded candidates: equal low byte OR equal high byte → two
+    // equi-joins unioned, exactly the d4 shape (never an OR theta-join)
+    val cand = (0 until SIG_BANDS).map { band =>
+      val bandCol = if (band == 0) col("sig") % 256 else expr("sig div 256")
+      val l = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        bandCol.as("band"))
+      val r = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        bandCol.as("band2"))
+      l.join(r, col("band") === col("band2") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+    }.reduce(_ union _).distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(expr("sig_a ^ sig_b")).cast("bigint"))
+      .filter(col("hamming") <= SIG_HAMMING_MAX)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] = Seq(m1Meta, m2PayloadStats, m3FrameSample, m4TypedRollup,
-    m5ShardPack)
+    m5ShardPack, m6PayloadSig)
 }

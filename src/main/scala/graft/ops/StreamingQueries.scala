@@ -410,9 +410,16 @@ object StreamingQueries {
     sentinelDirs.getOrElseUpdate(dir, {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val out = fastTmpDir("graft_stream_events_sent")
+      // reuse the range-sorted staging the rest of the w-family already
+      // paid for (copying two files beats re-sorting the table)
+      val staged = new java.io.File(eventsPath(spark, dir))
+      Option(staged.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(out, f.getName))
+        }
       val ev = spark.read.parquet(s"${dir.stripSuffix("/")}/events.parquet")
-      ev.repartitionByRange(2, col("ts"))
-        .write.mode("overwrite").parquet(out)
       val maxTs = ev.agg(max("ts")).head.getLong(0)
       import spark.implicits._
       // TWO sentinel files → two trailing micro-batches: the first

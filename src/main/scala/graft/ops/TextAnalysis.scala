@@ -696,8 +696,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Zipf profile of the corpus vocabulary: terms ranked globally by
+    * frequency, then aggregated per log2-rank bucket (bucket k holds
+    * ranks [2^k, 2^(k+1))) — the rank-frequency curve every corpus
+    * health check plots, in a form both engines compute EXACTLY: the
+    * bucket comes from the rank's binary-string length, never from a
+    * floating log2 (log2(2^k) can land a hair under k and floor to the
+    * wrong bucket on one engine).
+    *
+    * Scale shape: the global rank over the TERM table (vocabulary ≪
+    * corpus, but still millions of rows at 100 TB) uses the c6
+    * two-phase pattern — range-partition on the rank key, local
+    * row_number, O(#partitions) offset window — then one aggregate on
+    * the bucket. No single-task window anywhere.
+    */
+  val t15Zipf: Q = Q.sql(
+    "t15_zipf",
+    "Zipf rank-frequency profile: per log2-rank bucket term counts and frequency mass.",
+    """WITH t AS (
+      |  SELECT UNNEST(string_split(text, ' ')) AS term FROM documents),
+      |f AS (SELECT term, COUNT(*) AS freq FROM t GROUP BY term),
+      |r AS (
+      |  SELECT term, freq,
+      |         ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank
+      |  FROM f)
+      |SELECT CAST(LENGTH(PRINTF('%b', rank)) - 1 AS BIGINT) AS bucket,
+      |       COUNT(*) AS n_terms,
+      |       CAST(SUM(freq) AS BIGINT) AS total_freq,
+      |       MIN(freq) AS min_freq, MAX(freq) AS max_freq
+      |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.documents(spark, dir)
+      .select(explode(words).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    // two-phase global rank (see c6): range-partition on the rank key,
+    // number locally, add cumulative partition offsets
+    val local = f
+      .repartitionByRange(col("freq").desc, col("term"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("local_rn", row_number().over(
+        Window.partitionBy("pid").orderBy(col("freq").desc, col("term"))))
+    val offsets = local.groupBy("pid")
+      .agg(max("local_rn").as("cnt"))
+      .withColumn("offset",
+        coalesce(sum("cnt").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("pid", "offset")
+    local.join(broadcast(offsets), "pid")
+      .withColumn("rank", col("offset") + col("local_rn"))
+      // floor(log2(rank)) as binary-string length, integer-exact
+      .withColumn("bucket", (length(bin(col("rank"))) - 1).cast("bigint"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("freq")).as("total_freq"),
+        min(col("freq")).as("min_freq"), max(col("freq")).as("max_freq"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3TokenStats, t4Fingerprint,
     t5BpeTokens, t6HeavyHitters, t7Normalize, t8DistinctiveTerms,
     t9Repetition, t10Commonness, t11TfidfCosine, t12Chunk, t13PiiRedact,
-    t14BigramStats, dp2Drift)
+    t14BigramStats, t15Zipf, dp2Drift)
 }

