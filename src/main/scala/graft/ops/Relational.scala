@@ -1524,6 +1524,76 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the value
+    * distributions of click and purchase events, in EXACT arithmetic:
+    * values are fixed-pointed (×100 → BIGINT), the empirical CDF gap at
+    * each observed value is the INTEGER cross-product |cum₁·n₂ − cum₂·n₁|
+    * (so the max is found over exact integers — a floating CDF would
+    * make near-tie argmax engine-dependent), and only the final
+    * normalization divides. The distribution-drift test a data pipeline
+    * runs between snapshots, exact enough to gate on.
+    *
+    * Scale shape: one scan → per-value counts (one shuffle), then the
+    * running CDFs via the c6 two-phase pattern (range-partition on the
+    * value, partition-local cumsums, O(#partitions) offsets) — no
+    * single-task window over the value domain — and a final scalar max.
+    */
+  val dp6KsTest: Q = Q.sql(
+    "dp6_ks_test",
+    "Exact two-sample Kolmogorov-Smirnov statistic: click vs purchase value distributions.",
+    """WITH f AS (
+      |  SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+      |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |pv AS (
+      |  SELECT v, SUM(is_a) AS c1, SUM(1 - is_a) AS c2
+      |  FROM f GROUP BY v),
+      |cum AS (
+      |  SELECT v,
+      |         SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+      |         SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+      |  FROM pv),
+      |n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM pv)
+      |SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+      |       CAST(MAX(ABS(cum1 * n.n2 - cum2 * n.n1)) AS BIGINT) AS ks_num,
+      |       ROUND(CAST(MAX(ABS(cum1 * n.n2 - cum2 * n.n1)) AS DOUBLE)
+      |             / (n.n1 * n.n2), 6) AS ks
+      |FROM cum CROSS JOIN n
+      |GROUP BY n.n1, n.n2""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(round(col("value") * 100, 0).cast("bigint").as("v"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("is_a"))
+    val pv = f.groupBy(col("v"))
+      .agg(sum(col("is_a")).as("c1"), sum(lit(1L) - col("is_a")).as("c2"))
+    // two-phase running CDFs (see c6): partition-local cumsums + offsets
+    val local = pv
+      .repartitionByRange(col("v"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("l1", sum("c1").over(
+        Window.partitionBy("pid").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("l2", sum("c2").over(
+        Window.partitionBy("pid").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+    val offsets = local.groupBy("pid")
+      .agg(max("l1").as("t1"), max("l2").as("t2"))
+      .withColumn("o1",
+        coalesce(sum("t1").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("o2",
+        coalesce(sum("t2").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "o1", "o2")
+    val n = pv.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    local.join(broadcast(offsets), "pid")
+      .select((col("o1") + col("l1")).as("cum1"), (col("o2") + col("l2")).as("cum2"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("ks_num"))
+      .select(col("n1"), col("n2"), col("ks_num"),
+        round(col("ks_num").cast("double") / (col("n1") * col("n2")), 6).as("ks"))
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
@@ -1532,5 +1602,5 @@ object Relational {
     q28GroupingSets, q29GapFill, q30Unpivot, q31SaltedJoin, q32LatestPerKey,
     q33RankFamily, q34CorrelatedSubquery, q35Scd2, q36IncrementalAgg,
     q37BloomJoin, q38PeakConcurrency, q39Distribution, dp1Profile,
-    dp3Histogram, dp4Correlation, dp5Outliers)
+    dp3Histogram, dp4Correlation, dp5Outliers, dp6KsTest)
 }

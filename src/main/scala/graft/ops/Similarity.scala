@@ -709,6 +709,103 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** ANN quality evaluation: recall@k of the hyperplane-LSH index (s2's
+    * in-bucket candidates) against exact brute-force ground truth (s1's
+    * ranking), for k = 1..[[BUCKET_K]], averaged over the probe set —
+    * the evaluation harness every approximate index ships with, run as
+    * a query so the index's quality contract is itself oracle-checked.
+    * Recall is an exact integer ratio (hit counts over probes·k), so
+    * both engines agree to the last bit before the final rounding.
+    *
+    * Scale shape: both rankings come from the same one-scan shapes as
+    * s1/s2 (broadcast probes; bucket equi-join); the hit join matches
+    * (probe, neighbor) pairs at equal or better rank, and the per-k
+    * fan-out is a [[BUCKET_K]]-row broadcast — nothing scales worse
+    * than the underlying searches.
+    */
+  val s11RecallCurve: Q = Q.sql(
+    "s11_ann_recall",
+    s"Recall@k (k=1..$BUCKET_K) of hyperplane-LSH ANN vs exact brute-force ground truth.",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm,
+       |         ${(0 until PLANES).map(p =>
+            s"""CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               |           list_transform(range(1, len(v) + 1), i -> v[i] * (${planeSqlArray(p)})[i])), (x, y) -> x + y) > 0
+               |      THEN ${1 << p} ELSE 0 END""".stripMargin).mkString(" + ")} AS bucket
+       |  FROM e),
+       |exact AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+       |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |             list_transform(range(1, len(p.v) + 1), i -> p.v[i] * c.v[i])), (x, y) -> x + y)
+       |             / (p.nrm * c.nrm) DESC, c.vec_id) AS rank
+       |  FROM n p JOIN n c ON p.vec_id < 10 AND c.vec_id <> p.vec_id),
+       |lsh AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+       |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |             list_transform(range(1, len(p.v) + 1), i -> p.v[i] * c.v[i])), (x, y) -> x + y)
+       |             / (p.nrm * c.nrm) DESC, c.vec_id) AS rank
+       |  FROM n p JOIN n c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
+       |  WHERE p.vec_id < 10),
+       |ks AS (SELECT UNNEST(range(1, $BUCKET_K + 1)) AS k),
+       |hits AS (
+       |  SELECT ks.k, COUNT(*) AS n_hits
+       |  FROM exact ex
+       |  JOIN lsh ON lsh.probe_id = ex.probe_id
+       |          AND lsh.neighbor_id = ex.neighbor_id
+       |  CROSS JOIN ks
+       |  WHERE ex.rank <= ks.k AND lsh.rank <= ks.k
+       |  GROUP BY ks.k),
+       |np AS (SELECT COUNT(DISTINCT probe_id) AS n_probes FROM exact)
+       |SELECT ks.k AS k, np.n_probes, COALESCE(h.n_hits, 0) AS n_hits,
+       |       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / (np.n_probes * ks.k), 6) AS recall
+       |FROM ks LEFT JOIN hits h ON ks.k = h.k CROSS JOIN np
+       |ORDER BY ks.k""".stripMargin) { (spark, dir) =>
+    val n0 = Dedup.normedVectors(spark, dir)
+    val bucket = (0 until PLANES).map { p =>
+      when(aggregate(zip_with(col("v"), planeCol(p), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val n = n0.withColumn("bucket", bucket)
+    val cos = Dedup.cosineCol(col("pv"), col("v"), col("pnrm"), col("nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val probes = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("bucket").as("pbucket"),
+        col("v").as("pv"), col("nrm").as("pnrm"))
+    val exact = broadcast(probes.drop("pbucket"))
+      .join(n.drop("bucket"), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+      .localCheckpoint() // consumed by the hit join AND the probe count
+    val lsh = broadcast(probes)
+      .join(n, col("pbucket") === col("bucket") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .select(col("probe_id").as("l_probe"), col("neighbor_id").as("l_neighbor"),
+        col("rank").as("l_rank"))
+    val ks = spark.range(1, BUCKET_K + 1).select(col("id").as("k"))
+    val np = exact.agg(countDistinct(col("probe_id")).as("n_probes"))
+    val hits = exact.join(lsh,
+        col("probe_id") === col("l_probe") && col("neighbor_id") === col("l_neighbor"))
+      .crossJoin(broadcast(ks))
+      .filter(col("rank") <= col("k") && col("l_rank") <= col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_hits"))
+    ks.join(hits, Seq("k"), "left")
+      .crossJoin(broadcast(np))
+      .select(col("k"), col("n_probes"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / (col("n_probes") * col("k")), 6).as("recall"))
+      .orderBy("k")
+  }
+
   val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4LabelCentroids,
-    s5KnnJoin, s6Quantize, s7Mips, s8AnnRerank, s9RetrievalE2e, s10PqEncode)
+    s5KnnJoin, s6Quantize, s7Mips, s8AnnRerank, s9RetrievalE2e, s10PqEncode,
+    s11RecallCurve)
 }
