@@ -368,6 +368,60 @@ object EtlQueries {
       .orderBy("event_type")
   }
 
+  private val evoDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stage a schema-DRIFTED parquet directory: older files carry
+    * (doc_id, lang), newer files add n_chars and drop lang — the shape a
+    * long-lived corpus directory actually takes as its writer evolves.
+    */
+  private def evolvedPath(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    evoDirs.getOrElseUpdate(dir, {
+      val out = StreamingQueries.fastTmpDir("graft_evo")
+      val docs = graft.Tables.documents(spark, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("append").parquet(out)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("n_chars"))
+        .write.mode("append").parquet(out)
+      val root = new java.io.File(out)
+      root.deleteOnExit()
+      Option(root.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
+      out
+    })
+
+  /** Schema-evolution read: the drifted directory ([[evolvedPath]]) read
+    * back with `mergeSchema=true`, so the scan presents the UNION schema
+    * and files fill their missing columns with nulls — the
+    * schema-on-read guarantee that lets a 100 TB corpus directory evolve
+    * without rewriting history. The aggregate counts presence per
+    * column; the oracle re-derives the same from the authoritative
+    * table, so a wrong null-fill or a dropped file breaks the hash.
+    */
+  val e8SchemaEvolution: Q = Q.sql(
+    "e8_schema_evolution",
+    "Schema-drifted parquet dir read with mergeSchema: per-lang presence counts vs re-derivation.",
+    """WITH u AS (
+      |  SELECT doc_id, lang, NULL::BIGINT AS n_chars
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, NULL, n_chars FROM documents WHERE doc_id % 2 = 1)
+      |SELECT COALESCE(lang, '<absent>') AS lang,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_chars,
+      |       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+      |       MIN(doc_id) AS min_doc
+      |FROM u GROUP BY 1 ORDER BY lang""".stripMargin) { (spark, dir) =>
+    spark.read.option("mergeSchema", "true").parquet(evolvedPath(spark, dir))
+      .groupBy(coalesce(col("lang"), lit("<absent>")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_null_chars"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(e1ItemPipeline, e2AssessmentPipeline, e3JsonlRoundtrip,
-    e4OrcRoundtrip, e5PartitionedRoundtrip, e6BucketedJoin, e7CsvRoundtrip)
+    e4OrcRoundtrip, e5PartitionedRoundtrip, e6BucketedJoin, e7CsvRoundtrip,
+    e8SchemaEvolution)
 }
