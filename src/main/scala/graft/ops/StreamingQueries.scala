@@ -429,25 +429,29 @@ object StreamingQueries {
       // so with a single sentinel the final eviction pass would never
       // execute (observed: the last unmatched purchase stayed in state).
       //
-      // Sentinel rows must NEVER be filtered by the consuming query: any
-      // engine-side predicate that identifies them (user_id < 0,
-      // event_id < 0…) gets pushed down to the scan — and via join-
-      // constraint inference reaches the OTHER side's scan too — killing
-      // them BEFORE the watermark node, which silently un-advances the
-      // watermark (observed). Instead they are constructed to be
-      // output-inert: sentinel clicks sit at max+k·1h (matchable clicks
-      // must precede a purchase — nothing follows them, and unmatched
-      // right rows never emit from a LEFT join); sentinel purchases sit
-      // at max+k·2h, ABOVE the highest watermark any run can reach
-      // (min(click max+2h, purchase max+4h) − delay), so they are never
-      // evicted and their null-padded rows never emit.
+      // Sentinel rows must NEVER be filtered by a SINGLE-side predicate
+      // in the consuming query: any filter the optimizer can attribute
+      // to one input (user_id < 0, event_id < 0…) gets pushed down to
+      // that scan — and via join-constraint inference reaches the OTHER
+      // side's scan too — killing the sentinel BEFORE the watermark
+      // node, which silently un-advances the watermark (observed). And
+      // no timestamp placement can keep BOTH sides' sentinels
+      // evict-proof: once the watermark advances, the engine runs a
+      // trailing no-data batch whose watermark is min(side maxima) − δ,
+      // which always overtakes the k=1 sentinel of the min side
+      // (observed: sentinel rows emitted from outer-join state). The
+      // consumers therefore drop sentinel OUTPUT with a post-join
+      // filter on coalesce(left_user, right_user) >= 0 — a predicate
+      // referencing both sides, which Catalyst can neither push into a
+      // scan nor use to eliminate the outer join. Sentinels carry
+      // user_id −1 so that coalesce identifies them on whichever side
+      // survives null-extension.
       val t = System.currentTimeMillis()
       Seq(1, 2).foreach { k =>
-        val clickTs = maxTs + k * 3600L * 1000000000L // +k·1h, ns
-        val purchTs = maxTs + k * 7200L * 1000000000L // +k·2h, ns
+        val sentTs = maxTs + k * 7200L * 1000000000L // +k·2h, ns
         val sent = Seq(
-          (-(2L * k - 1), clickTs, -1L, "click", 0.0, "{}"),
-          (-(2L * k), purchTs, -1L, "purchase", 0.0, "{}"))
+          (-(2L * k - 1), sentTs, -1L, "click", 0.0, "{}"),
+          (-(2L * k), sentTs, -1L, "purchase", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         val tmp = fastTmpDir(s"graft_stream_sent_tmp$k")
         sent.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -503,6 +507,9 @@ object StreamingQueries {
           col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
           col("c_ts") < col("p_ts"),
         "left_outer")
+      // sentinel drop — see eventsPathWithSentinel: must be a BOTH-sides
+      // predicate (coalesce), never p_user alone, or it pushes to the scan
+      .filter(coalesce(col("p_user"), col("c_user")) >= 0)
       .select(col("purchase_id"), col("p_user").as("user_id"),
         col("p_ts").as("purchase_ts"),
         coalesce(col("c_ts"), timestamp_micros(lit(0L))).as("click_ts"),
@@ -513,7 +520,64 @@ object StreamingQueries {
       .orderBy("purchase_id", "click_ts")
   }
 
+  /** Stream-stream FULL OUTER join: every purchase with its preceding
+    * clicks AND every click that preceded no purchase — both "no
+    * touchpoint" and "abandoned touchpoint" emitted as first-class rows.
+    * Beyond w13, the state store must also emit (not drop) unmatched
+    * RIGHT rows on watermark passage; the shared sentinel staging keeps
+    * both sides' sentinels above any reachable watermark (see
+    * [[eventsPathWithSentinel]]), so neither pollutes the output. Nulls
+    * are coalesced to sentinels (epoch ts / −1 ids) for the gate's
+    * sort-based comparator.
+    */
+  val w14StreamFullOuter: Q = Q.sql(
+    "w14_stream_full_outer",
+    "Stream-stream FULL OUTER join: purchase-click pairs (<10 min) plus both sides' unmatched rows.",
+    """SELECT COALESCE(p.event_id, -1) AS purchase_id,
+      |       COALESCE(p.user_id, c.user_id) AS user_id,
+      |       COALESCE(p.ts, TIMESTAMP '1970-01-01 00:00:00') AS purchase_ts,
+      |       COALESCE(c.event_id, -1) AS click_id,
+      |       COALESCE(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts,
+      |       CASE WHEN p.event_id IS NULL THEN 'click_only'
+      |            WHEN c.event_id IS NULL THEN 'purchase_only'
+      |            ELSE 'matched' END AS side
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+      |ORDER BY purchase_id, click_id""".stripMargin) { (spark, dir) =>
+    val staged = eventsPathWithSentinel(spark, dir)
+    val purchases = EventsStream.read(spark, staged)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = EventsStream.read(spark, staged)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") < col("p_ts"),
+        "full_outer")
+      // sentinel drop — see eventsPathWithSentinel: coalesce keeps the
+      // predicate un-pushable and the join un-eliminable
+      .filter(coalesce(col("p_user"), col("c_user")) >= 0)
+      .select(coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("p_user"), col("c_user")).as("user_id"),
+        coalesce(col("p_ts"), timestamp_micros(lit(0L))).as("purchase_ts"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(col("c_ts"), timestamp_micros(lit(0L))).as("click_ts"),
+        when(col("p_ts").isNull, "click_only")
+          .when(col("c_ts").isNull, "purchase_only")
+          .otherwise("matched").as("side"))
+    runStream(spark, "w14_stream_full_outer", joined, OutputMode.Append())
+      .orderBy("purchase_id", "click_id")
+  }
+
   val all: Seq[Q] = Seq(w3StreamTumbling, w4StreamSession, w5StreamDedup,
     w6CustomSessionizer, w7StreamJoin, w10StreamStatic, w11StreamUpsert,
-    w12StreamHopping, w13StreamOuterJoin)
+    w12StreamHopping, w13StreamOuterJoin, w14StreamFullOuter)
 }
