@@ -542,7 +542,58 @@ object Curation {
       .orderBy("seq")
   }
 
+  private val BPE_TOP = 40
+
+  /** One iteration of BPE vocabulary learning, distributed: mine the
+    * corpus for its most frequent ADJACENT symbol pairs (here: character
+    * bigrams within lowercase-alpha words) — the merge candidates a BPE
+    * trainer would fuse next. The full trainer is this exact aggregate in
+    * a loop (merge top pair, re-mine); one iteration is the
+    * SQL-expressible contract, and the loop shape is g1-style driver
+    * control over the same frame.
+    *
+    * Distributed shape: words explode map-side off the document scan,
+    * char pairs explode map-side off words (`sequence` + `substring`, all
+    * codegen'd builtins — no UDF), and ONE shuffle aggregates pair
+    * counts, whose key space is bounded by the alphabet (≤26² cells) —
+    * partial map-side combine collapses virtually everything before the
+    * exchange. The top-K window over ≤676 aggregated rows is trivially
+    * single-partition-safe. Ranks are deterministic (count desc, pair
+    * asc); every output is integer-exact.
+    */
+  val p12BpeMerges: Q = Q.sql(
+    "p12_bpe_merges",
+    s"BPE merge-candidate mining: top-$BPE_TOP adjacent char pairs in lowercase words, one trainer iteration.",
+    s"""WITH words AS (
+       |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+       |  FROM words, UNNEST(range(1, length(w))) AS t(i)
+       |  WHERE length(w) >= 2),
+       |counted AS (
+       |  SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair),
+       |ranked AS (
+       |  SELECT pair, n,
+       |         ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk
+       |  FROM counted)
+       |SELECT rnk, pair, n FROM ranked WHERE rnk <= $BPE_TOP
+       |ORDER BY rnk""".stripMargin) { (spark, dir) =>
+    val pairs = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("pair"))
+    pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= BPE_TOP)
+      .select(col("rnk"), col("pair"), col("n"))
+      .orderBy("rnk")
+  }
+
   val all: Seq[Q] = Seq(p1Curation, p2HashSplit, p3IncrementalDedup,
     p4Decontamination, p5DomainQuota, p6SequencePack, p7StratifiedSample,
-    p8MixtureResample, p9RejectFunnel, p10DatasetCard, p11Curriculum)
+    p8MixtureResample, p9RejectFunnel, p10DatasetCard, p11Curriculum,
+    p12BpeMerges)
 }

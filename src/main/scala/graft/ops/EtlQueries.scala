@@ -421,7 +421,58 @@ object EtlQueries {
       .orderBy("lang")
   }
 
+  private val sortedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stage events CLUSTERED on user_id: `repartitionByRange` gives each
+    * file a disjoint user range and the within-partition sort makes every
+    * row group's user_id min/max stats tight. That write-time layout is
+    * what parquet data skipping needs — a selective user predicate then
+    * prunes whole files/row groups at plan/scan time instead of reading
+    * and filtering 100 TB.
+    */
+  private def sortedPath(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    sortedDirs.getOrElseUpdate(dir, {
+      val out = StreamingQueries.fastTmpDir("graft_sorted")
+      graft.Tables.events(spark, dir)
+        .repartitionByRange(8, col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts"))
+        .write.mode("overwrite").parquet(out)
+      val root = new java.io.File(out)
+      root.deleteOnExit()
+      Option(root.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
+      out
+    })
+
+  /** Sort-clustered write → skipping read: the range predicate lands in
+    * PushedFilters over the clustered copy ([[sortedPath]]), where the
+    * layout makes the parquet min/max stats actually selective — 7 of 8
+    * files prune without a read. The oracle runs the same predicate on
+    * the authoritative table, so a row lost or duplicated by the
+    * repartition/sort/write/scan chain breaks the hash. This is the
+    * single-column version of the Z-order/liquid-clustering trade every
+    * warehouse makes at 100 TB: one sort at write time buys every later
+    * selective scan.
+    */
+  val e9SortedSkipping: Q = Q.sql(
+    "e9_sorted_skipping",
+    "events -> user-range-clustered parquet -> pruned selective scan vs authoritative-table oracle.",
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+      |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+      |  MIN(epoch_us(ts)) AS min_ts_us
+      |FROM events WHERE user_id BETWEEN 100 AND 199
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(sortedPath(spark, dir))
+      .filter(col("user_id").between(100, 199))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"),
+        min(unix_micros(col("ts"))).as("min_ts_us"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(e1ItemPipeline, e2AssessmentPipeline, e3JsonlRoundtrip,
     e4OrcRoundtrip, e5PartitionedRoundtrip, e6BucketedJoin, e7CsvRoundtrip,
-    e8SchemaEvolution)
+    e8SchemaEvolution, e9SortedSkipping)
 }

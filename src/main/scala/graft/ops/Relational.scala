@@ -1594,6 +1594,119 @@ object Relational {
         round(col("ks_num").cast("double") / (col("n1") * col("n2")), 6).as("ks"))
   }
 
+  /** Cohort retention matrix — the product-analytics staple: users are
+    * cohorted by the ISO week of their FIRST signup, and each later week
+    * of activity increments that cohort's retention cell. Offsets are
+    * integer week counts between Monday-truncated weeks (both engines
+    * truncate weeks to Monday), so every output component except the
+    * final rate is integer-exact; the rate is one double division +
+    * round(6) per row.
+    *
+    * Distributed shape: cohort assignment is a groupBy(user) min — one
+    * shuffle on user_id; activity is a (user, week) distinct — a shuffle
+    * whose key includes user_id, so the cohort⋈activity join re-uses the
+    * user hash layout; the final aggregate shuffles only (cohort_week,
+    * offset) cells. Per-week cohort sizes are a tiny frame, broadcast
+    * into the rate join. Nothing in the plan scales worse than the
+    * distinct — at 100 TB the (user, week) distinct is the cost, exactly
+    * as it should be.
+    */
+  val q40Retention: Q = Q.sql(
+    "q40_retention",
+    "Weekly cohort retention: signup-week cohorts x week offset, active users and retention rate.",
+    """WITH cohort AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events),
+      |joined AS (
+      |  SELECT c.cw, date_diff('day', c.cw, a.aw) // 7 AS week_offset
+      |  FROM cohort c JOIN activity a ON c.user_id = a.user_id
+      |  WHERE a.aw >= c.cw),
+      |sizes AS (SELECT cw, COUNT(*) AS cohort_size FROM cohort GROUP BY cw)
+      |SELECT j.cw AS cohort_week, j.week_offset, COUNT(*) AS n_active,
+      |       s.cohort_size,
+      |       ROUND(CAST(COUNT(*) AS DOUBLE) / s.cohort_size, 6) AS retention
+      |FROM joined j JOIN sizes s ON j.cw = s.cw
+      |GROUP BY j.cw, j.week_offset, s.cohort_size
+      |ORDER BY cohort_week, week_offset""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cw"))
+    val activity = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+      .distinct()
+    val joined = cohort.join(activity, Seq("user_id"))
+      .filter(col("aw") >= col("cw"))
+      .select(col("cw"),
+        expr("datediff(aw, cw) div 7").cast("bigint").as("week_offset"))
+    val sizes = cohort.groupBy(col("cw")).agg(count(lit(1)).as("cohort_size"))
+    joined.groupBy(col("cw"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cw"))
+      // DuckDB's date_trunc('week', ts) yields DATE; match the type
+      .select(col("cw").cast("date").as("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Chi-square independence profile of event_type × hour-of-day — the
+    * data-profiling test for "is this categorical feature independent of
+    * time", emitted as the full contingency grid (zero-observed cells
+    * included — they still carry expected mass). Marginals and the
+    * (o·N − r·c) deviation are integer-exact; the per-cell contribution
+    * (o·N − r·c)²/(N·r·c) is per-row double arithmetic with one
+    * round(6) — no cross-cell float reduction, so no order sensitivity.
+    *
+    * Distributed shape: ONE scan + one shuffle builds the observed cell
+    * counts; marginals re-aggregate the tiny cell frame (never the fact
+    * table); the grid is a broadcast cross of two marginal frames
+    * (|types| × 24 rows). At 100 TB only the first aggregate touches
+    * data volume.
+    */
+  val dp7ChiSquare: Q = Q.sql(
+    "dp7_chi_square",
+    "Chi-square independence grid: event_type x hour-of-day, integer-exact deviations + per-cell contribution.",
+    """WITH obs AS (
+      |  SELECT event_type, hour(ts) AS hr, COUNT(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rowm AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY 1),
+      |colm AS (SELECT hr, SUM(o) AS c FROM obs GROUP BY 1),
+      |tot AS (SELECT SUM(o) AS n FROM obs),
+      |grid AS (
+      |  SELECT rm.event_type, cm.hr,
+      |         CAST(rm.r AS BIGINT) AS r, CAST(cm.c AS BIGINT) AS c,
+      |         CAST(t.n AS BIGINT) AS n,
+      |         CAST(COALESCE(ob.o, 0) AS BIGINT) AS o
+      |  FROM rowm rm CROSS JOIN colm cm CROSS JOIN tot t
+      |  LEFT JOIN obs ob ON ob.event_type = rm.event_type AND ob.hr = cm.hr)
+      |SELECT event_type, hr, o, r, c, n,
+      |       CAST(o * n - r * c AS BIGINT) AS dev,
+      |       ROUND((CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE))
+      |             / (CAST(n AS DOUBLE) * r * c), 6) AS contrib
+      |FROM grid ORDER BY event_type, hr""".stripMargin) { (spark, dir) =>
+    val obs = Tables.events(spark, dir)
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // tiny cell frame; marginals below re-aggregate it
+    val rowm = obs.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val colm = obs.groupBy(col("hr")).agg(sum(col("o")).as("c"))
+    val tot = obs.agg(sum(col("o")).as("n"))
+    val dev = col("o") * col("n") - col("r") * col("c")
+    rowm.crossJoin(broadcast(colm)).crossJoin(broadcast(tot))
+      .join(obs.withColumnRenamed("event_type", "ot").withColumnRenamed("hr", "oh"),
+        col("event_type") === col("ot") && col("hr") === col("oh"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("o"), lit(0L)).as("o"), col("r"), col("c"), col("n"))
+      .select(col("event_type"), col("hr"), col("o"), col("r"), col("c"), col("n"),
+        dev.as("dev"),
+        round((dev.cast("double") * dev.cast("double"))
+          / (col("n").cast("double") * col("r") * col("c")), 6).as("contrib"))
+      .orderBy("event_type", "hr")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
@@ -1601,6 +1714,7 @@ object Relational {
     q24JsonFuncs, q25ApproxQuantiles, q26MovingWindow, q27Lateral,
     q28GroupingSets, q29GapFill, q30Unpivot, q31SaltedJoin, q32LatestPerKey,
     q33RankFamily, q34CorrelatedSubquery, q35Scd2, q36IncrementalAgg,
-    q37BloomJoin, q38PeakConcurrency, q39Distribution, dp1Profile,
-    dp3Histogram, dp4Correlation, dp5Outliers, dp6KsTest)
+    q37BloomJoin, q38PeakConcurrency, q39Distribution, q40Retention,
+    dp1Profile, dp3Histogram, dp4Correlation, dp5Outliers, dp6KsTest,
+    dp7ChiSquare)
 }

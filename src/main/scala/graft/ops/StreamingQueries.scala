@@ -112,11 +112,16 @@ object StreamingQueries {
     * stronger batch-equivalence claim than one batch of everything.
     * In-order arrival means no row is ever behind the 10-minute
     * watermark, so nothing is late-dropped and the drained sink still
-    * equals the batch oracle exactly. (Equal mod-times make the file
-    * source order by path; part-0000k holds ascending ts range k. Two
+    * equals the batch oracle exactly. Batch ORDER must be forced via
+    * STRICTLY INCREASING modification times (part-0000k, which holds
+    * ascending ts range k, gets t0+k·60s): the file source breaks
+    * equal-modtime ties by local-FS readdir order, which follows
+    * creation order, i.e. task completion order — nondeterministic
+    * (observed once in a w15 run: the newer half scheduled first, its
+    * watermark ran ahead, and the older half's rows arrived late). Two
     * batches, not more: each extra micro-batch re-pays the state-store
     * file IO per partition per operator — one boundary crossing proves
-    * the property at half the gate cost of three.)
+    * the property at half the gate cost of three.
     */
   private val stagedDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -130,7 +135,13 @@ object StreamingQueries {
         .write.mode("overwrite").parquet(out)
       val root = new java.io.File(out)
       root.deleteOnExit()
-      Option(root.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
+      val files = Option(root.listFiles()).getOrElse(Array.empty)
+      files.foreach(_.deleteOnExit())
+      // deterministic micro-batch order (see scaladoc above)
+      val t0 = System.currentTimeMillis()
+      files.filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName).zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
       out
     })
 
@@ -447,6 +458,17 @@ object StreamingQueries {
       // user_id −1 so that coalesce identifies them on whichever side
       // survives null-extension.
       val t = System.currentTimeMillis()
+      // deterministic batch order (see eventsPath): data files staggered
+      // by ts-range index FIRST, sentinels after — strictly increasing
+      // mod times, because equal-modtime ties fall back to readdir
+      // (creation) order, which is nondeterministic
+      val root = new java.io.File(out)
+      val dataFiles = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      dataFiles.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t + i * 60000L)
+      }
       Seq(1, 2).foreach { k =>
         val sentTs = maxTs + k * 7200L * 1000000000L // +k·2h, ns
         val sent = Seq(
@@ -460,13 +482,8 @@ object StreamingQueries {
           .getOrElse(sys.error("w13: sentinel part file missing"))
         val target = new java.io.File(out, s"zz-sentinel-$k.parquet")
         java.nio.file.Files.move(part.toPath, target.toPath)
-        target.setLastModified(t + k * 60000)
+        target.setLastModified(t + (dataFiles.length + k) * 60000L)
       }
-      // deterministic batch order: data files at T, sentinels after
-      val root = new java.io.File(out)
-      Option(root.listFiles()).getOrElse(Array.empty)
-        .filterNot(_.getName.startsWith("zz-sentinel"))
-        .foreach(f => f.setLastModified(t))
       out
     })
 
@@ -577,7 +594,48 @@ object StreamingQueries {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** The custom sessionizer run as a REAL stream with event-time-timeout
+    * state eviction — the production shape of w6 (which runs the same
+    * state machine in batch). What this gate proves beyond w4/w6: open
+    * sessions are closed by the WATERMARK (the engine calls the function
+    * with `hasTimedOut=true` once the watermark passes last+gap and the
+    * state evicts), not by a later event or a batch-mode drain — the
+    * property that bounds state to ACTIVE users on an unbounded stream.
+    * The sentinel staging advances the final watermark past every real
+    * session's close (see [[eventsPathWithSentinel]]); the sentinel
+    * user's own rows are dropped POST-state on `user_id >= 0`, which is
+    * safe from pushdown because `flatMapGroupsWithState` has no column
+    * lineage for Catalyst to push a predicate through (verified: the
+    * plan keeps the Filter above the FlatMapGroupsWithState node).
+    */
+  val w15StreamTimeoutSessions: Q = Q.sql(
+    "w15_stream_timeout_sessions",
+    "flatMapGroupsWithState sessionizer with EventTimeTimeout eviction (real stream) vs gaps-and-islands SQL.",
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       COUNT(*) AS n_events
+      |FROM numbered GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val staged = eventsPathWithSentinel(spark, dir)
+    val ev = EventsStream.read(spark, staged).as[EventsStream.Event]
+    val sessions = EventsStream.timeoutSessions(ev).toDF()
+      .filter(col("user_id") >= 0)
+    runStream(spark, "w15_stream_timeout_sessions", sessions, OutputMode.Append())
+      .orderBy("user_id", "session_start")
+  }
+
   val all: Seq[Q] = Seq(w3StreamTumbling, w4StreamSession, w5StreamDedup,
     w6CustomSessionizer, w7StreamJoin, w10StreamStatic, w11StreamUpsert,
-    w12StreamHopping, w13StreamOuterJoin, w14StreamFullOuter)
+    w12StreamHopping, w13StreamOuterJoin, w14StreamFullOuter,
+    w15StreamTimeoutSessions)
 }

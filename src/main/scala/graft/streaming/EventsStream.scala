@@ -154,6 +154,65 @@ object EventsStream {
       }
   }
 
+  /** The production variant of [[statefulSessions]]: sessions close by
+    * EVENT-TIME TIMEOUT, not only when a later event proves the gap.
+    * Each arriving batch merges events into the user's open session and
+    * arms `setTimeoutTimestamp(last + gap)`; when the watermark passes
+    * that instant the engine calls the function once more with
+    * `hasTimedOut=true` and the session emits + its state evicts. This
+    * is the shape a live stream needs — without the timeout, an idle
+    * user's final session never leaves the state store (state grows with
+    * total keys ever seen instead of ACTIVE keys).
+    *
+    * Correctness contract under in-order arrival: a timeout fires only
+    * when watermark > last + gap, i.e. only when no event can extend the
+    * session any more (later events all carry ts ≥ watermark), so the
+    * emitted sessions are exactly the batch gaps-and-islands sessions —
+    * which is what the w15 gate checks.
+    */
+  def timeoutSessions(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the session is provably closed
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(userId, instant(s.start), instant(s.last + gapUs), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => us(e.ts))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              cur match {
+                case Some(s) if t - s.last < gapUs =>
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, instant(s.start), instant(s.last + gapUs), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // arm the event-time alarm: in-order staging guarantees
+              // last ≥ watermark (see StreamingQueries.eventsPath), so
+              // last+gap is always a legal (future) timeout instant
+              state.setTimeoutTimestamp((s.last + gapUs) / 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Drain any pending session state as final rows (batch-mode finisher —
     * in a live stream these stay open awaiting more events).
     */

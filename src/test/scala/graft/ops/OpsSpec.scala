@@ -654,6 +654,76 @@ class OpsSpec extends AnyFunSuite {
       s"node ${r.getLong(0)} survived with degree ${r.getLong(1)} < 3"))
   }
 
+  test("w14: full outer = w13's left outer + click_only rows; sides partition") {
+    val full = StreamingQueries.w14StreamFullOuter.run(spark, sf)
+      .select("purchase_id", "click_ts", "side").collect()
+    val sides = full.map(_.getString(2)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(sides.keySet.subsetOf(Set("matched", "purchase_only", "click_only")))
+    val left = StreamingQueries.w13StreamOuterJoin.run(spark, sf).count()
+    assert(full.count(_.getString(2) != "click_only") === left,
+      "full outer's purchase-side rows diverge from the left outer join")
+    // every click is accounted for exactly once as matched or click_only
+    val clicks = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(full.count(_.getString(2) != "purchase_only") === clicks,
+      "full outer's click-side rows don't cover the clicks exactly")
+  }
+
+  test("w15: timeout-evicted sessions equal the batch sessionizer's") {
+    val streamed = StreamingQueries.w15StreamTimeoutSessions.run(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events").collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString, r.getLong(3))).toSet
+    val batch = StreamingQueries.w6CustomSessionizer.run(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events").collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString, r.getLong(3))).toSet
+    assert(streamed === batch,
+      "event-time-timeout sessions diverge from the batch state machine")
+  }
+
+  test("q40: offset-0 retention is total (signup week is itself active)") {
+    val rows = Relational.q40Retention.run(spark, sf)
+      .select("week_offset", "n_active", "cohort_size", "retention").collect()
+    rows.filter(_.getLong(0) == 0L).foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), "cohort user inactive in own signup week")
+      assert(r.getDouble(3) === 1.0)
+    }
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(2)))
+  }
+
+  test("dp7: grid closes — per-type o sums to r, grand total to n") {
+    val rows = Relational.dp7ChiSquare.run(spark, sf)
+      .select("event_type", "o", "r", "n").collect()
+    val n = rows.head.getLong(3)
+    assert(rows.map(_.getLong(1)).sum === n, "observed cells don't sum to N")
+    rows.groupBy(_.getString(0)).foreach { case (_, cells) =>
+      assert(cells.map(_.getLong(1)).sum === cells.head.getLong(2),
+        "row marginal diverges from its cells")
+    }
+  }
+
+  test("e9: clustered-copy aggregate equals the authoritative table's") {
+    val agg = (df: org.apache.spark.sql.DataFrame) => df
+      .filter(col("user_id").between(100, 199))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val direct = agg(graft.Tables.events(spark, sf))
+    val rows = EtlQueries.e9SortedSkipping.run(spark, sf)
+      .select("event_type", "n_events").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows === direct, "roundtrip lost or duplicated rows")
+  }
+
+  test("p12: pairs are lowercase char bigrams with descending counts") {
+    val rows = Curation.p12BpeMerges.run(spark, sf)
+      .select("rnk", "pair", "n").collect().sortBy(_.getLong(0))
+    rows.foreach(r => assert(r.getString(1).matches("[a-z]{2}"),
+      s"bad pair '${r.getString(1)}'"))
+    rows.map(_.getLong(2)).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, "counts not descending by rank")
+      case _ => ()
+    }
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

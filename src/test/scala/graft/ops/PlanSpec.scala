@@ -242,4 +242,27 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"no partial aggregation in:\n$p")
   }
+
+  test("e9: user-range predicate is pushed into the clustered-copy scan") {
+    val p = plan(EtlQueries.e9SortedSkipping)
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("GreaterThanOrEqual(user_id,100)") &&
+      p.contains("LessThanOrEqual(user_id,199)"),
+      s"user range not pushed to the scan:\n$p")
+  }
+
+  test("q40: cohort sizes ride a broadcast; no cartesian anywhere") {
+    val p = plan(Relational.q40Retention)
+    assert(p.contains("BroadcastHashJoin"), s"sizes join not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("p12: pair mine is explode + ONE aggregation shuffle off the scan") {
+    val p = plan(Curation.p12BpeMerges).split("== Initial Plan ==")(0)
+    assert("documents\\.parquet".r.findAllIn(p).size === 1,
+      s"pair mine re-scans the corpus:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no map-side partial combine in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
