@@ -74,7 +74,7 @@ object Dedup {
     */
   private val shingleCache = new SessionCache[String, DataFrame](df => { df.unpersist(false); () })
 
-  private def shingledDocs(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def shingledDocs(spark: SparkSession, dir: String): DataFrame =
     // one persisted shingle frame per (session, dataset): d2 and d3 both
     // hit it (up to 5 references each), and recomputing the kernel per
     // query was the dedup family's biggest repeated cost. At 100 TB this

@@ -1707,6 +1707,157 @@ object Relational {
       .orderBy("event_type", "hr")
   }
 
+  /** Last-touch attribution — the marketing-analytics staple the as-of
+    * join (q18) exists for, completed with the lookback window and the
+    * unattributed fallback a real attribution model needs: each purchase
+    * is credited to the user's latest click at-or-before it, but only if
+    * that click is within 7 days; otherwise the purchase is `organic`
+    * (click columns null). The oracle is DuckDB's native ASOF LEFT JOIN —
+    * an independent implementation of the same semantics.
+    *
+    * Distributed shape: same as q18 — tag both sides, union, and carry
+    * the latest click forward with a running `last(…, ignoreNulls)`
+    * window per user; equal timestamps sort the click first (inclusive
+    * boundary). ONE shuffle on user_id, no range cross-join, and the
+    * 7-day cutoff is a post-window per-row predicate, so the lookback
+    * never inflates the join. Clicks are deduped to one per (user, ts)
+    * first — both formulations need that for deterministic matches.
+    */
+  val q41Attribution: Q = Q.sql(
+    "q41_attribution",
+    "Last-touch attribution: purchase -> latest prior click within 7 days, else organic.",
+    """WITH c AS (
+      |  SELECT user_id, ts, MAX(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts, value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+      |       CASE WHEN c.ts IS NOT NULL
+      |                 AND epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000
+      |            THEN 'last_click' ELSE 'organic' END AS channel,
+      |       CASE WHEN c.ts IS NOT NULL
+      |                 AND epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000
+      |            THEN c.click_id END AS click_id,
+      |       CASE WHEN c.ts IS NOT NULL
+      |                 AND epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000
+      |            THEN epoch_us(p.ts) - epoch_us(c.ts) END AS micros_since_click,
+      |       CAST(p.value AS DOUBLE) AS revenue
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val lookbackUs = 7L * 86400L * 1000000L
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts"), lit(1).as("is_right"),
+        col("click_id"), lit(null).cast("long").as("purchase_id"),
+        lit(null).cast("double").as("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("is_right"),
+        lit(null).cast("long").as("click_id"),
+        col("event_id").as("purchase_id"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_right").desc,
+        coalesce(col("click_id"), col("purchase_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attributed = clicks.unionAll(purchases)
+      .withColumn("m_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("m_click_ts",
+        last(when(col("is_right") === 1, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("is_right") === 0)
+      .withColumn("age_us", unix_micros(col("ts")) - unix_micros(col("m_click_ts")))
+      .withColumn("in_window",
+        col("m_click_id").isNotNull && col("age_us") <= lookbackUs)
+    attributed.select(
+      col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+      when(col("in_window"), "last_click").otherwise("organic").as("channel"),
+      when(col("in_window"), col("m_click_id")).as("click_id"),
+      when(col("in_window"), col("age_us")).as("micros_since_click"),
+      col("value").cast("double").as("revenue"))
+      .orderBy("purchase_id")
+  }
+
+  /** Per-user event-type transition matrix (the order-1 Markov model of
+    * user behavior): LAG over each user's timeline pairs every event
+    * with its predecessor, and the (prev, next) cells aggregate to
+    * counts + row-conditional probabilities. Counts and row totals are
+    * integer-exact; the probability is one double division + round(6)
+    * per output row — no float reductions anywhere.
+    *
+    * Distributed shape: ONE shuffle on user_id drives the LAG window
+    * (each user's timeline sorts within its partition — key cardinality
+    * = users, no skew); the cell aggregate shuffles |types|² ≈ 25 rows,
+    * and row totals re-aggregate the tiny cell frame, never the fact
+    * table, riding a broadcast back onto the cells. Event-time ties
+    * break on event_id, so the matrix is deterministic on both engines.
+    */
+  val q42Transitions: Q = Q.sql(
+    "q42_transitions",
+    "Per-user event-type Markov transitions: LAG pairs, cell counts, row-conditional probability.",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |c AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      |      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT prev_type, SUM(n) AS row_total FROM c GROUP BY 1)
+      |SELECT c.prev_type, c.next_type, c.n,
+      |       CAST(r.row_total AS BIGINT) AS row_total,
+      |       ROUND(CAST(c.n AS DOUBLE) / r.row_total, 6) AS p
+      |FROM c JOIN r ON c.prev_type = r.prev_type
+      |ORDER BY c.prev_type, next_type""".stripMargin) { (spark, dir) =>
+    val seq = Tables.events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .filter(col("prev_type").isNotNull)
+    val cells = seq.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotals = cells.groupBy(col("prev_type")).agg(sum(col("n")).as("row_total"))
+    cells.join(broadcast(rowTotals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"), col("row_total"),
+        round(col("n").cast("double") / col("row_total"), 6).as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Benford first-significant-digit profile — the fraud/data-quality
+    * screen: observed first-digit distribution of order totals against
+    * the Benford expectation log10(1 + 1/d). The digit comes from the
+    * integer part's decimal string (never from floating log10, whose
+    * boundary error could misbucket a power of ten); counts are
+    * integer-exact and the two shares are per-row doubles with one
+    * round(6) each.
+    *
+    * Distributed shape: one scan, one aggregate whose key space is 9
+    * cells (map-side combine collapses everything before the exchange);
+    * the total rides a broadcast nested-loop of a 1-row frame. At 100 TB
+    * the scan is the entire cost.
+    */
+  val dp8Benford: Q = Q.sql(
+    "dp8_benford",
+    "Benford first-digit profile of order totals: observed share vs log10(1+1/d) expectation.",
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders WHERE o_totalprice >= 1),
+      |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+      |t AS (SELECT SUM(n) AS total FROM c)
+      |SELECT c.digit, c.n, CAST(t.total AS BIGINT) AS total,
+      |       ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS observed,
+      |       ROUND(LOG10(1.0 + 1.0 / c.digit), 6) AS expected
+      |FROM c CROSS JOIN t ORDER BY digit""".stripMargin) { (spark, dir) =>
+    val digits = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") >= 1)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"), col("total"),
+        round(col("n").cast("double") / col("total"), 6).as("observed"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("expected"))
+      .orderBy("digit")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
@@ -1715,6 +1866,7 @@ object Relational {
     q28GroupingSets, q29GapFill, q30Unpivot, q31SaltedJoin, q32LatestPerKey,
     q33RankFamily, q34CorrelatedSubquery, q35Scd2, q36IncrementalAgg,
     q37BloomJoin, q38PeakConcurrency, q39Distribution, q40Retention,
+    q41Attribution, q42Transitions,
     dp1Profile, dp3Histogram, dp4Correlation, dp5Outliers, dp6KsTest,
-    dp7ChiSquare)
+    dp7ChiSquare, dp8Benford)
 }

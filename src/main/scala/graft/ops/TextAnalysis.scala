@@ -753,8 +753,53 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  private val BOILER_DF = 5
+
+  /** Cross-document boilerplate profile — the CCNet/RefinedWeb-style
+    * screen for template text: a 3-shingle appearing in ≥ [[BOILER_DF]]
+    * distinct documents is boilerplate (nav bars, license footers,
+    * scraped chrome), and each document reports what fraction of its
+    * distinct shingles is boilerplate. Counts are integer-exact; the
+    * ratio is one double division + round(6) per document.
+    *
+    * Distributed shape: reuses the session-persisted shingle index
+    * ([[Dedup.shingledDocs]] — the same frame d2/d3/d8/p4 share), so the
+    * corpus is NOT re-shingled. Shingle document frequency is one
+    * aggregate keyed on the shingle (per-doc lists are distinct, so
+    * COUNT(*) = distinct docs — no count-distinct state), the df join
+    * back to postings reuses that exchange's partitioning, and the
+    * per-doc rollup shuffles on doc_id. At 100 TB the postings frame is
+    * the cost, exactly as in the dedup family, and the shingle key would
+    * be xxhash64-narrowed as d2's prefix index already does.
+    */
+  val t16Boilerplate: Q = Q.sql(
+    "t16_boilerplate",
+    s"Cross-document boilerplate: shingles in >= $BOILER_DF docs, per-doc boilerplate fraction.",
+    s"""WITH ${Dedup.shinglesSqlCteWith("", "")},
+       |ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh WHERE len(s) > 0),
+       |df AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+       |per AS (
+       |  SELECT e.doc_id,
+       |         COUNT(*) AS n_shingles,
+       |         SUM(CASE WHEN d.df >= $BOILER_DF THEN 1 ELSE 0 END) AS n_boiler
+       |  FROM ex e JOIN df d ON e.g = d.g GROUP BY e.doc_id)
+       |SELECT doc_id, n_shingles, CAST(n_boiler AS BIGINT) AS n_boiler,
+       |       ROUND(CAST(n_boiler AS DOUBLE) / n_shingles, 6) AS boiler_ratio
+       |FROM per ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val ex = Dedup.shingledDocs(spark, dir)
+      .select(col("doc_id"), explode(col("s")).as("g"))
+    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    ex.join(dfreq, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= BOILER_DF, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_shingles"), 6).as("boiler_ratio"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3TokenStats, t4Fingerprint,
     t5BpeTokens, t6HeavyHitters, t7Normalize, t8DistinctiveTerms,
     t9Repetition, t10Commonness, t11TfidfCosine, t12Chunk, t13PiiRedact,
-    t14BigramStats, t15Zipf, dp2Drift)
+    t14BigramStats, t15Zipf, t16Boilerplate, dp2Drift)
 }

@@ -724,6 +724,60 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q41: every purchase appears once; organic iff click columns null") {
+    val rows = Relational.q41Attribution.run(spark, sf)
+      .select("purchase_id", "channel", "click_id", "micros_since_click").collect()
+    val purchases = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.length.toLong === purchases, "attribution dropped/duplicated purchases")
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    rows.foreach { r =>
+      if (r.getString(1) == "organic") {
+        assert(r.isNullAt(2) && r.isNullAt(3), "organic row carries click data")
+      } else {
+        assert(!r.isNullAt(2) && r.getLong(3) >= 0L &&
+          r.getLong(3) <= 7L * 86400L * 1000000L,
+          "attributed click outside the 7-day lookback")
+      }
+    }
+  }
+
+  test("q42: transitions sum to events minus one per user; p rows sum to ~1") {
+    val rows = Relational.q42Transitions.run(spark, sf)
+      .select("prev_type", "n", "row_total", "p").collect()
+    val ev = graft.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === expected,
+      "cell counts don't cover every consecutive pair exactly once")
+    rows.groupBy(_.getString(0)).foreach { case (_, cells) =>
+      assert(cells.map(_.getLong(1)).sum === cells.head.getLong(2))
+      val pSum = cells.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"row probabilities sum to $pSum")
+    }
+  }
+
+  test("dp8: digits are 1-9 and counts close to the total") {
+    val rows = Relational.dp8Benford.run(spark, sf)
+      .select("digit", "n", "total", "observed", "expected").collect()
+    assert(rows.forall(r => r.getLong(0) >= 1 && r.getLong(0) <= 9))
+    assert(rows.map(_.getLong(1)).sum === rows.head.getLong(2))
+    rows.foreach(r => assert(r.getDouble(4) > 0 && r.getDouble(4) < 0.302))
+  }
+
+  test("t16: ratios in [0,1]; a boilerplate shingle is in >=5 docs") {
+    val rows = TextAnalysis.t16Boilerplate.run(spark, sf)
+      .select("doc_id", "n_shingles", "n_boiler", "boiler_ratio").collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "more boilerplate than shingles")
+      val ratio = r.getDouble(3)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // docs with shingles = docs with >= 3 whitespace words
+    val expected = graft.Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 3).count()
+    assert(rows.length.toLong === expected)
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

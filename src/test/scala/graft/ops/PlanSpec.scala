@@ -265,4 +265,36 @@ class PlanSpec extends AnyFunSuite {
       s"no map-side partial combine in:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q41: carry-forward window, no range join, event filters pushed") {
+    val p = plan(Relational.q41Attribution)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"no window in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"attribution fell back to a range join:\n$p")
+    assert(p.contains("PushedFilters: [") && p.contains("EqualTo(event_type,"),
+      s"event_type filters not pushed to the scan:\n$p")
+  }
+
+  test("q42: row totals ride a broadcast; one window shuffle on user_id") {
+    val p = plan(Relational.q42Transitions)
+    assert(p.contains("BroadcastHashJoin"), s"row-total join not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dp8: 9-cell aggregate has map-side combine; total is broadcast") {
+    val p = plan(Relational.dp8Benford)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"1-row total not broadcast in:\n$p")
+  }
+
+  test("t16: df join reuses the shingle exchange; corpus not re-shingled") {
+    val p = plan(TextAnalysis.t16Boilerplate)
+    // both join inputs come off the persisted shingle frame
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"shingle index not reused from cache:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
