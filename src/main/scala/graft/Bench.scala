@@ -31,7 +31,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // when AQE cancels a superseded stage (runtime join replan), actually
     // interrupt its tasks — otherwise an abandoned aggregate keeps burning
-    // cores as a zombie and every later query's time is noise
+    // cores as a zombie and every later query's time is noise.
+    // Thread-locality note: this local property covers jobs submitted from
+    // THIS thread only. The streaming (w*) queries' micro-batch jobs run on
+    // StreamExecution threads, which are covered independently —
+    // StreamExecution.runStream sets its own job group with
+    // interruptOnCancel=true (verified in spark-sql 4.1.2 bytecode:
+    // iconst_1 before the SparkContext.setJobGroup(String,String,Z) call in
+    // o.a.s.sql.execution.streaming.runtime.StreamExecution).
     spark.sparkContext.setLocalProperty("spark.job.interruptOnCancel", "true")
     // warm up the JVM/codegen/parquet reader so the first measured query
     // doesn't absorb ~5s of one-time cost
@@ -78,12 +85,27 @@ object Bench {
     spark.range(3000000000L).selectExpr("sum(id % 1000)").collect()
     val calParEnd = (System.nanoTime() - calT1) / 1e9
     def fmt(v: Double): String = f"$v%.3f"
+    // Host-noise normalization: the bench box is a shared VM, and the
+    // recorded back-to-back evidence (176.7s vs 124.6s identical runs,
+    // start calibrations 0.975 vs 0.541 — SURVEY §7.8) means a single
+    // contended run can false-fail a 2× wall-clock gate. The calibration
+    // probes measure fixed work, so host contention is a multiplier on
+    // them too: value_normalized = value × (CAL_REF / cal_measured),
+    // where cal_measured is the mean of the start/end parallel brackets
+    // (contention arriving mid-run is visible in the end bracket) and
+    // CAL_REF is the clean-host parallel calibration recorded in round 5.
+    // The raw value stays authoritative; the normalized one is what
+    // cross-round comparisons should read (README "Benchmark" section).
+    val calRef = 0.320
+    val calMeasured = (calPar + calParEnd) / 2.0
     def jsonLine(m: Map[String, Double]): String = {
       val qs = m.toSeq.sortBy(-_._2)
         .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
+      val norm = if (calMeasured > 0) total * (calRef / calMeasured) else total
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""value_normalized":${fmt(norm)},"cal_ref":${fmt(calRef)},""" +
         s""""cal_single_sec":${fmt(calSingle)},"cal_parallel_sec":${fmt(calPar)},""" +
         s""""cal_parallel_end_sec":${fmt(calParEnd)},""" +
         s""""queries":$qs,"sf":"$sfDir"}"""

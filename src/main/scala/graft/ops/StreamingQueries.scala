@@ -58,12 +58,30 @@ object StreamingQueries {
     ()
   }
 
+  // tmpfs scratch competes with the JVM heap for physical RAM: guard on
+  // free space so a large staged copy degrades to disk tmp instead of
+  // failing with ENOSPC/OOM-kill mid-query. 4 GiB headroom covers the
+  // largest staged side-copy at the gate/bench scale with margin.
+  private val shmMinFreeBytes = 4L * 1024 * 1024 * 1024
+
+  // log the chosen scratch root class once per JVM — fastTmpDir's silent
+  // fallback to disk tmp changes what the bench measures across machines,
+  // so the run output must record which one this run actually used.
+  private val loggedRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[graft] def fastTmpDir(prefix: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
+    val shmOk = java.nio.file.Files.isDirectory(shm) &&
+      java.nio.file.Files.isWritable(shm) &&
+      shm.toFile.getUsableSpace >= shmMinFreeBytes
     val p =
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-        java.nio.file.Files.createTempDirectory(shm, prefix)
+      if (shmOk) java.nio.file.Files.createTempDirectory(shm, prefix)
       else java.nio.file.Files.createTempDirectory(prefix)
+    val rootClass = if (shmOk) "tmpfs:/dev/shm" else "disk:" + sys.props("java.io.tmpdir")
+    if (loggedRoots.add(rootClass))
+      System.err.println(s"[graft] scratch root: $rootClass " +
+        s"(usable ${p.getParent.toFile.getUsableSpace / (1024 * 1024)} MiB)")
     scratchCleanup
     scratchRoots.add(p.toFile)
     p.toString

@@ -13,7 +13,7 @@ object PerfProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.1"
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     def time(name: String)(f: => Any): Unit = {
       val t0 = System.nanoTime()

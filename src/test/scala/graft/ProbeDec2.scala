@@ -18,7 +18,7 @@ object ProbeDec2 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.setLocalProperty("spark.job.interruptOnCancel", "true")
-    val sf = "/root/testdata/sf0.1"
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     def gcMs: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala

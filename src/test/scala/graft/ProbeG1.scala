@@ -10,7 +10,7 @@ object ProbeG1 {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.1"
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.range(1000000).selectExpr("sum(id)").collect()
     for (q <- Seq("g1_pagerank", "g2_bfs_hops")) {
       val t0 = System.nanoTime()

@@ -16,7 +16,7 @@ object ProbeR5b {
     spark.sparkContext.setLogLevel("ERROR")
     if (sys.env.get("PROBE_INTERRUPT").contains("1"))
       spark.sparkContext.setLocalProperty("spark.job.interruptOnCancel", "true")
-    val sf = "/root/testdata/sf0.1"
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     def time(name: String)(f: => Any): Unit = {
       val t0 = System.nanoTime()
