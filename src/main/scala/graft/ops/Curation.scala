@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-data curation pipeline — the composition a
@@ -542,7 +543,26 @@ object Curation {
       .orderBy("seq")
   }
 
-  private val BPE_TOP = 40
+  private[ops] val BPE_TOP = 40
+
+  /** The merge-mining CTE chain (words → adjacent char pairs → counts →
+    * deterministic rank), shared by p12's oracle and t17's
+    * ([[TextAnalysis.t17BpeApply]]) so the two cannot drift.
+    */
+  private[ops] val bpeRankedCte: String =
+    """bpe_words AS (
+      |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      |  FROM documents),
+      |bpe_pairs AS (
+      |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+      |  FROM bpe_words, UNNEST(range(1, length(w))) AS t(i)
+      |  WHERE length(w) >= 2),
+      |bpe_counted AS (
+      |  SELECT pair, COUNT(*) AS n FROM bpe_pairs GROUP BY pair),
+      |bpe_ranked AS (
+      |  SELECT pair, n,
+      |         ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk
+      |  FROM bpe_counted)""".stripMargin
 
   /** One iteration of BPE vocabulary learning, distributed: mine the
     * corpus for its most frequent ADJACENT symbol pairs (here: character
@@ -561,24 +581,10 @@ object Curation {
     * single-partition-safe. Ranks are deterministic (count desc, pair
     * asc); every output is integer-exact.
     */
-  val p12BpeMerges: Q = Q.sql(
-    "p12_bpe_merges",
-    s"BPE merge-candidate mining: top-$BPE_TOP adjacent char pairs in lowercase words, one trainer iteration.",
-    s"""WITH words AS (
-       |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
-       |  FROM documents),
-       |pairs AS (
-       |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
-       |  FROM words, UNNEST(range(1, length(w))) AS t(i)
-       |  WHERE length(w) >= 2),
-       |counted AS (
-       |  SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair),
-       |ranked AS (
-       |  SELECT pair, n,
-       |         ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk
-       |  FROM counted)
-       |SELECT rnk, pair, n FROM ranked WHERE rnk <= $BPE_TOP
-       |ORDER BY rnk""".stripMargin) { (spark, dir) =>
+  /** p12's result frame (rnk, pair, n — the top-[[BPE_TOP]] merge table),
+    * reused by [[TextAnalysis.t17BpeApply]] as its broadcast merge side.
+    */
+  private[ops] def bpeMergeFrame(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.documents(spark, dir)
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
       .filter(length(col("w")) >= 2)
@@ -588,6 +594,15 @@ object Curation {
     pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= BPE_TOP)
+  }
+
+  val p12BpeMerges: Q = Q.sql(
+    "p12_bpe_merges",
+    s"BPE merge-candidate mining: top-$BPE_TOP adjacent char pairs in lowercase words, one trainer iteration.",
+    s"""WITH $bpeRankedCte
+       |SELECT rnk, pair, n FROM bpe_ranked WHERE rnk <= $BPE_TOP
+       |ORDER BY rnk""".stripMargin) { (spark, dir) =>
+    bpeMergeFrame(spark, dir)
       .select(col("rnk"), col("pair"), col("n"))
       .orderBy("rnk")
   }

@@ -429,12 +429,13 @@ object Dedup {
     * τ=0.4 dense-vector dedup is inherently Θ(n²) FLOPs; the job of the
     * plan is therefore to distribute those FLOPs evenly, which the block
     * grid does. Genuinely sub-quadratic embedding dedup needs a high
-    * threshold (true near-dups, cos ≥ 0.9) — that shape is
-    * [[Similarity.s2AnnLsh]]'s bucketed join.
+    * threshold (true near-dups, cos ≥ 0.9) — that is
+    * [[d10EmbeddingNearDup]], the first-class banded-LSH dedup path (the
+    * ANN analog of the same bucketing is [[Similarity.s2AnnLsh]]).
     */
   val d5EmbeddingCosine: Q = Q.sql(
     "d5_dedup_embedding",
-    "Embedding cosine ≥ 0.4 near-dup pairs (exact, blocked theta-join; bucketed variant in s2_ann_lsh).",
+    "Embedding cosine ≥ 0.4 near-dup pairs (exact, blocked theta-join; bucketed high-threshold path in d10_dedup_embedding_lsh).",
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (
@@ -827,7 +828,162 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  private def md5HexStr(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private val D10_DIMS = 64
+  private val D10_BAND_BITS = 12
+  private val D10_BANDS = 12
+  private val D10_T = 0.9
+  private val D10_DUP_EVERY = 10
+  private val D10_DUP_OFFSET = 1000000L
+
+  /** ±1 sign-projection weight for plane p, dim d — md5-derived so both
+    * engines inline bit-identical literals.
+    */
+  private def d10Sign(p: Int, d: Int): Int =
+    if (java.lang.Long.parseLong(md5HexStr(s"d10p-$p-$d").substring(0, 8), 16) % 2 == 0) 1 else -1
+
+  private def d10PlaneCol(p: Int): Column =
+    array((0 until D10_DIMS).map(d => lit(d10Sign(p, d).toDouble)): _*)
+
+  private val d10PlanesSql: String =
+    (0 until D10_BANDS * D10_BAND_BITS)
+      .map(p => (0 until D10_DIMS).map(d => d10Sign(p, d)).mkString("[", ", ", "]"))
+      .mkString("[", ",\n  ", "]::DOUBLE[][]")
+
+  /** HIGH-threshold embedding dedup — the sub-quadratic dedup-family path
+    * d5 deliberately is not. d5's τ=0.4 cuts the tail of a continuous
+    * random-cosine distribution, so exactness there is inherently Θ(n²)
+    * FLOPs (see its scaladoc); TRUE near-duplicates (cos ≥ [[D10_T]] —
+    * re-encoded, re-scaled, or noise-perturbed copies) sit at tiny angles
+    * where banded sign-LSH is lossless in practice, and the plan never
+    * forms a pair space: [[D10_BANDS]] bands × [[D10_BAND_BITS]] md5-derived
+    * ±1 hyperplane sign bits per band → candidates share a (band, 12-bit
+    * key) equi-join shuffle key → exact cosine verify of candidates only →
+    * greedy min-id keep/drop verdict per row (d7's apply shape; chained
+    * clusters are d6's job). Expected collision rate for uncorrelated
+    * pairs is 2⁻¹² per band (×12 bands ≈ 0.3% of the pair space verified);
+    * a dup at cos ≥ 0.99 misses a band with p ≈ 0.43 and all 12 with
+    * p ≈ 10⁻⁵, and the planted dups here (cos ≈ 0.99999) with p ≈ 10⁻²¹.
+    *
+    * The base corpus's max pairwise cosine is 0.513 (measured, both
+    * scales) — real cos-0.9 dups don't exist in random-ish embeddings, so
+    * the query PLANTS them: every [[D10_DUP_EVERY]]th vector gets one copy
+    * (id + [[D10_DUP_OFFSET]]) with each coordinate scaled by a md5-derived
+    * factor in [1±0.005] — the same deterministic construction in both
+    * engines, so the oracle checks the full pipeline including recall on
+    * the planted pairs and the keep/drop verdicts of all 10% planted +
+    * 100% original rows.
+    *
+    * Scale shape: augmentation and the 144 sign bits are one map stage
+    * (no shuffle); bands explode 12× (narrow rows: id + band + int key);
+    * candidates come from the banded self equi-join; verify joins fetch
+    * two vectors per CANDIDATE, not per pair. At 100 TB the band join
+    * shuffles 12 narrow rows per vector and the verify cost tracks the
+    * (tiny) candidate count — the d3 MinHash shape applied to dense
+    * vectors.
+    */
+  val d10EmbeddingNearDup: Q = Q.sql(
+    "d10_dedup_embedding_lsh",
+    s"Bucketed high-threshold embedding dedup: $D10_BANDS×$D10_BAND_BITS-bit sign-LSH bands, exact verify at cos >= $D10_T, keep/drop verdicts.",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |aug AS (
+       |  SELECT vec_id, v FROM e
+       |  UNION ALL
+       |  SELECT vec_id + $D10_DUP_OFFSET AS vec_id,
+       |         list_transform(range(1, len(v) + 1), i -> v[i] *
+       |           (1 + (('0x' || substring(md5('d10e:' || vec_id || ':' || i), 1, 6))::BIGINT
+       |                 % 1000 - 500) / 100000.0)) AS v
+       |  FROM e WHERE vec_id % $D10_DUP_EVERY = 0),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
+       |  FROM aug),
+       |pl AS (SELECT $d10PlanesSql AS m),
+       |bit AS (
+       |  SELECT vec_id, p.p AS p,
+       |         CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(v) + 1), i -> v[i] * m[p.p + 1][i])), (x, y) -> x + y) > 0
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM n CROSS JOIN pl
+       |  CROSS JOIN (SELECT UNNEST(range(${D10_BANDS * D10_BAND_BITS})) AS p) p),
+       |bands AS (
+       |  SELECT vec_id, p // $D10_BAND_BITS AS band, SUM(bit << (p % $D10_BAND_BITS)) AS bkey
+       |  FROM bit GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+       |ver AS (
+       |  SELECT c.id_a, c.id_b,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(na.v) + 1), i -> na.v[i] * nb.v[i])), (x, y) -> x + y)
+       |           / (na.nrm * nb.nrm) AS cos
+       |  FROM cand c JOIN n na ON c.id_a = na.vec_id JOIN n nb ON c.id_b = nb.vec_id),
+       |dup AS (SELECT id_b, MIN(id_a) AS dup_of FROM ver WHERE cos >= $D10_T GROUP BY id_b),
+       |ab AS (SELECT id_a, COUNT(*) AS n_absorbed FROM ver WHERE cos >= $D10_T GROUP BY id_a)
+       |SELECT g.vec_id, d.id_b IS NULL AS kept, d.dup_of,
+       |       COALESCE(ab.n_absorbed, 0) AS n_absorbed
+       |FROM aug g
+       |LEFT JOIN dup d ON g.vec_id = d.id_b
+       |LEFT JOIN ab ON g.vec_id = ab.id_a
+       |ORDER BY g.vec_id""".stripMargin) { (spark, dir) =>
+    GraftExpressions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // eps(src, i) in [-0.005, +0.005): identical integer/md5 arithmetic to
+    // the oracle, evaluated on the SOURCE vec_id (the select computes the
+    // new id and the perturbed vector against the same input row)
+    def eps(i: Column): Column =
+      (conv(substring(md5(concat(lit("d10e:"), col("vec_id").cast("string"),
+        lit(":"), i.cast("string"))), 1, 6), 16, 10).cast("long") % 1000 - 500) / lit(100000.0)
+    val dups = e.filter(col("vec_id") % D10_DUP_EVERY === 0)
+      .select((col("vec_id") + D10_DUP_OFFSET).as("vec_id"),
+        transform(col("v"), (x, i0) => x * (lit(1.0) + eps(i0 + 1))).as("v"))
+    // persisted + eager barrier: referenced by the band build and both
+    // verify branches (see prefixIndexCached for the zombie-task rationale)
+    val aug = e.union(dups)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    aug.count()
+    // all 144 sign bits in ONE projection (the 12 per-band 12-bit integer
+    // keys), exploded to (vec_id, band, bkey) — narrow band rows, no
+    // vector payload crosses the band shuffle
+    val bandStructs = (0 until D10_BANDS).map { b =>
+      val key = (0 until D10_BAND_BITS).map { r =>
+        when(dot(col("v"), d10PlaneCol(b * D10_BAND_BITS + r)) > 0, lit(1 << r))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    val bands = aug
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("x"))
+      .select(col("vec_id"), col("x.band").as("band"), col("x.bkey").as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val cos = cosineCol(col("na.v"), col("nb.v"), col("na.nrm"), col("nb.nrm"))
+    val ver = cand
+      .join(broadcast(aug.as("na")), col("id_a") === col("na.vec_id"))
+      .join(broadcast(aug.as("nb")), col("id_b") === col("nb.vec_id"))
+      .select(col("id_a"), col("id_b"), cos.as("cos"))
+      .filter(col("cos") >= D10_T)
+    val dup = ver.groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
+    val ab = ver.groupBy(col("id_a")).agg(count(lit(1)).as("n_absorbed"))
+    aug.select(col("vec_id"))
+      .join(dup, col("vec_id") === col("id_b"), "left")
+      .join(ab, col("vec_id") === col("id_a"), "left")
+      .select(col("vec_id"), col("id_b").isNull.as("kept"), col("dup_of"),
+        coalesce(col("n_absorbed"), lit(0L)).as("n_absorbed"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d5EmbeddingCosine, d6DedupClusters, d7DedupApply, d8Containment,
-    d9SemanticDedup)
+    d9SemanticDedup, d10EmbeddingNearDup)
 }

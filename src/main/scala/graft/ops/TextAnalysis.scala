@@ -798,8 +798,92 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Close the tokenizer-training loop: APPLY the merge table p12 mined
+    * ([[Curation.bpeMergeFrame]], the top-40 adjacent char pairs) back to
+    * the corpus and measure what the merges bought. Tokenization contract
+    * (identical in both engines): each lowercase-alpha word starts as
+    * character tokens; one greedy left-to-right pass fuses each
+    * non-overlapping adjacent pair found in the merge table (after a
+    * fusion the scan resumes past the fused pair — exactly one trainer
+    * application round). Emits per-doc char-token and post-merge token
+    * counts plus the compression ratio vs the character baseline.
+    *
+    * Distributed shape: the merge table is 40 rows → collected into ONE
+    * broadcast row and cross-joined (a map-side array lookup, no shuffle);
+    * the greedy pass is a per-word `aggregate` fold over codegen'd
+    * higher-order functions (no UDF); ONE shuffle aggregates per-doc
+    * counts. The oracle replicates the fold with DuckDB's `list_reduce`
+    * over the same struct state, so greedy tie-behavior is oracle-checked,
+    * not just row counts.
+    */
+  val t17BpeApply: Q = Q.sql(
+    "t17_bpe_apply",
+    s"Apply p12's top-${Curation.BPE_TOP} BPE merges: per-doc token counts + compression vs char baseline.",
+    s"""WITH ${Curation.bpeRankedCte},
+       |mg AS (SELECT list(pair) AS mp FROM bpe_ranked WHERE rnk <= ${Curation.BPE_TOP}),
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |  FROM documents),
+       |wm AS (
+       |  SELECT doc_id, length(w) AS n_chars,
+       |         (list_reduce(list_prepend({'m': 0, 'c': 0},
+       |            list_transform(range(1, greatest(length(w), 2)), i ->
+       |              {'m': CASE WHEN list_contains(mg.mp, substr(w, CAST(i AS INTEGER), 2))
+       |                    THEN 1 ELSE 0 END, 'c': 0})),
+       |            (s, x) -> {'m': s.m + CASE WHEN x.m = 1 AND s.c = 0 THEN 1 ELSE 0 END,
+       |                       'c': CASE WHEN x.m = 1 AND s.c = 0 THEN 1 ELSE 0 END})).m AS n_merges
+       |  FROM dw CROSS JOIN mg
+       |  WHERE length(w) >= 1),
+       |agg AS (
+       |  SELECT doc_id, CAST(SUM(n_chars) AS BIGINT) AS n_char_tokens,
+       |         CAST(SUM(n_merges) AS BIGINT) AS n_merges
+       |  FROM wm GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       COALESCE(a.n_char_tokens, 0) AS n_char_tokens,
+       |       COALESCE(a.n_char_tokens, 0) - COALESCE(a.n_merges, 0) AS n_bpe_tokens,
+       |       COALESCE(a.n_merges, 0) AS n_merges,
+       |       CASE WHEN COALESCE(a.n_char_tokens, 0) - COALESCE(a.n_merges, 0) > 0
+       |            THEN ROUND(CAST(COALESCE(a.n_char_tokens, 0) AS DOUBLE)
+       |                       / (COALESCE(a.n_char_tokens, 0) - COALESCE(a.n_merges, 0)), 6)
+       |            END AS compression
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    val mp = Curation.bpeMergeFrame(spark, dir)
+      .agg(collect_list(col("pair")).as("mp"))
+    val dw = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 1)
+    // greedy one-pass merge fold, struct state (m = merges so far, c = the
+    // previous position was consumed by a fusion) — mirrors the oracle's
+    // list_reduce exactly; `greatest(len, 2)` (same guard in the SQL)
+    // keeps the position sequence ascending for 1-char words, whose lone
+    // "pair" is 1 char — never in the 2-char merge table, so it
+    // contributes 0 in both engines
+    val matchArr = transform(
+      sequence(lit(1), greatest(length(col("w")), lit(2)) - 1),
+      i => when(array_contains(col("mp"), col("w").substr(i, lit(2))), 1).otherwise(0))
+    val folded = aggregate(matchArr, struct(lit(0).as("m"), lit(0).as("c")),
+      (s, x) => struct(
+        (s.getField("m") + when(x === 1 && s.getField("c") === 0, 1).otherwise(0)).as("m"),
+        when(x === 1 && s.getField("c") === 0, 1).otherwise(0).as("c")),
+      s => s.getField("m"))
+    val agg0 = dw.crossJoin(broadcast(mp))
+      .select(col("doc_id"), length(col("w")).as("n_chars"), folded.as("n_merges"))
+      .groupBy("doc_id")
+      .agg(sum("n_chars").as("n_char_tokens"), sum("n_merges").as("n_merges"))
+    val nChar = coalesce(col("n_char_tokens"), lit(0L))
+    val nMerges = coalesce(col("n_merges"), lit(0L))
+    val nBpe = nChar - nMerges
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(agg0, Seq("doc_id"), "left")
+      .select(col("doc_id"), nChar.as("n_char_tokens"), nBpe.as("n_bpe_tokens"),
+        nMerges.as("n_merges"),
+        when(nBpe > 0, round(nChar.cast("double") / nBpe, 6)).as("compression"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3TokenStats, t4Fingerprint,
     t5BpeTokens, t6HeavyHitters, t7Normalize, t8DistinctiveTerms,
     t9Repetition, t10Commonness, t11TfidfCosine, t12Chunk, t13PiiRedact,
-    t14BigramStats, t15Zipf, t16Boilerplate, dp2Drift)
+    t14BigramStats, t15Zipf, t16Boilerplate, t17BpeApply, dp2Drift)
 }
