@@ -8,17 +8,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads ride through the engine as
   * opaque `binary` columns with typed metadata structs; decode /
   * feature-extraction runs batched per partition (`mapPartitions` on a
-  * typed Dataset — the Scala analog of arrow-batched pandas UDFs), so a
-  * real codec drops in without touching the plan shape.
+  * typed Dataset — the Scala analog of arrow-batched pandas UDFs).
   *
-  * No image/audio codecs exist in this container, so `decodeStub` is a
-  * clearly-marked deterministic fake; everything around it — schema,
-  * binary column handling, partition-batched UDF signature, metadata
-  * derivation — is real and tested.
-  *
-  * `m1_multimodal_meta` is the oracle-checked slice: pure-arithmetic
-  * metadata derivation over the binary payload (octet lengths + md5
-  * fingerprint), expressible in any engine.
+  * The codec path is REAL: image assets are genuine BMP files encoded
+  * and decoded with `javax.imageio` (pure JVM, headless-safe), video
+  * assets are containers of concatenated BMP frames split by the BMP
+  * header's little-endian size field, audio assets are raw 8-bit PCM.
+  * Payload CONTENT is deterministic (pixel/sample values are closed-form
+  * in doc_id/position), so the DuckDB oracles derive expected dimensions,
+  * byte sizes, and channel sums from the formulas alone — a decoder that
+  * returned garbage would hash-mismatch every gate row, which makes the
+  * gate a true encode→decode roundtrip proof, not a schema check.
   */
 object Multimodal {
 
@@ -28,9 +28,80 @@ object Multimodal {
   final case class MediaAsset(doc_id: Long, content: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(doc_id: Long, mediaType: String, nBytes: Long,
       meanByte: Double, featureDim: Int)
+  final case class ImageStats(doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+  final case class FrameMean(doc_id: Long, frame_idx: Long, frame_mean: Double)
 
-  /** documents → opaque binary assets with typed metadata (the ingest
-    * edge: in production `content` would come off object storage).
+  // ---- deterministic payload geometry (the oracles replicate these) ----
+
+  private def ceil4(x: Int): Int = (x + 3) / 4 * 4
+  private val BMP_HEADER = 54
+
+  /** ImageIO's 24-bit BI_RGB BMP size: 54-byte header + 4-aligned rows
+    * (verified against the JDK encoder for a grid of w×h).
+    */
+  private[ops] def bmpSize(w: Int, h: Int): Int = BMP_HEADER + h * ceil4(3 * w)
+
+  private[ops] def imageW(id: Long): Int = 8 + (id % 16).toInt
+  private[ops] def imageH(id: Long): Int = 8 + (id % 8).toInt
+  private[ops] val VF_SIDE = 8
+  private[ops] val VF_BYTES: Int = bmpSize(VF_SIDE, VF_SIDE)
+
+  // pixel / sample formulas — mirrored verbatim in the oracle SQL
+  private def imgRgb(id: Long)(x: Int, y: Int): Int = {
+    val r = ((id + 7L * x + 13L * y) % 256).toInt
+    val g = ((3L * id + 5L * x + 11L * y) % 256).toInt
+    val b = ((id + x.toLong * y) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+  private def vidRgb(id: Long, f: Int)(x: Int, y: Int): Int = {
+    val r = ((id + f + 7L * x + 13L * y) % 256).toInt
+    val g = ((3L * id + 2L * f + 5L * x + 11L * y) % 256).toInt
+    val b = ((id + f + x.toLong * y) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+  private def audioLen(nChars: Long): Int = 64 + (nChars % 64).toInt
+  private def audioSample(id: Long, i: Int): Int = ((id * 31 + i * 17L) % 256).toInt
+
+  private def encodeBmp(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  private def decodeBmp(bytes: Array[Byte], off: Int, len: Int): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes, off, len))
+
+  /** Split a video container: each member is a BMP whose length sits in
+    * the standard little-endian size field at offset 2 — real container
+    * parsing, no out-of-band frame table.
+    */
+  private def frameOffsets(content: Array[Byte]): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var off = 0
+    while (off < content.length) {
+      require(content(off) == 'B' && content(off + 1) == 'M', s"not a BMP member at $off")
+      val len = (content(off + 2) & 0xff) | ((content(off + 3) & 0xff) << 8) |
+        ((content(off + 4) & 0xff) << 16) | ((content(off + 5) & 0xff) << 24)
+      out += ((off, len))
+      off += len
+    }
+    out.result()
+  }
+
+  /** documents → binary assets with typed metadata (the ingest edge: in
+    * production `content` would come off object storage). Image payloads
+    * are real ImageIO-encoded BMPs, video payloads concatenate one BMP
+    * per frame, audio payloads are raw 8-bit PCM — all with closed-form
+    * content the oracles re-derive.
     */
   def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] =
     assetsFrom(Tables.documents(spark, dir))
@@ -43,92 +114,177 @@ object Multimodal {
   def assetsFrom(docs: org.apache.spark.sql.DataFrame): Dataset[MediaAsset] = {
     import docs.sparkSession.implicits._
     docs
-      .select(col("doc_id"), col("text"), col("n_chars"))
-      .as[(Long, String, Long)]
-      .map { case (id, text, nChars) =>
-        val bytes = text.getBytes("UTF-8")
-        val mt = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
-        MediaAsset(id, bytes,
-          MediaMeta(mt, bytes.length.toLong,
-            width = 64 + (id % 577).toInt,
-            height = 64 + (id % 331).toInt,
-            frames = (nChars % 24).toInt + 1))
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (id, nChars) =>
+          id % 3 match {
+            case 0 =>
+              val (w, h) = (imageW(id), imageH(id))
+              val content = encodeBmp(w, h, imgRgb(id))
+              MediaAsset(id, content, MediaMeta("image", content.length.toLong, w, h, 1))
+            case 1 =>
+              val n = audioLen(nChars)
+              val content = Array.tabulate(n)(i => audioSample(id, i).toByte)
+              MediaAsset(id, content, MediaMeta("audio", n.toLong, n, 1, 1))
+            case _ =>
+              val frames = (nChars % 24).toInt + 1
+              val bos = new java.io.ByteArrayOutputStream()
+              var f = 0
+              while (f < frames) {
+                bos.write(encodeBmp(VF_SIDE, VF_SIDE, vidRgb(id, f)))
+                f += 1
+              }
+              val content = bos.toByteArray
+              MediaAsset(id, content,
+                MediaMeta("video", content.length.toLong, VF_SIDE, VF_SIDE, frames))
+          }
+        }
       }
   }
 
-  /** Partition-batched decode / feature-extract.
-    *
-    * STUB: a real implementation would decode `content` with an image /
-    * audio codec and emit embeddings; this deterministic fake (mean byte
-    * value + fixed feature dim) keeps the dataflow — batch iteration,
-    * typed output, per-partition setup cost amortization — faithful.
+  /** Partition-batched decode / feature-extract — the REAL codec path:
+    * images and video frames go through `ImageIO.read`, audio through
+    * the raw-PCM parse. Per-asset mean sample value (channel values for
+    * raster types, 8-bit samples for audio) + the channel count as the
+    * feature dim.
     */
-  def decodeStub(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+  def decode(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
-      // per-partition setup (codec init in a real impl) happens here, once
+      // per-partition setup (codec init) happens here, once
       batch.map { a =>
-        val mean =
-          if (a.content.isEmpty) 0.0
-          else a.content.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble / a.content.length
-        MediaFeatures(a.doc_id, a.meta.mediaType, a.meta.nBytes, mean, featureDim = 64)
+        a.meta.mediaType match {
+          case "image" =>
+            val img = decodeBmp(a.content, 0, a.content.length)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            MediaFeatures(a.doc_id, "image", a.meta.nBytes,
+              sum.toDouble / (3.0 * w * h), featureDim = 3)
+          case "audio" =>
+            val sum = a.content.foldLeft(0L)((s, b) => s + (b & 0xff))
+            MediaFeatures(a.doc_id, "audio", a.meta.nBytes,
+              sum.toDouble / a.content.length, featureDim = 1)
+          case _ =>
+            var sum = 0L
+            var px = 0L
+            frameOffsets(a.content).foreach { case (off, len) =>
+              val img = decodeBmp(a.content, off, len)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              px += img.getWidth.toLong * img.getHeight
+            }
+            MediaFeatures(a.doc_id, "video", a.meta.nBytes,
+              sum.toDouble / (3.0 * px), featureDim = 3)
+        }
       }
     }
   }
 
-  /** Resize: recompute target dimensions preserving aspect ratio
-    * (metadata transform; a real impl would also transform `content`).
-    * STUB: payload passes through untouched.
+  /** Resize image assets to fit `maxSide`, for real: decode, scale with
+    * deterministic nearest-neighbor sampling, re-encode. Non-image
+    * payloads pass through untouched (a production pipeline resizes
+    * frames at decode time).
     */
-  def resizeStub(assets: Dataset[MediaAsset], maxSide: Int): Dataset[MediaAsset] = {
+  def resize(assets: Dataset[MediaAsset], maxSide: Int): Dataset[MediaAsset] = {
     import assets.sparkSession.implicits._
-    assets.map { a =>
-      val scale = maxSide.toDouble / math.max(a.meta.width, a.meta.height)
-      if (scale >= 1.0) a
-      else a.copy(meta = a.meta.copy(
-        width = math.max(1, (a.meta.width * scale).toInt),
-        height = math.max(1, (a.meta.height * scale).toInt)))
+    assets.mapPartitions { batch =>
+      batch.map { a =>
+        val scale = maxSide.toDouble / math.max(a.meta.width, a.meta.height)
+        if (a.meta.mediaType != "image" || scale >= 1.0) a
+        else {
+          val img = decodeBmp(a.content, 0, a.content.length)
+          val tw = math.max(1, (a.meta.width * scale).toInt)
+          val th = math.max(1, (a.meta.height * scale).toInt)
+          val content = encodeBmp(tw, th, (x, y) =>
+            img.getRGB(x * a.meta.width / tw, y * a.meta.height / th))
+          MediaAsset(a.doc_id, content,
+            a.meta.copy(nBytes = content.length.toLong, width = tw, height = th))
+        }
+      }
     }
   }
 
-  /** Frame sampling for video assets: pick every k-th frame index
-    * (deterministic). Non-video assets yield no frames. The output is
-    * (doc_id, frame_idx) — the explode shape a real decoder would feed
-    * downstream feature extraction.
+  /** Frame sampling for video assets, decode included: every k-th frame
+    * is split out of the container and ImageIO-decoded; emits the
+    * frame's mean channel value. Non-video assets yield no rows.
     */
-  def sampleFrames(assets: Dataset[MediaAsset], everyK: Int): DataFrame =
-    assets.toDF()
-      .filter(col("meta.mediaType") === "video")
-      .select(col("doc_id"),
-        explode(sequence(lit(0), col("meta.frames") - 1)).as("frame_idx"))
-      .filter(col("frame_idx") % everyK === 0)
+  def sampleFrames(assets: Dataset[MediaAsset], everyK: Int): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets
+      .filter(_.meta.mediaType == "video")
+      .mapPartitions { batch =>
+        batch.flatMap { a =>
+          frameOffsets(a.content).zipWithIndex.collect {
+            case ((off, len), idx) if idx % everyK == 0 =>
+              val img = decodeBmp(a.content, off, len)
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              FrameMean(a.doc_id, idx.toLong,
+                sum.toDouble / (3.0 * img.getWidth * img.getHeight))
+          }
+        }
+      }
+      .toDF()
+  }
 
-  /** Oracle-checked metadata slice: binary payload length, md5 content
-    * fingerprint, and deterministic shape metadata — all engine-portable
-    * arithmetic (per-row map stage; nothing shuffles).
+  /** Oracle-checked ingest gate: the REAL encoded payloads' metadata.
+    * `n_bytes` is `octet_length` of the actual ImageIO/PCM/container
+    * bytes; the oracle re-derives every value closed-form (the BMP size
+    * formula included), so an encoder drift of a single byte fails the
+    * gate. Map stage over the typed encode; nothing shuffles.
     */
   val m1Meta: Q = Q.sql(
     "m1_multimodal_meta",
-    "Binary-payload metadata: octet length, md5 fingerprint, derived shape.",
-    """SELECT doc_id,
-      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
-      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |  octet_length(encode(text)) AS n_bytes,
-      |  ('0x' || substring(md5(text), 1, 7))::BIGINT % 256 AS content_fp,
-      |  64 + doc_id % 577 AS width,
-      |  64 + doc_id % 331 AS height,
-      |  n_chars % 24 + 1 AS frames
-      |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    Tables.documents(spark, dir)
+    "Real encoded-payload metadata: octet length (BMP/PCM/container formulas), dims, frames.",
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |  CASE WHEN doc_id % 3 = 0
+       |         THEN 54 + (8 + doc_id % 8) * ((3 * (8 + doc_id % 16) + 3) // 4 * 4)
+       |       WHEN doc_id % 3 = 1 THEN 64 + n_chars % 64
+       |       ELSE (n_chars % 24 + 1) * $VF_BYTES END AS n_bytes,
+       |  CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 16
+       |       WHEN doc_id % 3 = 1 THEN 64 + n_chars % 64
+       |       ELSE $VF_SIDE END AS width,
+       |  CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 8
+       |       WHEN doc_id % 3 = 1 THEN 1 ELSE $VF_SIDE END AS height,
+       |  CASE WHEN doc_id % 3 = 2 THEN n_chars % 24 + 1 ELSE 1 END AS frames
+       |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    assets(spark, dir).toDF()
       .select(col("doc_id"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("media_type"),
-        octet_length(col("text")).cast("long").as("n_bytes"),
-        (DetHash.md5Long28(col("text")) % 256).as("content_fp"),
-        (lit(64) + col("doc_id") % 577).as("width"),
-        (lit(64) + col("doc_id") % 331).as("height"),
-        (col("n_chars") % 24 + 1).as("frames"))
+        col("meta.mediaType").as("media_type"),
+        octet_length(col("content")).cast("long").as("n_bytes"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"),
+        col("meta.frames").cast("long").as("frames"))
       .orderBy("doc_id")
   }
 
@@ -173,38 +329,63 @@ object Multimodal {
   }
 
   /** Per-media-type rollup of DECODED features through the typed path:
-    * `assets → mapPartitions decode (stub) → groupByKey(mediaType) →
-    * custom typed Aggregator` — the object-serialized Dataset surface
-    * under the oracle gate (m1–m3 gate the expression path; this gates
-    * `KeyValueGroupedDataset.agg` with mergeable partial state). The
-    * oracle re-derives each asset's mean byte value from the text bytes
-    * via the m2 histogram formulation, so the decode stub's arithmetic
-    * is pinned end-to-end. Mean-of-means uses the s4 fixed-point
-    * quantization — exact integer partials, one final division.
+    * `assets → mapPartitions decode (real codecs) → groupByKey(mediaType)
+    * → custom typed Aggregator` — the object-serialized Dataset surface
+    * under the oracle gate (m1/m7 gate the encode, this gates
+    * `KeyValueGroupedDataset.agg` with mergeable partial state OVER the
+    * decoded pixels/samples). The oracle re-derives every asset's mean
+    * channel/sample value from the closed-form payload formulas, so the
+    * whole encode→ImageIO-decode→aggregate chain is pinned end-to-end.
+    * Mean-of-means uses the s4 fixed-point quantization — exact integer
+    * partials, one final division.
     */
   val m4TypedRollup: Q = Q.sql(
     "m4_typed_feature_rollup",
-    "Typed-Aggregator rollup of decoded features per media type (asset count, bytes, mean byte).",
-    """WITH b AS (
-      |  SELECT doc_id, UNNEST(regexp_extract_all(hex(encode(text)), '[0-9A-F]{2}')) AS byte
-      |  FROM documents),
-      |per AS (SELECT doc_id, SUM(('0x' || byte)::BIGINT) AS bsum, COUNT(*) AS n
-      |        FROM b GROUP BY 1),
-      |feat AS (
-      |  SELECT d.doc_id,
-      |    CASE WHEN d.doc_id % 3 = 0 THEN 'image'
-      |         WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |    octet_length(encode(d.text)) AS n_bytes,
-      |    CASE WHEN p.n IS NULL OR p.n = 0 THEN 0.0
-      |         ELSE CAST(p.bsum AS DOUBLE) / p.n END AS mean_byte
-      |  FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id)
-      |SELECT media_type, COUNT(*) AS n_assets,
-      |  CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
-      |  CAST(SUM(CAST(FLOOR(mean_byte * 10000000.0) AS BIGINT)) AS DOUBLE)
-      |    / 10000000.0 / COUNT(*) AS mean_mean_byte
-      |FROM feat GROUP BY 1 ORDER BY media_type""".stripMargin) { (spark, dir) =>
+    "Typed-Aggregator rollup of ImageIO-decoded features per media type (count, bytes, mean channel value).",
+    s"""WITH px AS (
+       |  SELECT doc_id,
+       |    SUM((doc_id + 7 * x.x + 13 * y.y) % 256
+       |        + (3 * doc_id + 5 * x.x + 11 * y.y) % 256
+       |        + (doc_id + x.x * y.y) % 256) AS s,
+       |    COUNT(*) AS npx
+       |  FROM documents,
+       |       UNNEST(range(0, 8 + doc_id % 16)) AS x(x),
+       |       UNNEST(range(0, 8 + doc_id % 8)) AS y(y)
+       |  WHERE doc_id % 3 = 0 GROUP BY doc_id),
+       |au AS (
+       |  SELECT doc_id, SUM((doc_id * 31 + i.i * 17) % 256) AS s, COUNT(*) AS n
+       |  FROM documents, UNNEST(range(0, 64 + n_chars % 64)) AS i(i)
+       |  WHERE doc_id % 3 = 1 GROUP BY doc_id),
+       |vx AS (
+       |  SELECT doc_id,
+       |    SUM((doc_id + f.f + 7 * x.x + 13 * y.y) % 256
+       |        + (3 * doc_id + 2 * f.f + 5 * x.x + 11 * y.y) % 256
+       |        + (doc_id + f.f + x.x * y.y) % 256) AS s,
+       |    COUNT(*) AS npx
+       |  FROM documents,
+       |       UNNEST(range(0, n_chars % 24 + 1)) AS f(f),
+       |       UNNEST(range(0, $VF_SIDE)) AS x(x),
+       |       UNNEST(range(0, $VF_SIDE)) AS y(y)
+       |  WHERE doc_id % 3 = 2 GROUP BY doc_id),
+       |feat AS (
+       |  SELECT d.doc_id, 'image' AS media_type,
+       |         54 + (8 + d.doc_id % 8) * ((3 * (8 + d.doc_id % 16) + 3) // 4 * 4) AS n_bytes,
+       |         CAST(p.s AS DOUBLE) / (3 * p.npx) AS mean_val
+       |  FROM documents d JOIN px p USING (doc_id)
+       |  UNION ALL
+       |  SELECT d.doc_id, 'audio', 64 + d.n_chars % 64, CAST(a.s AS DOUBLE) / a.n
+       |  FROM documents d JOIN au a USING (doc_id)
+       |  UNION ALL
+       |  SELECT d.doc_id, 'video', (d.n_chars % 24 + 1) * $VF_BYTES,
+       |         CAST(v.s AS DOUBLE) / (3 * v.npx)
+       |  FROM documents d JOIN vx v USING (doc_id))
+       |SELECT media_type, COUNT(*) AS n_assets,
+       |  CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+       |  CAST(SUM(CAST(FLOOR(mean_val * 10000000.0) AS BIGINT)) AS DOUBLE)
+       |    / 10000000.0 / COUNT(*) AS mean_mean_byte
+       |FROM feat GROUP BY 1 ORDER BY media_type""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    decodeStub(assets(spark, dir))
+    decode(assets(spark, dir))
       .groupByKey(_.mediaType)
       .agg(graft.functions.FeatureRollup().toColumn.name("r"))
       .select(col("key").as("media_type"),
@@ -213,27 +394,85 @@ object Multimodal {
       .orderBy("media_type")
   }
 
-  /** Frame sampling under the gate: video assets explode to every 4th
-    * frame index — the fan-out a real decoder feeds downstream feature
-    * extraction (the decode itself is the honest stub in
-    * [[sampleFrames]]/[[decodeStub]]; the dataflow — explode shape,
-    * deterministic metadata — is what this query pins). The video
-    * predicate is applied to the SOURCE frame, before the typed asset
-    * map copies any payload bytes — nothing pushes below an
-    * object-serialization boundary on its own.
+  /** Frame sampling under the gate: every 4th frame of each video asset
+    * is split out of the real container (BMP size fields) and
+    * ImageIO-decoded; the emitted per-frame mean channel value is
+    * oracle-checked against the closed-form pixel formula — a decode
+    * that read the wrong frame, or bytes instead of pixels, fails the
+    * hash. The video predicate is applied to the SOURCE frame, before
+    * the typed asset map copies any payload bytes — nothing pushes
+    * below an object-serialization boundary on its own.
     */
   val m3FrameSample: Q = Q.sql(
     "m3_frame_sample",
-    "Every-4th-frame sampling of video assets (1-to-frames explode).",
-    """SELECT doc_id, u.f AS frame_idx
-      |FROM (SELECT doc_id, UNNEST(range(0, n_chars % 24 + 1)) AS f
-      |      FROM documents WHERE doc_id % 3 = 2) u
-      |WHERE u.f % 4 = 0
-      |ORDER BY doc_id, frame_idx""".stripMargin) { (spark, dir) =>
+    "Every-4th-frame sampling of video assets, ImageIO-decoded: per-frame mean channel value.",
+    s"""WITH fr AS (
+       |  SELECT doc_id, f.f AS frame_idx,
+       |    SUM((doc_id + f.f + 7 * x.x + 13 * y.y) % 256
+       |        + (3 * doc_id + 2 * f.f + 5 * x.x + 11 * y.y) % 256
+       |        + (doc_id + f.f + x.x * y.y) % 256) AS s
+       |  FROM documents,
+       |       UNNEST(range(0, n_chars % 24 + 1)) AS f(f),
+       |       UNNEST(range(0, $VF_SIDE)) AS x(x),
+       |       UNNEST(range(0, $VF_SIDE)) AS y(y)
+       |  WHERE doc_id % 3 = 2 AND f.f % 4 = 0
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, frame_idx,
+       |       CAST(s AS DOUBLE) / ${3 * VF_SIDE * VF_SIDE} AS frame_mean
+       |FROM fr ORDER BY doc_id, frame_idx""".stripMargin) { (spark, dir) =>
     sampleFrames(assetsFrom(
         Tables.documents(spark, dir).filter(col("doc_id") % 3 === 2)), everyK = 4)
-      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"), col("frame_mean"))
       .orderBy("doc_id", "frame_idx")
+  }
+
+  /** The image-decode gate: per-asset decoded dimensions and EXACT
+    * per-channel pixel sums out of `ImageIO.read`, hash-compared to the
+    * oracle's closed-form sums — the strongest single-query statement
+    * that the codec path really decodes what the encoder wrote (any
+    * channel swap, row-padding slip, or off-by-one fails). Pure
+    * mapPartitions over the image subset; no shuffle.
+    */
+  val m7ImageDecode: Q = Q.sql(
+    "m7_image_decode",
+    "ImageIO decode roundtrip: per-image dims + exact RGB channel sums vs closed-form oracle.",
+    """SELECT doc_id,
+      |  8 + doc_id % 16 AS width,
+      |  8 + doc_id % 8 AS height,
+      |  CAST(SUM((doc_id + 7 * x.x + 13 * y.y) % 256) AS BIGINT) AS sum_r,
+      |  CAST(SUM((3 * doc_id + 5 * x.x + 11 * y.y) % 256) AS BIGINT) AS sum_g,
+      |  CAST(SUM((doc_id + x.x * y.y) % 256) AS BIGINT) AS sum_b
+      |FROM documents,
+      |     UNNEST(range(0, 8 + doc_id % 16)) AS x(x),
+      |     UNNEST(range(0, 8 + doc_id % 8)) AS y(y)
+      |WHERE doc_id % 3 = 0
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    assetsFrom(Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0))
+      .mapPartitions { batch =>
+        batch.map { a =>
+          val img = decodeBmp(a.content, 0, a.content.length)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff
+              sg += (p >> 8) & 0xff
+              sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          ImageStats(a.doc_id, img.getWidth, img.getHeight, sr, sg, sb)
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy("doc_id")
   }
 
   private val SHARD_BYTES = 4096
@@ -398,5 +637,5 @@ object Multimodal {
   }
 
   val all: Seq[Q] = Seq(m1Meta, m2PayloadStats, m3FrameSample, m4TypedRollup,
-    m5ShardPack, m6PayloadSig)
+    m5ShardPack, m6PayloadSig, m7ImageDecode)
 }

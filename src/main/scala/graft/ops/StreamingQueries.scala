@@ -652,8 +652,95 @@ object StreamingQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** Checkpoint CRASH-RECOVERY gate — the exactly-once property 100 TB
+    * streaming actually depends on, which every other w-query (one
+    * AvailableNow run to completion) leaves unproven. The stream
+    * processes HALF the input, terminates, and a NEW query restarts from
+    * the SAME checkpoint after the second half has arrived:
+    *
+    *  - source offsets must recover: the restarted file source may not
+    *    re-read the first half — the update-mode counts would double and
+    *    the hash gate fails;
+    *  - aggregation STATE must recover: the 1h window spanning the
+    *    file-split boundary has rows in both halves, so a lost state
+    *    store would restart its count at zero and under-count — hash
+    *    gate fails.
+    *
+    * The sink is a foreachBatch keyed upsert (w11's external-snapshot
+    * shape): update mode re-emits a window whenever a batch changes it,
+    * the upsert keeps the latest row per (window, event_type), and the
+    * final snapshot must equal the batch aggregate over ALL events. No
+    * sentinel machinery is needed — update mode emits without waiting
+    * for watermark eviction, so end-of-stream withholding (the w13/w14
+    * problem) cannot occur here.
+    */
+  val w16StreamRestart: Q = Q.sql(
+    "w16_stream_restart",
+    "Crash-recovery: tumbling-agg stream stopped after half the files, restarted from the SAME checkpoint; merged upsert snapshot vs batch oracle.",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (spark, dir) =>
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stagedParts = new java.io.File(eventsPath(spark, dir))
+      .listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    require(stagedParts.length == 2, "w16 expects the 2-file ts-range staging")
+    val src = fastTmpDir("graft_w16_src")
+    val ckpt = fastTmpDir("graft_ckpt_w16")
+    val snapRoot = fastTmpDir("graft_w16_snap")
+    @volatile var current: Option[String] = None
+    def runPhase(): Unit = {
+      val q = EventsStream.tumblingCounts(EventsStream.read(spark, src))
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val s = batch.sparkSession
+          val b = batch.select(col("window_start"), col("event_type"),
+            col("n"), col("sum_value"))
+          val merged = current match {
+            case None => b
+            case Some(prev) =>
+              s.read.parquet(prev)
+                .join(b.select("window_start", "event_type"),
+                  Seq("window_start", "event_type"), "left_anti")
+                .union(b)
+          }
+          val out = s"$snapRoot/v$batchId"
+          merged.write.mode("overwrite").parquet(out)
+          current = Some(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    val target = sys.env.getOrElse("GRAFT_STREAM_PARTITIONS", "4").toInt
+    if (saved.toInt > target) spark.conf.set(key, target.toString)
+    try {
+      // half 1 arrives; the engine processes it and terminates
+      val t0 = System.currentTimeMillis()
+      Files.copy(stagedParts(0).toPath, Paths.get(src, stagedParts(0).getName),
+        StandardCopyOption.REPLACE_EXISTING)
+      new java.io.File(src, stagedParts(0).getName).setLastModified(t0)
+      runPhase()
+      // half 2 arrives while the engine is DOWN; a new query restarts
+      // from the same checkpoint and must resume, not reprocess
+      Files.copy(stagedParts(1).toPath, Paths.get(src, stagedParts(1).getName),
+        StandardCopyOption.REPLACE_EXISTING)
+      new java.io.File(src, stagedParts(1).getName).setLastModified(t0 + 60000L)
+      runPhase()
+    } finally spark.conf.set(key, saved)
+    spark.read.parquet(current.getOrElse(sys.error("w16: no micro-batch ran")))
+      .orderBy("window_start", "event_type")
+  }
+
   val all: Seq[Q] = Seq(w3StreamTumbling, w4StreamSession, w5StreamDedup,
     w6CustomSessionizer, w7StreamJoin, w10StreamStatic, w11StreamUpsert,
     w12StreamHopping, w13StreamOuterJoin, w14StreamFullOuter,
-    w15StreamTimeoutSessions)
+    w15StreamTimeoutSessions, w16StreamRestart)
 }

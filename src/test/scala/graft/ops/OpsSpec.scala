@@ -152,26 +152,40 @@ class OpsSpec extends AnyFunSuite {
       graft.Tables.events(spark, sf).count())
   }
 
-  test("multimodal resize stub: aspect ratio preserved, payload untouched") {
-    val resized = Multimodal.resizeStub(Multimodal.assets(spark, sf), maxSide = 128).collect()
-    assert(resized.forall(a => a.meta.width <= 128 && a.meta.height <= 128))
-    assert(resized.forall(a => a.content.nonEmpty))
+  test("multimodal resize: images really rescaled and still decodable") {
+    val resized = Multimodal.resize(Multimodal.assets(spark, sf), maxSide = 6).collect()
+    val images = resized.filter(_.meta.mediaType == "image")
+    assert(images.nonEmpty)
+    images.foreach { a =>
+      assert(a.meta.width <= 6 && a.meta.height <= 6)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.content))
+      assert(img.getWidth === a.meta.width && img.getHeight === a.meta.height)
+      assert(a.content.length.toLong === a.meta.nBytes)
+    }
+    // non-image payloads pass through untouched
+    assert(resized.filter(_.meta.mediaType == "audio").forall(_.meta.height == 1))
   }
 
-  test("multimodal frame sampling: every 4th frame of video assets only") {
+  test("multimodal frame sampling: every 4th frame, decoded mean in range") {
     val assets = Multimodal.assets(spark, sf)
     val frames = Multimodal.sampleFrames(assets, everyK = 4).collect()
     assert(frames.nonEmpty)
-    assert(frames.forall(_.getAs[Int]("frame_idx") % 4 === 0))
+    assert(frames.forall(_.getAs[Long]("frame_idx") % 4 === 0))
     val videoIds = assets.filter(_.meta.mediaType == "video").collect().map(_.doc_id).toSet
     assert(frames.map(_.getAs[Long]("doc_id")).toSet.subsetOf(videoIds))
+    assert(frames.forall { r =>
+      val m = r.getAs[Double]("frame_mean"); m >= 0.0 && m < 256.0
+    })
   }
 
-  test("multimodal decode stub: typed pipeline preserves ids and byte lengths") {
-    val feats = Multimodal.decodeStub(Multimodal.assets(spark, sf)).collect()
+  test("multimodal decode: real codec path preserves ids, means in range") {
+    val feats = Multimodal.decode(Multimodal.assets(spark, sf)).collect()
     val docs = graft.Tables.documents(spark, sf).count()
     assert(feats.length === docs)
     assert(feats.forall(f => f.meanByte >= 0 && f.meanByte < 256))
+    // featureDim reflects the decoded channel count per type
+    assert(feats.filter(_.mediaType == "image").forall(_.featureDim == 3))
+    assert(feats.filter(_.mediaType == "audio").forall(_.featureDim == 1))
   }
 
   test("d5: blocked theta-join equals the naive all-pairs join") {
@@ -414,9 +428,11 @@ class OpsSpec extends AnyFunSuite {
     val total = rows.map(_.getLong(0)).sum
     assert(total === graft.Tables.documents(spark, sf).count(),
       "rollup lost or duplicated assets")
-    // text payloads are printable ASCII, so every mean byte sits in (32, 127)
-    rows.foreach(r => assert(r.getDouble(1) > 32.0 && r.getDouble(1) < 127.0,
-      s"implausible mean byte ${r.getDouble(1)}"))
+    // decoded channel/sample values follow the near-uniform payload
+    // formulas (mod-256 arithmetic), so every per-type mean sits close
+    // to 127.5
+    rows.foreach(r => assert(r.getDouble(1) > 100.0 && r.getDouble(1) < 156.0,
+      s"implausible mean channel value ${r.getDouble(1)}"))
   }
 
   test("w8: kept set equals an independent in-memory greedy debounce") {
