@@ -527,6 +527,15 @@ object StreamingQueries {
       |  ON p.user_id = c.user_id
       | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
       |ORDER BY purchase_id, click_ts""".stripMargin) { (spark, dir) =>
+    runStream(spark, "w13_stream_outer_join", w13Joined(spark, dir), OutputMode.Append())
+      .orderBy("purchase_id", "click_ts")
+  }
+
+  /** w13's joined frame pre-sink — factored out so PlanSpec can assert
+    * the sentinel-drop Filter's placement (above the stream-stream join,
+    * never pushed/collapsed) without driving the stream.
+    */
+  private[graft] def w13Joined(spark: SparkSession, dir: String): DataFrame = {
     val staged = eventsPathWithSentinel(spark, dir)
     val purchases = EventsStream.read(spark, staged)
       .filter(col("event_type") === "purchase")
@@ -537,7 +546,7 @@ object StreamingQueries {
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "10 minutes")
-    val joined = purchases.join(clicks,
+    purchases.join(clicks,
         col("p_user") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
           col("c_ts") < col("p_ts"),
@@ -551,8 +560,6 @@ object StreamingQueries {
         coalesce(unix_micros(col("p_ts")) - unix_micros(col("c_ts")), lit(-1L))
           .as("gap_us"),
         col("c_ts").isNotNull.as("matched"))
-    runStream(spark, "w13_stream_outer_join", joined, OutputMode.Append())
-      .orderBy("purchase_id", "click_ts")
   }
 
   /** Stream-stream FULL OUTER join: every purchase with its preceding
@@ -581,6 +588,12 @@ object StreamingQueries {
       |  ON p.user_id = c.user_id
       | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
       |ORDER BY purchase_id, click_id""".stripMargin) { (spark, dir) =>
+    runStream(spark, "w14_stream_full_outer", w14Joined(spark, dir), OutputMode.Append())
+      .orderBy("purchase_id", "click_id")
+  }
+
+  /** w14's joined frame pre-sink — see [[w13Joined]]. */
+  private[graft] def w14Joined(spark: SparkSession, dir: String): DataFrame = {
     val staged = eventsPathWithSentinel(spark, dir)
     val purchases = EventsStream.read(spark, staged)
       .filter(col("event_type") === "purchase")
@@ -592,7 +605,7 @@ object StreamingQueries {
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
       .withWatermark("c_ts", "10 minutes")
-    val joined = purchases.join(clicks,
+    purchases.join(clicks,
         col("p_user") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
           col("c_ts") < col("p_ts"),
@@ -608,8 +621,6 @@ object StreamingQueries {
         when(col("p_ts").isNull, "click_only")
           .when(col("c_ts").isNull, "purchase_only")
           .otherwise("matched").as("side"))
-    runStream(spark, "w14_stream_full_outer", joined, OutputMode.Append())
-      .orderBy("purchase_id", "click_id")
   }
 
   /** The custom sessionizer run as a REAL stream with event-time-timeout
@@ -643,13 +654,21 @@ object StreamingQueries {
       |       COUNT(*) AS n_events
       |FROM numbered GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+    runStream(spark, "w15_stream_timeout_sessions", w15Sessions(spark, dir),
+      OutputMode.Append())
+      .orderBy("user_id", "session_start")
+  }
+
+  /** w15's session frame pre-sink — factored out so PlanSpec can assert
+    * the sentinel-user Filter stays above the FlatMapGroupsWithState
+    * node (no lineage for Catalyst to push through).
+    */
+  private[graft] def w15Sessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val staged = eventsPathWithSentinel(spark, dir)
     val ev = EventsStream.read(spark, staged).as[EventsStream.Event]
-    val sessions = EventsStream.timeoutSessions(ev).toDF()
+    EventsStream.timeoutSessions(ev).toDF()
       .filter(col("user_id") >= 0)
-    runStream(spark, "w15_stream_timeout_sessions", sessions, OutputMode.Append())
-      .orderBy("user_id", "session_start")
   }
 
   /** Checkpoint CRASH-RECOVERY gate — the exactly-once property 100 TB

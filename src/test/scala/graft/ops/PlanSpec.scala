@@ -297,4 +297,67 @@ class PlanSpec extends AnyFunSuite {
       s"shingle index not reused from cache:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("dp7: marginals re-aggregate the checkpointed cell frame — one fact pass") {
+    val p = plan(Relational.dp7ChiSquare)
+    // the events scan ran once, eagerly, into the localCheckpoint; the
+    // final plan reads only the checkpointed cell frame (ExistingRDD) —
+    // a parquet scan here would mean the facts were re-read per marginal
+    assert(!p.contains("Scan parquet"), s"fact table rescanned in:\n$p")
+    assert("Broadcast".r.findAllIn(p).size >= 2,
+      s"column/total marginals not broadcast in:\n$p")
+  }
+
+  // a streaming frame refuses batch .optimizedPlan (start() checker), but
+  // the pushdown/collapse rules under test run in the SAME optimizer the
+  // micro-batch planner uses — execute it directly on the analyzed plan
+  private def optimizedStreaming(frame: org.apache.spark.sql.DataFrame) =
+    spark.sessionState.optimizer.execute(frame.queryExecution.analyzed)
+
+  test("w13/w14: sentinel-drop filter stays ABOVE the stream-stream join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    for (frame <- Seq(StreamingQueries.w13Joined(spark, sf),
+        StreamingQueries.w14Joined(spark, sf))) {
+      val plan = optimizedStreaming(frame)
+      val joins = plan.collect { case j: Join => j }
+      assert(joins.nonEmpty, s"join eliminated in:\n$plan")
+      // the sentinel predicate must survive as a coalesce-based Filter
+      // with the join still BELOW it (NullPropagation collapsing the
+      // coalesce to p_user would make it single-sided and pushable —
+      // the watermark-killing failure eventsPathWithSentinel documents)
+      val filtersAboveJoin = plan.collect {
+        case f: Filter if f.condition.toString.toLowerCase.contains("coalesce") &&
+          f.collectFirst { case j: Join => j }.nonEmpty => f
+      }
+      assert(filtersAboveJoin.nonEmpty,
+        s"sentinel filter collapsed or pushed below the join in:\n$plan")
+      // and no sentinel-id predicate reached the scan side of the join
+      joins.foreach { j =>
+        val below = j.children.flatMap(_.collect {
+          case f: Filter if f.condition.toString.contains(">= 0") => f
+        })
+        assert(below.isEmpty, s"sentinel predicate pushed below the join in:\n$plan")
+      }
+    }
+  }
+
+  test("w15: sentinel-user filter stays ABOVE flatMapGroupsWithState") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, FlatMapGroupsWithState}
+    val plan = optimizedStreaming(StreamingQueries.w15Sessions(spark, sf))
+    val fm = plan.collect { case n: FlatMapGroupsWithState => n }
+    assert(fm.nonEmpty, s"no FlatMapGroupsWithState node in:\n$plan")
+    val filterAbove = plan.collect {
+      case f: Filter
+        if f.collectFirst { case n: FlatMapGroupsWithState => n }.nonEmpty => f
+    }
+    assert(filterAbove.nonEmpty,
+      s"sentinel-user filter pushed below the state function in:\n$plan")
+    // nothing below the state function filters on the sentinel user
+    fm.foreach { n =>
+      val below = n.children.flatMap(_.collect {
+        case f: Filter if f.condition.toString.contains(">= 0") => f
+      })
+      assert(below.isEmpty, s"sentinel filter below flatMapGroupsWithState in:\n$plan")
+    }
+  }
 }
