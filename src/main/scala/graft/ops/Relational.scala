@@ -672,9 +672,9 @@ object Relational {
     "q25_approx_quantiles",
     "approx_percentile per event_type, checked against exact quantile brackets.",
     """SELECT event_type,
-      |  QUANTILE_CONT(value, 0.5) AS p50,
-      |  QUANTILE_CONT(value, 0.9) AS p90,
-      |  QUANTILE_CONT(value, 0.99) AS p99,
+      |  ROUND(QUANTILE_CONT(value, 0.5), 6) AS p50,
+      |  ROUND(QUANTILE_CONT(value, 0.9), 6) AS p90,
+      |  ROUND(QUANTILE_CONT(value, 0.99), 6) AS p99,
       |  TRUE AS ok50, TRUE AS ok90, TRUE AS ok99,
       |  COUNT(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
@@ -699,9 +699,14 @@ object Relational {
         approx_percentile(col("value"), exactQs, lit(10000)).as("ap"),
         count(lit(1)).as("n"))
       .select(col("event_type"),
-        element_at(col("ex"), 1).as("p50"),
-        element_at(col("ex"), 2).as("p90"),
-        element_at(col("ex"), 3).as("p99"),
+        // rounded: the linear-interpolation step ((1-f)·a + f·b) is the
+        // one place the exact-percentile path leaves the decimal domain,
+        // and the two engines' formulas disagree in the last 2 ulps at
+        // interpolated ranks (seen at 10× scale: 236.27 vs
+        // 236.26999999999998)
+        round(element_at(col("ex"), 1), 6).as("p50"),
+        round(element_at(col("ex"), 2), 6).as("p90"),
+        round(element_at(col("ex"), 3), 6).as("p99"),
         ok(1).as("ok50"), ok(2).as("ok90"), ok(3).as("ok99"),
         col("n"))
       .orderBy("event_type")
