@@ -97,14 +97,25 @@ object Multimodal {
     out.result()
   }
 
+  private val assetsCache =
+    new SessionCache[String, Dataset[MediaAsset]](ds => { ds.unpersist(false); () })
+
   /** documents → binary assets with typed metadata (the ingest edge: in
     * production `content` would come off object storage). Image payloads
     * are real ImageIO-encoded BMPs, video payloads concatenate one BMP
     * per frame, audio payloads are raw 8-bit PCM — all with closed-form
-    * content the oracles re-derive.
+    * content the oracles re-derive. Persisted once per (session,
+    * dataset): four gate queries (m1/m3/m4/m7) read the asset table, and
+    * the ImageIO encode pass is by far its dominant cost — at 100 TB
+    * this is the staged media table every consumer reads, written once.
     */
   def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] =
-    assetsFrom(Tables.documents(spark, dir))
+    assetsCache.getOrElseUpdate(spark, dir) {
+      val ds = assetsFrom(Tables.documents(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ds.count() // eager barrier (see prefixIndexCached in Dedup)
+      ds
+    }
 
   /** Asset construction over an arbitrary (possibly pre-filtered)
     * documents frame. Filters that can be expressed on the source
@@ -420,8 +431,9 @@ object Multimodal {
        |SELECT doc_id, frame_idx,
        |       CAST(s AS DOUBLE) / ${3 * VF_SIDE * VF_SIDE} AS frame_mean
        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin) { (spark, dir) =>
-    sampleFrames(assetsFrom(
-        Tables.documents(spark, dir).filter(col("doc_id") % 3 === 2)), everyK = 4)
+    // reads the persisted asset table (sampleFrames keeps only videos);
+    // the mediaType filter runs on cached typed rows, not a re-encode
+    sampleFrames(assets(spark, dir), everyK = 4)
       .select(col("doc_id"), col("frame_idx"), col("frame_mean"))
       .orderBy("doc_id", "frame_idx")
   }
@@ -448,7 +460,8 @@ object Multimodal {
       |WHERE doc_id % 3 = 0
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    assetsFrom(Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0))
+    assets(spark, dir)
+      .filter(_.meta.mediaType == "image")
       .mapPartitions { batch =>
         batch.map { a =>
           val img = decodeBmp(a.content, 0, a.content.length)

@@ -32,23 +32,29 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    // disc_price/charge sums are ROUNDed to cents BEFORE the double cast:
+    // their scale-4/6 exact sums cross 2^53 in integer representation at
+    // 100× gate scale, where DuckDB's decimal→double (int128 conversion +
+    // scale division, two roundings) can differ from Spark's
+    // correctly-rounded BigDecimal path by 1 ulp. At scale 2 the integer
+    // part stays exact in double and both engines round once, identically.
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec(col("l_extendedprice"), "decimal(12,2)") *
-            (lit(1) - dec(col("l_discount"), "decimal(4,2)")))
+        round(sum(dec(col("l_extendedprice"), "decimal(12,2)") *
+            (lit(1) - dec(col("l_discount"), "decimal(4,2)"))), 2)
           .cast("double").as("sum_disc_price"),
-        sum(dec(col("l_extendedprice"), "decimal(12,2)") *
+        round(sum(dec(col("l_extendedprice"), "decimal(12,2)") *
             (lit(1) - dec(col("l_discount"), "decimal(4,2)")) *
-            (lit(1) + dec(col("l_tax"), "decimal(4,2)")))
+            (lit(1) + dec(col("l_tax"), "decimal(4,2)"))), 2)
           .cast("double").as("sum_charge"),
         (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
