@@ -649,6 +649,92 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Perceptual-hash image dedup — the dedup family applied to DECODED
+    * pixels: the classic aHash (average hash). Each image is decoded
+    * (ImageIO), nearest-neighbor-sampled to an 8×8 grid, each cell's
+    * channel-sum compared to the image mean — the comparison is the
+    * EXACT integer `g·64 > Σg` (no division), so both engines agree
+    * bit-for-bit — and the 64 bits pack into two 32-bit halves (two
+    * BIGINT columns; a single 64-bit pack would overflow the sign bit).
+    * Equal-hash images form duplicate clusters; min doc_id is canonical.
+    * This is what image dedup at 100 TB actually runs (exact-pHash
+    * bucketing first, hamming-tolerant banding only within buckets).
+    *
+    * Scale shape: decode+hash is a map stage over the persisted asset
+    * table; ONE shuffle groups by the 64-bit hash; the verdict join is
+    * hash-keyed. The deterministic mod-gradient payloads make structured
+    * collisions expected (images whose ids agree mod the channel
+    * formulas' period hash identically) — the oracle re-derives every
+    * hash closed-form, so cluster membership is fully checked.
+    */
+  val m8ImageAHash: Q = Q.sql(
+    "m8_image_ahash",
+    "aHash perceptual dedup of decoded images: 8x8 mean-hash clusters, canonical min doc_id.",
+    """WITH img AS (
+      |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT doc_id, (y.y * 8 + x.x) AS i,
+      |    ((doc_id + 7 * ((x.x * w) // 8) + 13 * ((y.y * h) // 8)) % 256
+      |     + (3 * doc_id + 5 * ((x.x * w) // 8) + 11 * ((y.y * h) // 8)) % 256
+      |     + (doc_id + ((x.x * w) // 8) * ((y.y * h) // 8)) % 256) AS g
+      |  FROM img, UNNEST(range(0, 8)) AS x(x), UNNEST(range(0, 8)) AS y(y)),
+      |tot AS (SELECT doc_id, SUM(g) AS tot FROM px GROUP BY doc_id),
+      |hash AS (
+      |  SELECT p.doc_id,
+      |    CAST(SUM(CASE WHEN p.g * 64 > t.tot AND p.i >= 32
+      |                  THEN CAST(1 AS BIGINT) << (p.i - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |    CAST(SUM(CASE WHEN p.g * 64 > t.tot AND p.i < 32
+      |                  THEN CAST(1 AS BIGINT) << p.i ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM px p JOIN tot t USING (doc_id) GROUP BY p.doc_id),
+      |cl AS (SELECT ahash_hi, ahash_lo, COUNT(*) AS cluster_size,
+      |              MIN(doc_id) AS canonical
+      |       FROM hash GROUP BY 1, 2)
+      |SELECT h.doc_id, h.ahash_hi, h.ahash_lo, c.cluster_size,
+      |       h.doc_id = c.canonical AS kept
+      |FROM hash h JOIN cl c USING (ahash_hi, ahash_lo)
+      |ORDER BY h.doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val hashed = assets(spark, dir)
+      .filter(_.meta.mediaType == "image")
+      .mapPartitions { batch =>
+        batch.map { a =>
+          val img = decodeBmp(a.content, 0, a.content.length)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val g = new Array[Long](64)
+          var tot = 0L
+          var i = 0
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val p = img.getRGB(x * w / 8, y * h / 8)
+              val s = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
+              g(i) = s; tot += s; i += 1; x += 1
+            }
+            y += 1
+          }
+          var hi = 0L
+          var lo = 0L
+          i = 0
+          while (i < 64) {
+            if (g(i) * 64L > tot) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          (a.doc_id, hi, lo)
+        }
+      }
+      .toDF("doc_id", "ahash_hi", "ahash_lo")
+    val clusters = hashed.groupBy("ahash_hi", "ahash_lo")
+      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("canonical"))
+    hashed.join(clusters, Seq("ahash_hi", "ahash_lo"))
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        col("cluster_size"), (col("doc_id") === col("canonical")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(m1Meta, m2PayloadStats, m3FrameSample, m4TypedRollup,
-    m5ShardPack, m6PayloadSig, m7ImageDecode)
+    m5ShardPack, m6PayloadSig, m7ImageDecode, m8ImageAHash)
 }

@@ -882,8 +882,87 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Perplexity-style quality scoring — the standard LLM-curation filter
+    * (score each document under a corpus language model; outliers are
+    * boilerplate, gibberish, or wrong-language): per-doc cross-entropy
+    * under the corpus word-bigram LM with add-one smoothing,
+    * P(w2|w1) = (c(w1 w2)+1) / (c1(w1)+V). Composes t14's bigram mining
+    * into an actual scoring pass.
+    *
+    * Engine-exact log arithmetic: ln() differs between libm and the JVM
+    * in the last ulp, so logs are never summed as raw doubles. Both
+    * numerator and denominator of every probability are INTEGERS, so the
+    * per-bigram log-prob is quantized per integer —
+    * floor(ln(n)·1e6) as BIGINT — and the doc sum is exact integer
+    * arithmetic: Σq(c1+V) − Σq(c+1), divided once at the end. A
+    * last-ulp ln disagreement only matters if ln(n)·1e6 sits within
+    * ~1e-10 of an integer for some count n in the corpus — checked by
+    * the gate itself.
+    *
+    * Scale shape: bigram and prefix count tables shuffle on their own
+    * keys (at 100 TB an LM count table is far too big to broadcast —
+    * the score pass is two shuffle equi-joins keyed on bg/w1); V rides
+    * a broadcast scalar; one final per-doc aggregate.
+    */
+  val t18Perplexity: Q = Q.sql(
+    "t18_perplexity",
+    "Per-doc cross-entropy (integer micro-nats) under the corpus add-one bigram LM.",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |b AS (
+      |  SELECT doc_id, [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS bg
+      |  FROM w WHERE len(w) >= 2),
+      |e2 AS (
+      |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1
+      |  FROM (SELECT doc_id, UNNEST(bg) AS bg FROM b)),
+      |cnt AS (SELECT bg, COUNT(*) AS c FROM e2 GROUP BY bg),
+      |uni AS (SELECT w1, COUNT(*) AS c1 FROM e2 GROUP BY w1),
+      |v AS (SELECT COUNT(DISTINCT t) AS v
+      |      FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)),
+      |sc AS (
+      |  SELECT e.doc_id,
+      |         CAST(FLOOR(ln(u.c1 + v.v) * 1000000.0) AS BIGINT)
+      |           - CAST(FLOOR(ln(c.c + 1) * 1000000.0) AS BIGINT) AS q
+      |  FROM e2 e JOIN cnt c USING (bg) JOIN uni u USING (w1) CROSS JOIN v),
+      |agg AS (SELECT doc_id, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS qs FROM sc GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(a.n, 0) AS n_bigrams,
+      |       a.qs AS q_total,
+      |       CASE WHEN a.n > 0 THEN a.qs // a.n END AS ce_micronats
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        (x, i) => concat(x, lit(" "), element_at(col("w"), i + 2)))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val cnt = ex.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val uni = ex.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(words).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    def qlog(x: Column): Column = floor(log(x.cast("double")) * 1e6).cast("long")
+    val agg0 = ex.join(cnt, "bg").join(uni, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), (qlog(col("c1") + col("v")) - qlog(col("c") + 1)).as("q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("qs"))
+    // the score stays in exact integers end-to-end (micro-nats per
+    // bigram): a rounded-double score hit an exact .5 boundary at 6dp
+    // during the sf1 sweep, where the engines' ROUND disagree — integer
+    // floor-division has no such seam
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(agg0, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_bigrams"),
+        col("qs").as("q_total"),
+        when(col("n") > 0, expr("qs div n")).as("ce_micronats"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3TokenStats, t4Fingerprint,
     t5BpeTokens, t6HeavyHitters, t7Normalize, t8DistinctiveTerms,
     t9Repetition, t10Commonness, t11TfidfCosine, t12Chunk, t13PiiRedact,
-    t14BigramStats, t15Zipf, t16Boilerplate, t17BpeApply, dp2Drift)
+    t14BigramStats, t15Zipf, t16Boilerplate, t17BpeApply, t18Perplexity,
+    dp2Drift)
 }
