@@ -758,8 +758,113 @@ object StreamingQueries {
       .orderBy("window_start", "event_type")
   }
 
+  private val lateDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The in-order staging plus ONE trailing file of genuinely LATE rows:
+    * copies of the earliest hour's events under fresh ids (+1e10), same
+    * early timestamps, arriving as the LAST micro-batch — by which time
+    * the watermark (max real ts − 10 min) is hours past them. Staging
+    * asserts the margin, so a data-shape change fails loudly instead of
+    * silently weakening the gate.
+    */
+  private def eventsPathWithLate(spark: SparkSession, dir: String): String =
+    lateDirs.getOrElseUpdate(dir, {
+      val out = fastTmpDir("graft_stream_events_late")
+      val staged = new java.io.File(eventsPath(spark, dir))
+      val dataFiles = Option(staged.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      val t0 = System.currentTimeMillis()
+      dataFiles.zipWithIndex.foreach { case (f, i) =>
+        val target = new java.io.File(out, f.getName)
+        java.nio.file.Files.copy(f.toPath, target.toPath)
+        target.setLastModified(t0 + i * 60000L)
+      }
+      // ts in the staged files is raw LONG nanos (nanosAsLong read)
+      val ev = spark.read.parquet(staged.getPath)
+      val b = ev.agg(min("ts").as("lo"), max("ts").as("hi")).head
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val hour = 3600L * 1000000000L
+      // drop-margin: the late rows sit ≥ 2h behind the final watermark
+      require(lo + hour < hi - hour * 2 - 600L * 1000000000L,
+        "w17 staging: events span too short to guarantee late-drop")
+      val late = ev.filter(col("ts") < lo + hour)
+        .withColumn("event_id", col("event_id") + 10000000000L)
+      require(late.count() > 0, "w17 staging: no late rows")
+      val tmp = fastTmpDir("graft_stream_late_tmp")
+      late.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error("w17: late part file missing"))
+      val target = new java.io.File(out, "zz-late.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(t0 + dataFiles.length * 60000L)
+      out
+    })
+
+  /** Watermark LATE-DATA DROP gate — the one watermark behavior the
+    * in-order staging never exercises: rows arriving BEHIND the
+    * watermark must be discarded, not aggregated. The staged stream is
+    * the real events (two in-order files) plus a trailing file of late
+    * rows — duplicates of the earliest hour under fresh event_ids — that
+    * arrives when the watermark is hours past them. The oracle is the
+    * plain batch aggregate over the REAL events only (the late rows
+    * exist nowhere but the stream input), so the hash matches iff the
+    * engine dropped every late row: a leak changes the earliest windows'
+    * counts; an over-eager drop changes some real window.
+    *
+    * Update mode + the w16 foreachBatch keyed upsert (update re-emits
+    * changed windows; the upsert keeps the latest row per key), so no
+    * sentinel machinery and no dependence on end-of-stream eviction.
+    */
+  val w17StreamLateDrop: Q = Q.sql(
+    "w17_stream_late_drop",
+    "Watermark late-data drop: late duplicates behind the watermark are discarded; stream equals the real-events batch aggregate.",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (spark, dir) =>
+    val src = eventsPathWithLate(spark, dir)
+    val ckpt = fastTmpDir("graft_ckpt_w17")
+    val snapRoot = fastTmpDir("graft_w17_snap")
+    @volatile var current: Option[String] = None
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    val target = sys.env.getOrElse("GRAFT_STREAM_PARTITIONS", "4").toInt
+    if (saved.toInt > target) spark.conf.set(key, target.toString)
+    try {
+      val q = EventsStream.tumblingCounts(EventsStream.read(spark, src))
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val s = batch.sparkSession
+          val b = batch.select(col("window_start"), col("event_type"),
+            col("n"), col("sum_value"))
+          val merged = current match {
+            case None => b
+            case Some(prev) =>
+              s.read.parquet(prev)
+                .join(b.select("window_start", "event_type"),
+                  Seq("window_start", "event_type"), "left_anti")
+                .union(b)
+          }
+          val out = s"$snapRoot/v$batchId"
+          merged.write.mode("overwrite").parquet(out)
+          current = Some(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, saved)
+    spark.read.parquet(current.getOrElse(sys.error("w17: no micro-batch ran")))
+      .orderBy("window_start", "event_type")
+  }
+
   val all: Seq[Q] = Seq(w3StreamTumbling, w4StreamSession, w5StreamDedup,
     w6CustomSessionizer, w7StreamJoin, w10StreamStatic, w11StreamUpsert,
     w12StreamHopping, w13StreamOuterJoin, w14StreamFullOuter,
-    w15StreamTimeoutSessions, w16StreamRestart)
+    w15StreamTimeoutSessions, w16StreamRestart, w17StreamLateDrop)
 }
