@@ -341,6 +341,45 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d10: banded candidates meet on an equi-join; no pair space forms") {
+    val p = plan(Dedup.d10EmbeddingNearDup)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join in:\n$p")
+  }
+
+  test("t17: the merge table rides a broadcast; one doc-key shuffle") {
+    val p = plan(TextAnalysis.t17BpeApply)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"merge table not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("t18: LM count tables join on their own keys; V is broadcast") {
+    val p = plan(TextAnalysis.t18Perplexity)
+    // the bigram/prefix joins must be EQUI-joins keyed on bg/w1 — at
+    // gate scale the size estimator legitimately broadcasts the tiny
+    // count tables; at 100 TB the same plan flips to shuffle equi-joins
+    // when they exceed the threshold. What must never appear is a
+    // cartesian between row-sized streams; the only nested-loop join is
+    // the broadcast cross with the 1-row vocabulary scalar.
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[bg#".r
+      .findFirstIn(p).nonEmpty, s"no equi-join on bg in:\n$p")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[w1#".r
+      .findFirstIn(p).nonEmpty, s"no equi-join on w1 in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"unexpected nested-loop joins beyond the vocab scalar in:\n$p")
+  }
+
+  test("m8: decode+hash is a map stage; clusters form on a hash-key shuffle") {
+    val p = plan(Multimodal.m8ImageAHash)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation for the cluster group-by in:\n$p")
+  }
+
   test("w15: sentinel-user filter stays ABOVE flatMapGroupsWithState") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, FlatMapGroupsWithState}
     val plan = optimizedStreaming(StreamingQueries.w15Sessions(spark, sf))
