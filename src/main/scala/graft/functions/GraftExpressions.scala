@@ -264,6 +264,37 @@ object GraftExpressions {
     override def prettyName: String = "graft_bytehist"
   }
 
+  /** Full 256-cell byte histogram as array<long> — the one-pass kernel
+    * behind per-(doc, byte) count streams: `posexplode` of the result
+    * yields ≤256 narrow rows per doc instead of one row per BYTE of
+    * payload (the hex-split explode it replaces materialized the whole
+    * corpus as 2-char strings before aggregating them back down).
+    */
+  case class ByteHistArr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == BinaryType) {
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      } else {
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_bytehist_arr requires BINARY input, got ${child.dataType.sql}")
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      val hist = new Array[Long](256)
+      var i = 0
+      while (i < bytes.length) { hist(bytes(i) & 0xff) += 1; i += 1 }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(hist)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "graft_bytehist_arr"
+  }
+
   /** |array_intersect(a, b)| without materializing the intersection
     * array — the hot inner expression of every exact-Jaccard verify join
     * (d2/d3/d6 compute `size(array_intersect(sa, sb))` per candidate
@@ -343,6 +374,8 @@ object GraftExpressions {
       exprs => SimHashSig(exprs(0), intLit(exprs(1), "graft_simhash bits"))),
     ("graft_bytehist", "graft_bytehist(bin) - byte histogram stats (n, distinct, maxc, coll)",
       exprs => ByteHistStats(exprs(0))),
+    ("graft_bytehist_arr", "graft_bytehist_arr(bin) - full 256-cell byte histogram as array<long>",
+      exprs => ByteHistArr(exprs(0))),
     ("graft_intersect_count", "graft_intersect_count(a, b) - |array_intersect(a, b)| without materializing it",
       exprs => IntersectCountS(exprs(0), exprs(1))))
 
@@ -378,6 +411,8 @@ object GraftExpressions {
 
   /** One-pass byte-histogram stats struct (n, distinct, maxc, coll). */
   def byteHist(bin: Column): Column = call_function("graft_bytehist", bin)
+
+  def byteHistArr(bin: Column): Column = call_function("graft_bytehist_arr", bin)
 
   /** |array_intersect(a, b)| for string arrays, no intermediate array. */
   def intersectCount(a: Column, b: Column): Column =

@@ -626,14 +626,19 @@ object Multimodal {
        | AND (a.sig % 256 = b.sig % 256 OR a.sig // 256 = b.sig // 256)
        |WHERE bit_count(xor(a.sig, b.sig)) <= $SIG_HAMMING_MAX
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    // bytes of the payload as 2-hex-char tokens (uppercase both engines);
-    // Spark's split keeps a trailing empty token — drop it
-    val bytes = Tables.documents(spark, dir)
+    // per-(doc, byte) counts off the one-pass histogram kernel: ≤256
+    // narrow rows per doc, vs the hex-split explode this replaces (one
+    // 2-char string row per payload BYTE — the whole corpus re-expanded
+    // just to be counted back down; measured 11.2s → ~1s at sf1)
+    graft.functions.GraftExpressions.register(spark)
+    val c = Tables.documents(spark, dir)
       .filter(length(col("text")) > 0)
       .select(col("doc_id"),
-        explode(split(hex(col("text").cast("binary")), "(?<=\\G..)")).as("byte"))
-      .filter(col("byte") =!= "")
-    val c = bytes.groupBy(col("doc_id"), col("byte")).agg(count(lit(1)).as("cnt"))
+        posexplode(graft.functions.GraftExpressions.byteHistArr(
+          col("text").cast("binary"))).as(Seq("bidx", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(col("doc_id"), format_string("%02X", col("bidx")).as("byte"),
+        col("cnt"))
     // md5-derived (plane, byte) weight table: 16×256, broadcast
     val planes = spark.range(SIG_PLANES).select(col("id").cast("int").as("p"))
     val allBytes = spark.range(256)
