@@ -81,6 +81,19 @@ object Similarity {
   private def planeCol(p: Int) =
     array(planes(p).map(w => lit(w)): _*)
 
+  /** The extended plane inventory for s5's scale-adaptive buckets — same
+    * md5 derivation, same indices, so planes 0–3 are bit-identical to
+    * [[planes]].
+    */
+  private val planesWide: Seq[Seq[Double]] =
+    (0 until 12).map(p => (0 until DIMS).map(d => planeWeight(p, d)))
+
+  private def planeSqlArrayWide(p: Int): String =
+    planesWide(p).map(w => s"CAST($w AS DOUBLE)").mkString("[", ", ", "]")
+
+  private def planeColWide(p: Int) =
+    array(planesWide(p).map(w => lit(w)): _*)
+
   /** LSH-bucketed ANN: 4 random hyperplanes → 16 buckets; probes search
     * only their own bucket. The corpus is bucketed in one map stage and
     * the probe⋈bucket join is an equi-join on the bucket id — the shape
@@ -261,19 +274,38 @@ object Similarity {
     * emit no rows, exactly as in the oracle; ties break on neighbour
     * id for full determinism.
     */
+  /** Active plane count for s5's buckets, from the corpus size: enough
+    * planes that the EXPECTED bucket population sits in [32, 64), so the
+    * in-bucket self-join volume stays LINEAR in n instead of n²/2^planes
+    * (the sf10 soak measured the fixed-4-plane variant at 128× cost for
+    * 10× data — textbook quadratic). Integer bit-length arithmetic
+    * (the t15 trick), identical in both engines — no floating log2
+    * boundary. Clamped to [4, [[S5_MAX_PLANES]]]; past the cap the
+    * bucket width is the knob a bigger deployment raises (each extra
+    * plane halves bucket population).
+    */
+  private def s5Planes(n: Long): Int =
+    math.min(S5_MAX_PLANES,
+      math.max(PLANES, java.lang.Long.toBinaryString(n / 32).length))
+
+  private val S5_MAX_PLANES = 12
+
   val s5KnnJoin: Q = Q.sql(
     "s5_knn_join",
-    "Bucket-constrained k-NN join: top-3 in-bucket cosine neighbours per vector.",
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    "Bucket-constrained k-NN join: top-3 in-bucket cosine neighbours per vector (bucket width scales with n).",
+    s"""WITH np AS (
+       |  SELECT LEAST($S5_MAX_PLANES, GREATEST($PLANES,
+       |           LENGTH(PRINTF('%b', (SELECT COUNT(*) FROM embeddings) // 32)))) AS np),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (
        |  SELECT vec_id, v,
        |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm,
-       |         ${(0 until PLANES).map(p =>
-            s"""CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               |           list_transform(range(1, len(v) + 1), i -> v[i] * (${planeSqlArray(p)})[i])), (x, y) -> x + y) > 0
+       |         ${(0 until 12).map(p =>
+            s"""CASE WHEN $p < np.np AND list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               |           list_transform(range(1, len(v) + 1), i -> v[i] * (${planeSqlArrayWide(p)})[i])), (x, y) -> x + y) > 0
                |      THEN ${1 << p} ELSE 0 END""".stripMargin).mkString(" + ")} AS bucket
-       |  FROM e),
+       |  FROM e CROSS JOIN np),
        |scored AS (
        |  SELECT a.vec_id AS vec_id, a.bucket, b.vec_id AS nbr_id,
        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -287,11 +319,16 @@ object Similarity {
        |SELECT vec_id, bucket, nbr_id, ROUND(cos, 6) AS cosine, rnk
        |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val bucket = (0 until PLANES).map { p =>
-      when(aggregate(zip_with(col("v"), planeCol(p), (x, y) => x * y),
+    val n0 = Dedup.normedVectors(spark, dir)
+    // the cached corpus frame makes this count a metadata-cheap job; the
+    // resulting plane count is inlined into the plan (the oracle derives
+    // the same integer from COUNT(*))
+    val activePlanes = s5Planes(n0.count())
+    val bucket = (0 until activePlanes).map { p =>
+      when(aggregate(zip_with(col("v"), planeColWide(p), (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
-    val n = Dedup.normedVectors(spark, dir).withColumn("bucket", bucket)
+    val n = n0.withColumn("bucket", bucket)
     val cos = Dedup.cosineCol(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
     n.as("a").join(n.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
