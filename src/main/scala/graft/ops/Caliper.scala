@@ -215,6 +215,12 @@ object Caliper {
       .withColumn("pid", spark_partition_id())
       .withColumn("local_rn",
         row_number().over(Window.partitionBy("pid").orderBy("attempt_id")))
+      // pinned: `local` feeds BOTH the offsets aggregate and the final
+      // join. Unpinned, each consumer can re-materialize the range
+      // exchange, whose boundaries come from SAMPLING — two samplings
+      // can route keys to different pids and the offsets misalign
+      // (observed at the sf10 soak: seq off by thousands mid-stream).
+      .localCheckpoint()
     // Phase 2: cumulative group counts per partition → global offset. The
     // offsets frame is partition-count-sized, so the ordered window here is
     // O(#partitions) regardless of data volume.

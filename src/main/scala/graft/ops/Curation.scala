@@ -524,6 +524,9 @@ object Curation {
       .withColumn("pid", spark_partition_id())
       .withColumn("local_rn",
         row_number().over(Window.partitionBy("pid").orderBy("n_tokens", "doc_id")))
+      // pinned against double materialization of the sampled range
+      // exchange (see Caliper.c6AttemptSeq)
+      .localCheckpoint()
     // Phase 2: cumulative per-partition counts → global offsets
     val offsets = local.groupBy("pid")
       .agg(max("local_rn").as("cnt"))

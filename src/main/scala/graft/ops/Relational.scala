@@ -1368,6 +1368,9 @@ object Relational {
       .withColumn("run_local", sum(col("delta")).over(
         Window.partitionBy("pid").orderBy("t", "delta")
           .rowsBetween(Window.unboundedPreceding, 0)))
+      // pinned against double materialization of the sampled range
+      // exchange (see Caliper.c6AttemptSeq)
+      .localCheckpoint()
     // Phase 2: offsets frame has #partitions rows — the only ordered
     // window left is O(#partitions), data-volume-independent.
     val offsets = local.groupBy("pid")
@@ -1586,6 +1589,9 @@ object Relational {
         Window.partitionBy("pid").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("l2", sum("c2").over(
         Window.partitionBy("pid").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+      // pinned against double materialization of the sampled range
+      // exchange (see Caliper.c6AttemptSeq)
+      .localCheckpoint()
     val offsets = local.groupBy("pid")
       .agg(max("l1").as("t1"), max("l2").as("t2"))
       .withColumn("o1",

@@ -736,6 +736,9 @@ object TextAnalysis {
       .withColumn("pid", spark_partition_id())
       .withColumn("local_rn", row_number().over(
         Window.partitionBy("pid").orderBy(col("freq").desc, col("term"))))
+      // pinned against double materialization of the sampled range
+      // exchange (see Caliper.c6AttemptSeq)
+      .localCheckpoint()
     val offsets = local.groupBy("pid")
       .agg(max("local_rn").as("cnt"))
       .withColumn("offset",

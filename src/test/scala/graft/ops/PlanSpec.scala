@@ -91,9 +91,14 @@ class PlanSpec extends AnyFunSuite {
       w.orderSpec.exists(_.references.exists(_.name == "attempt_id")))
     assert(globalOverGroups.isEmpty,
       s"global window over attempt groups:\n${globalOverGroups.mkString("\n")}")
-    // and the two-phase shape exists: a window partitioned on pid
-    assert(wins.exists(_.partitionSpec.exists(_.references.exists(_.name == "pid"))),
-      s"no pid-partitioned window in:\n${wins.mkString("\n")}")
+    // the pid-partitioned LOCAL window sits behind the localCheckpoint
+    // that pins the sampled range exchange (one materialization — see
+    // the c6 comment), so the only window visible here must be the
+    // O(#partitions) offsets frame: unpartitioned, ordered on pid alone
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.nonEmpty &&
+      unpart.forall(_.orderSpec.forall(_.references.forall(_.name == "pid"))),
+      s"unexpected global window in:\n${wins.mkString("\n")}")
   }
 
   test("d5: blocked cosine join is an equi-join on the grid cell, not a cross join") {
@@ -175,8 +180,13 @@ class PlanSpec extends AnyFunSuite {
       w.orderSpec.exists(_.references.exists(_.name == "t")))
     assert(globalOverBoundaries.isEmpty,
       s"global window over sweep boundaries:\n${globalOverBoundaries.mkString("\n")}")
-    assert(wins.exists(_.partitionSpec.exists(_.references.exists(_.name == "pid"))),
-      s"no pid-partitioned window in:\n${wins.mkString("\n")}")
+    // the pid-partitioned local window is pinned behind the
+    // localCheckpoint (see the c6 test); only the pid-ordered offsets
+    // window may remain global
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.nonEmpty &&
+      unpart.forall(_.orderSpec.forall(_.references.forall(_.name == "pid"))),
+      s"unexpected global window in:\n${wins.mkString("\n")}")
   }
 
   test("d8: containment candidates meet on a shingle-hash equi-join, never a cross join") {
@@ -222,8 +232,13 @@ class PlanSpec extends AnyFunSuite {
       w.orderSpec.exists(_.references.exists(_.name == "n_tokens")))
     assert(globalOverDocs.isEmpty,
       s"global window over the corpus:\n${globalOverDocs.mkString("\n")}")
-    assert(wins.exists(_.partitionSpec.exists(_.references.exists(_.name == "pid"))),
-      s"no pid-partitioned window in:\n${wins.mkString("\n")}")
+    // the pid-partitioned local window is pinned behind the
+    // localCheckpoint (see the c6 test); only the pid-ordered offsets
+    // window may remain global
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.nonEmpty &&
+      unpart.forall(_.orderSpec.forall(_.references.forall(_.name == "pid"))),
+      s"unexpected global window in:\n${wins.mkString("\n")}")
   }
 
   test("d9: in-cell dedup join is an equi-join on the cell, never all-pairs") {
