@@ -24,17 +24,30 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(path(dir, name))
 
-  /** `events.ts` is written as parquet INT64 TIMESTAMP(NANOS) which Spark
-    * refuses by default (PARQUET_TYPE_ILLEGAL). We read it as a nanosecond
-    * long and truncate to microseconds — the same truncation DuckDB applies
-    * when it scans nanos into its native µs TIMESTAMP — so both engines see
-    * identical values. Integer `div` (not `/`) matters: ns-since-epoch
-    * (~1.7e18) exceeds a double's 2^53 exact-integer range.
+  /** `events.ts` normalization, adaptive to the parquet physical type the
+    * driver generated (it changed between rounds):
+    *
+    *  - INT64 TIMESTAMP(NANOS) (rounds 1–6): Spark refuses it by default
+    *    (PARQUET_TYPE_ILLEGAL); with `nanosAsLong` it reads as a ns long,
+    *    which we truncate to µs — the same truncation DuckDB applies when
+    *    it scans nanos into its native µs TIMESTAMP. Integer `div` (not
+    *    `/`) matters: ns-since-epoch (~1.7e18) exceeds a double's 2^53
+    *    exact-integer range.
+    *  - TIMESTAMP(MICROS) (round 7+): reads natively as a timestamp
+    *    (NTZ when isAdjustedToUTC=false); cast to TimestampType so every
+    *    downstream expression sees the identical type either way (the
+    *    session timezone is pinned UTC, so the cast is value-preserving).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(path(dir, "events"))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")

@@ -169,7 +169,23 @@ object Graph {
       def rounds(): DataFrame = {
         var rank = deg.select(col("node"), lit(SCALE).as("r"))
           .localCheckpoint()
-        for (_ <- 1 to ITERS) {
+        // Exact-fixpoint early exit: if a round leaves every rank
+        // unchanged, all further rounds are idempotent, so the
+        // ITERS-round oracle result equals the early frame — the exit is
+        // oracle-preserving by construction, no epsilon to mirror in SQL.
+        // A THRESHOLD exit cannot fire under this contract: the measured
+        // max |Δr| trajectory decays at exactly the damping factor
+        // (0.85×/round — 14.0M→3.19M fp units over rounds 1→10 at sf0.1,
+        // same curve at sf0.001/0.01), so quantizing to ±1 fp unit needs
+        // ~90 rounds; any epsilon loose enough to fire inside 10 rounds
+        // would just be a smaller ITERS wearing a convergence costume.
+        // The check itself is one broadcast join + isEmpty over two
+        // checkpointed node-frames (|V| rows, not |E|) — microseconds
+        // against the per-round edge aggregate.
+        var converged = false
+        var it = 0
+        while (it < ITERS && !converged) {
+          it += 1
           val rside = if (small) broadcast(rank) else rank.hint("shuffle_hash")
           val contrib = dedges
             .join(rside, col("a") === rank("node"))
@@ -178,9 +194,14 @@ object Graph {
           // equivalent at best and showed rare pathological outliers; the
           // eager job per round is predictable and truncates lineage the
           // same way
-          rank = contrib.groupBy(col("b").as("node"))
+          val next = contrib.groupBy(col("b").as("node"))
             .agg((lit(TELEPORT) + expr("(85 * sum(c)) div 100")).as("r"))
             .localCheckpoint()
+          converged = next.as("n")
+            .join(broadcast(rank.as("p")), col("n.node") === col("p.node"))
+            .where(col("n.r") =!= col("p.r"))
+            .isEmpty
+          rank = next
         }
         // re-attach each node's own degree once, checkpointed so the
         // returned plan survives the finally-unpersist below

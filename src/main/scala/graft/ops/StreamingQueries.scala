@@ -148,8 +148,19 @@ object StreamingQueries {
     stagedDirs.getOrElseUpdate(dir, {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val out = fastTmpDir("graft_stream_events")
-      spark.read.parquet(s"${dir.stripSuffix("/")}/events.parquet")
-        .repartitionByRange(2, col("ts"))
+      // staged-file contract: ts is a raw LONG of epoch NANOS, whatever
+      // the driver's parquet physical type (NANOS reads as a ns long via
+      // nanosAsLong; MICROS reads as a timestamp → µs·1000). Everything
+      // downstream (EventsStream.read's `ts div 1000`, the w17 late-row
+      // builder's ns arithmetic) keys off this one normalization.
+      val src = spark.read.parquet(s"${dir.stripSuffix("/")}/events.parquet")
+      val canon = src.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => src
+        case _ => src.withColumn("ts",
+          unix_micros(col("ts").cast(
+            org.apache.spark.sql.types.TimestampType)) * 1000L)
+      }
+      canon.repartitionByRange(2, col("ts"))
         .write.mode("overwrite").parquet(out)
       val root = new java.io.File(out)
       root.deleteOnExit()
@@ -448,7 +459,9 @@ object StreamingQueries {
           java.nio.file.Files.copy(f.toPath,
             java.nio.file.Paths.get(out, f.getName))
         }
-      val ev = spark.read.parquet(s"${dir.stripSuffix("/")}/events.parquet")
+      // max ts off the STAGED copy — canonical raw ns longs whatever the
+      // driver's parquet physical type (see eventsPath)
+      val ev = spark.read.parquet(staged.getPath)
       val maxTs = ev.agg(max("ts")).head.getLong(0)
       import spark.implicits._
       // TWO sentinel files → two trailing micro-batches: the first

@@ -40,11 +40,23 @@ object EventsStream {
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+    // infer the stream schema from the files themselves (one metadata-only
+    // batch read): staged dirs carry the canonical raw-ns LONG ts
+    // (ops.StreamingQueries.eventsPath), while raw driver files may be
+    // TIMESTAMP(MICROS) — normalize both to TimestampType µs exactly like
+    // graft.Tables.events
+    val sch = spark.read.parquet(dir).schema
+    val df = spark.readStream
+      .schema(sch)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Tumbling 1h counts with a 10-minute watermark — late events beyond
