@@ -87,6 +87,16 @@ object StreamingQueries {
     p.toString
   }
 
+  /** Checkpoint dirs of the last crash-recovery gate runs (w16/w18) —
+    * exposed so the recovery pin in PlanSpec can assert the restarted
+    * phase RESUMED the committed offsets log (contiguous batch ids from
+    * 0, one commit per started batch) instead of starting a fresh log or
+    * replaying. A replay/fresh-log failure also breaks the oracle hash,
+    * but the pin localizes the diagnosis to the checkpoint mechanics.
+    */
+  @volatile private[graft] var w16LastCkpt: String = _
+  @volatile private[graft] var w18LastCkpt: String = _
+
   private def runStream(spark: SparkSession, name: String, df: DataFrame,
       mode: OutputMode): DataFrame = {
     spark.catalog.dropTempView(name)
@@ -721,6 +731,7 @@ object StreamingQueries {
     require(stagedParts.length == 2, "w16 expects the 2-file ts-range staging")
     val src = fastTmpDir("graft_w16_src")
     val ckpt = fastTmpDir("graft_ckpt_w16")
+    w16LastCkpt = ckpt
     val snapRoot = fastTmpDir("graft_w16_snap")
     @volatile var current: Option[String] = None
     def runPhase(): Unit = {
@@ -931,6 +942,7 @@ object StreamingQueries {
     run18SpanCheck(spark, dataParts)
     val src = fastTmpDir("graft_w18_src")
     val ckpt = fastTmpDir("graft_ckpt_w18")
+    w18LastCkpt = ckpt
     val sink = fastTmpDir("graft_w18_sink")
     val t0 = System.currentTimeMillis()
     def stage(f: java.io.File, slot: Int): Unit = {

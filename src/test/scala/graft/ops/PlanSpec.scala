@@ -395,6 +395,50 @@ class PlanSpec extends AnyFunSuite {
       s"no partial aggregation for the cluster group-by in:\n$p")
   }
 
+  test("m7: decode is an object map stage; only the final order shuffles") {
+    val p = plan(Multimodal.m7ImageDecode)
+    assert(p.contains("MapPartitions"),
+      s"decode not a mapPartitions stage in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the only exchange is the rangepartitioning for the final ORDER BY;
+    // a hashpartitioning exchange would mean the decode path shuffled
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"decode path shuffles in:\n$p")
+  }
+
+  test("w16/w18: restart RESUMES the committed offsets log (no replay, no fresh log)") {
+    def batchIds(ckpt: String, sub: String): Seq[Int] = {
+      val d = new java.io.File(ckpt, sub)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(n => n.nonEmpty && n.forall(_.isDigit))
+        .map(_.toInt).sorted.toSeq
+    }
+    // running the gate executes BOTH phases (stop + checkpoint restart)
+    StreamingQueries.w16StreamRestart.run(spark, sf).collect()
+    val off16 = batchIds(StreamingQueries.w16LastCkpt, "offsets")
+    val com16 = batchIds(StreamingQueries.w16LastCkpt, "commits")
+    // 2 staged files × maxFilesPerTrigger=1 → ≥2 data batches (the
+    // engine may add a no-data batch per phase for watermark
+    // advancement). A fresh log on restart would restart numbering at 0
+    // and break contiguity/commit pairing; a replay would re-emit batch
+    // 0's data under a new id and fail the oracle hash.
+    assert(off16 == com16, s"uncommitted batch after restart: $off16 vs $com16")
+    assert(off16.headOption.contains(0) && off16 == (0 until off16.size),
+      s"offsets log not contiguous-from-0 across restart: $off16")
+    assert(off16.size >= 2, s"expected >=2 batches across w16 phases: $off16")
+
+    StreamingQueries.w18StreamStateRestart.run(spark, sf).collect()
+    val off18 = batchIds(StreamingQueries.w18LastCkpt, "offsets")
+    val com18 = batchIds(StreamingQueries.w18LastCkpt, "commits")
+    // 2 data + 2 sentinel files → ≥4 one-file batches: one before the
+    // stop, the rest after the checkpoint restart (plus optional no-data
+    // watermark batches)
+    assert(off18 == com18, s"uncommitted batch after restart: $off18 vs $com18")
+    assert(off18.headOption.contains(0) && off18 == (0 until off18.size),
+      s"offsets log not contiguous-from-0 across restart: $off18")
+    assert(off18.size >= 4, s"expected >=4 batches across w18 phases: $off18")
+  }
+
   test("w15: sentinel-user filter stays ABOVE flatMapGroupsWithState") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, FlatMapGroupsWithState}
     val plan = optimizedStreaming(StreamingQueries.w15Sessions(spark, sf))
