@@ -273,9 +273,18 @@ object EtlQueries {
       val id = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
       val li = s"graft_bkt_lineitem_$id"
       val ord = s"graft_bkt_orders_$id"
+      // repartition onto the bucket hash BEFORE the bucketed write:
+      // repartition(n, key) and bucketBy(n, key) share the same
+      // murmur3-pmod assignment, so each write task holds exactly one
+      // bucket's rows. Without it every input task writes a file per
+      // bucket it sees — numTasks×numBuckets files at cluster scale
+      // (the classic bucketed-write small-files explosion) — and on a
+      // single-row-group input the whole hash+sort+encode runs in ONE
+      // task; with it the write parallelizes across the buckets.
       if (!spark.catalog.tableExists(li)) {
         Tables.lineitem(spark, dir)
           .select(col("l_orderkey"), col("l_extendedprice"))
+          .repartition(BUCKETS, col("l_orderkey"))
           .write.bucketBy(BUCKETS, "l_orderkey").sortBy("l_orderkey")
           .option("path", StreamingQueries.fastTmpDir("graft_bkt_li"))
           .mode("overwrite").saveAsTable(li)
@@ -283,6 +292,7 @@ object EtlQueries {
       if (!spark.catalog.tableExists(ord)) {
         Tables.orders(spark, dir)
           .select(col("o_orderkey"), col("o_orderstatus"))
+          .repartition(BUCKETS, col("o_orderkey"))
           .write.bucketBy(BUCKETS, "o_orderkey").sortBy("o_orderkey")
           .option("path", StreamingQueries.fastTmpDir("graft_bkt_ord"))
           .mode("overwrite").saveAsTable(ord)
