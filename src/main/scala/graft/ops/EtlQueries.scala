@@ -482,7 +482,94 @@ object EtlQueries {
       .orderBy("event_type")
   }
 
+  private val compactDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long, Long)]
+
+  /** Stage a deliberately fragmented copy of `documents` (one file per
+    * fine-grained doc_id range), then COMPACT it: re-bin to 4× coarser
+    * ranges, one file per output bin. Bin widths derive from the corpus
+    * count (S = max(8, n div 1000), R = 4S), so the staged file count
+    * stays ~O(1000) and the compaction ratio stays 4× at every scale.
+    * Returns (compactedDir, R, stagedFileCount-as-measured-on-disk).
+    */
+  private def compactedPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, Long, Long) =
+    compactDirs.getOrElseUpdate(dir, {
+      val docs = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"), col("text"))
+      val n = docs.count()
+      val s = math.max(8L, n / 1000L)
+      val r = 4L * s
+      val staged = StreamingQueries.fastTmpDir("graft_frag")
+      // one file per fine bin: repartition ON the bin column puts each
+      // bin in exactly one task, so partitionBy writes a single file
+      // per directory (the same trick the e6 bucketed write uses)
+      docs.withColumn("bin2", expr(s"doc_id div $s"))
+        .repartition(col("bin2"))
+        .write.mode("overwrite").partitionBy("bin2").parquet(staged)
+      val stagedFiles = spark.read.parquet(staged)
+        .select(input_file_name()).distinct().count()
+      val out = StreamingQueries.fastTmpDir("graft_compact")
+      spark.read.parquet(staged)
+        .select(col("doc_id"), col("n_chars"), col("text"))
+        .withColumn("bin", expr(s"doc_id div $r"))
+        .repartition(col("bin"))
+        .write.mode("overwrite").partitionBy("bin").parquet(out)
+      Seq(staged, out).foreach { d =>
+        val root = new java.io.File(d)
+        root.deleteOnExit()
+        Option(root.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
+      }
+      (out, r, stagedFiles)
+    })
+
+  /** Small-file compaction — the maintenance operator every 100 TB
+    * corpus directory runs on a schedule (OPTIMIZE / rewrite-data-files
+    * in the lakehouse formats): a fragmented directory is rewritten into
+    * 4× fewer, range-clustered files, one file per bin, without losing
+    * or duplicating a row. The Spark result reads the COMPACTED copy off
+    * the real filesystem — per-bin row count, char sum, and text
+    * checksum, plus the measured file-per-bin count and the measured
+    * staged-file count — while the oracle computes the same model from
+    * the authoritative table: any row lost/duplicated in the rewrite,
+    * any bin split across files, or any staging fragmentation drift
+    * breaks the compare.
+    */
+  val e10Compaction: Q = Q.sql(
+    "e10_compaction",
+    "Fragmented documents dir -> 4x range-binned compaction; per-bin stats + measured file counts vs model.",
+    """WITH pr AS (
+      |  SELECT GREATEST(8, COUNT(*) // 1000) AS s,
+      |         4 * GREATEST(8, COUNT(*) // 1000) AS r
+      |  FROM documents),
+      |staged AS (
+      |  SELECT COUNT(DISTINCT d.doc_id // pr.s) AS staged_files
+      |  FROM documents d CROSS JOIN pr)
+      |SELECT CAST(d.doc_id // pr.r AS BIGINT) AS bin,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(SUM(('0x' || substring(md5(d.text), 1, 7))::BIGINT) AS BIGINT) AS text_checksum,
+      |       CAST(1 AS BIGINT) AS n_files,
+      |       CAST(MAX(staged.staged_files) AS BIGINT) AS staged_files
+      |FROM documents d CROSS JOIN pr CROSS JOIN staged
+      |GROUP BY 1 ORDER BY bin""".stripMargin) { (spark, dir) =>
+    val (out, r, stagedFiles) = compactedPath(spark, dir)
+    spark.read.parquet(out)
+      .select(col("doc_id"), col("n_chars"), col("text"),
+        input_file_name().as("f"))
+      .withColumn("b", expr(s"doc_id div $r"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"),
+        sum(graft.functions.DetHash.md5Long28(col("text"))).as("text_checksum"),
+        countDistinct(col("f")).as("n_files"))
+      .select(col("b").as("bin"), col("n_docs"), col("sum_chars"),
+        col("text_checksum"), col("n_files"),
+        lit(stagedFiles).as("staged_files"))
+      .orderBy("bin")
+  }
+
   val all: Seq[Q] = Seq(e1ItemPipeline, e2AssessmentPipeline, e3JsonlRoundtrip,
     e4OrcRoundtrip, e5PartitionedRoundtrip, e6BucketedJoin, e7CsvRoundtrip,
-    e8SchemaEvolution, e9SortedSkipping)
+    e8SchemaEvolution, e9SortedSkipping, e10Compaction)
 }

@@ -842,7 +842,140 @@ object Similarity {
       .orderBy("k")
   }
 
+  private val ADC_SHORTLIST = 20
+
+  /** IVF-PQ end-to-end search — the index layout behind every
+    * billion-vector ANN deployment (Faiss IVFPQ): s3's Voronoi cells
+    * give the COARSE level (probes scan one cell, nprobe=1), s10's
+    * product-quantization codes give the IN-CELL level (candidates are
+    * scored from their 8×4-bit codes via an asymmetric-distance table,
+    * never their raw vectors), and only the [[ADC_SHORTLIST]] best ADC
+    * candidates are reranked with exact cosine to emit top-[[IVF_K]].
+    *
+    * Scale shape: the corpus pass (cell assignment + PQ digits) is one
+    * map stage against an 8-row broadcast centroid table; the search is
+    * an equi-join on the cell id against a broadcast probe table whose
+    * payload per probe is the 8×16 ADC distance table (1 KB) — at 100 TB
+    * the raw vectors never move after indexing, which is the entire
+    * point of PQ. ADC sums per-subspace doubles in fixed m-order, so
+    * both engines compute bit-identical scores; ranks tie-break on
+    * vec_id.
+    */
+  val s12IvfPq: Q = Q.sql(
+    "s12_ivfpq",
+    s"IVF-PQ search: $N_CELLS Voronoi cells, ${PQ_M}x4-bit PQ codes, ADC shortlist $ADC_SHORTLIST, exact rerank top-$IVF_K.",
+    {
+      def distsSql(m: Int): String =
+        s"""list_transform(${pqCbSql(m)}, cw -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  list_transform(range(1, ${PQ_SUB + 1}), i -> (v[${m * PQ_SUB} + i] - cw[i]) * (v[${m * PQ_SUB} + i] - cw[i]))), (x, y) -> x + y))""".stripMargin
+      val dcols = (0 until PQ_M).map(m => s"${distsSql(m)} AS d$m").mkString(",\n")
+      val digits = (0 until PQ_M)
+        .map(m => s"list_position(d$m, list_aggregate(d$m, 'min')) AS g$m")
+        .mkString(", ")
+      val adc = (0 until PQ_M).map(m => s"p.d$m[c.g$m]").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v,
+         |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
+         |  FROM e),
+         |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $N_CELLS),
+         |assigned AS (
+         |  SELECT vec_id, cent_id,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+         |  FROM (
+         |    SELECT n.vec_id, cent.cent_id,
+         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cent.cv[i])), (x, y) -> x + y)
+         |             / (n.nrm * cent.cnrm) AS cos
+         |    FROM n CROSS JOIN cent)),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM assigned WHERE rn = 1),
+         |q AS (SELECT vec_id, $dcols FROM e),
+         |codes AS (SELECT vec_id, $digits FROM q),
+         |shortlist AS (
+         |  SELECT p.vec_id AS probe_id, pc.cell, c.vec_id AS neighbor_id,
+         |         $adc AS adc,
+         |         ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |           ORDER BY $adc ASC, c.vec_id) AS adc_rank
+         |  FROM q p
+         |  JOIN cells pc ON p.vec_id = pc.vec_id
+         |  JOIN cells cc ON pc.cell = cc.cell AND cc.vec_id <> p.vec_id
+         |  JOIN codes c ON c.vec_id = cc.vec_id
+         |  WHERE p.vec_id < 10),
+         |rerank AS (
+         |  SELECT s.probe_id, s.cell, s.neighbor_id, s.adc,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(1, len(p.v) + 1), i -> p.v[i] * c.v[i])), (x, y) -> x + y)
+         |           / (p.nrm * c.nrm) AS cos
+         |  FROM shortlist s
+         |  JOIN n p ON p.vec_id = s.probe_id
+         |  JOIN n c ON c.vec_id = s.neighbor_id
+         |  WHERE s.adc_rank <= $ADC_SHORTLIST),
+         |ranked AS (
+         |  SELECT probe_id, cell, neighbor_id, adc, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM rerank)
+         |SELECT probe_id, cell, rank, neighbor_id,
+         |       ROUND(cos, 6) AS cosine, ROUND(adc, 6) AS adc_dist
+         |FROM ranked WHERE rank <= $IVF_K ORDER BY probe_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    val n = Dedup.normedVectors(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+    // coarse level: Voronoi cell per vector (s3's assignment, verbatim)
+    val cent = n.filter(col("vec_id") < N_CELLS)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assignW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+    val cells = n.crossJoin(broadcast(cent))
+      .withColumn("ccos", Dedup.cosineCol(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    // in-cell level: per-subspace distance arrays (probes keep the full
+    // ADC table; candidates keep only their argmin digit)
+    def distsCol(m: Int) =
+      transform(pqCbCol(m), cw =>
+        aggregate(zip_with(slice(col("v"), m * PQ_SUB + 1, PQ_SUB), cw,
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+    val withD = (0 until PQ_M).foldLeft(n.select(col("vec_id"), col("v"))) {
+      (df, m) => df.withColumn(s"d$m", distsCol(m))
+    }
+    val codes = withD.select(col("vec_id") +:
+      (0 until PQ_M).map(m => array_position(col(s"d$m"), array_min(col(s"d$m"))).as(s"g$m")): _*)
+    val probes = withD.filter(col("vec_id") < 10).join(cells, "vec_id")
+      .select(col("vec_id").as("probe_id") +: col("cell") +:
+        (0 until PQ_M).map(m => col(s"d$m").as(s"pd$m")): _*)
+    val adc = (0 until PQ_M)
+      .map(m => element_at(col(s"pd$m"), col(s"g$m").cast("int")))
+      .reduce(_ + _)
+    val adcW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("adc").asc, col("neighbor_id"))
+    val shortlist = broadcast(probes)
+      .join(cells.withColumnRenamed("cell", "cell2")
+          .withColumnRenamed("vec_id", "neighbor_id"),
+        col("cell") === col("cell2") && col("neighbor_id") =!= col("probe_id"))
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .withColumn("adc", adc)
+      .withColumn("adc_rank", row_number().over(adcW))
+      .filter(col("adc_rank") <= ADC_SHORTLIST)
+      .select(col("probe_id"), col("cell"), col("neighbor_id"), col("adc"))
+    // exact rerank of the ADC shortlist only
+    val cos = Dedup.cosineCol(col("pv"), col("cv2"), col("pnrm"), col("cnrm2"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(broadcast(n.select(col("vec_id").as("probe_id"),
+        col("v").as("pv"), col("nrm").as("pnrm"))), "probe_id")
+      .join(n.select(col("vec_id").as("neighbor_id"),
+        col("v").as("cv2"), col("nrm").as("cnrm2")), "neighbor_id")
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= IVF_K)
+      .select(col("probe_id"), col("cell"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), round(col("adc"), 6).as("adc_dist"))
+      .orderBy("probe_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4LabelCentroids,
     s5KnnJoin, s6Quantize, s7Mips, s8AnnRerank, s9RetrievalE2e, s10PqEncode,
-    s11RecallCurve)
+    s11RecallCurve, s12IvfPq)
 }

@@ -458,4 +458,14 @@ class PlanSpec extends AnyFunSuite {
       assert(below.isEmpty, s"sentinel filter below flatMapGroupsWithState in:\n$plan")
     }
   }
+
+  test("s12: IVF-PQ search joins cells/codes by key; probes and centroids broadcast") {
+    val p = plan(Similarity.s12IvfPq)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the only nested-loop is the 8-row centroid broadcast (cell assignment);
+    // the probe⋈cell search and the code lookup must be broadcast/equi-joins
+    assert(p.contains("BroadcastExchange"), s"no broadcast side in:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join in:\n$p")
+  }
 }

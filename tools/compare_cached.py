@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Compare a Verify output dir against an oracle_cache.py cache dir.
+
+Schema compare: name-sorted column lists must match. Value compare:
+the DuckDB-computed order-independent digest (count + sum of row
+hashes over type-canonicalized columns) must match; when the cache
+also holds the full canonical rows (small results), they are compared
+cell-by-cell exactly like check_oracle.py for better diagnostics.
+
+Usage: compare_cached.py <verifyOutDir> <cacheDir> [query ...]
+"""
+import sys, os, glob, pickle
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import duckdb
+from check_oracle import load_rows
+from oracle_cache import digest
+
+
+def main():
+    out_dir, cache_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    names = sorted(os.path.basename(p)[:-4]
+                   for p in glob.glob(os.path.join(cache_dir, "*.pkl")))
+    n_ok, n_bad = 0, 0
+    for name in names:
+        if only and name not in only:
+            continue
+        spark_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_dir):
+            print(f"[FAIL] {name}: MISSING spark result", flush=True); n_bad += 1
+            continue
+        with open(os.path.join(cache_dir, name + ".pkl"), "rb") as f:
+            o = pickle.load(f)
+        try:
+            sub = f"(SELECT * FROM '{spark_dir}/*.parquet') graft_spark_sub"
+            scols, sn, sh = digest(con, sub)
+        except Exception as e:
+            print(f"[FAIL] {name}: SPARK READ ERROR: {e}", flush=True); n_bad += 1
+            continue
+        if scols != o["cols"]:
+            print(f"[FAIL] {name}: SCHEMA spark={scols} oracle={o['cols']}")
+            n_bad += 1
+        elif sn != o["n"]:
+            print(f"[FAIL] {name}: ROWCOUNT spark={sn} oracle={o['n']}")
+            n_bad += 1
+        elif sh != o["digest"]:
+            if o["full"] is not None:
+                ocols, orows = o["full"]
+                _, srows = load_rows(con, f"SELECT * FROM '{spark_dir}/*.parquet'")
+                bad = next((i for i, (a, b) in enumerate(zip(srows, orows))
+                            if a != b), None)
+                if bad is None:
+                    # digest seam with cell-identical rows: type-level
+                    # difference the python compare tolerates — report it
+                    print(f"[WARN] {name}: digest differs but {sn} canonical "
+                          f"rows are cell-identical (type seam)", flush=True)
+                    n_ok += 1
+                    continue
+                print(f"[FAIL] {name}: VALUE at sorted-row {bad}:\n"
+                      f"    spark : {srows[bad]}\n    oracle: {orows[bad]}\n"
+                      f"    cols  : {ocols}", flush=True)
+            else:
+                print(f"[FAIL] {name}: DIGEST mismatch over {sn} rows "
+                      f"(spark {sh} vs oracle {o['digest']})", flush=True)
+            n_bad += 1
+        else:
+            kind = "digest" if o["full"] is None else "full"
+            print(f"[PASS] {name}: OK ({sn} rows, {kind})", flush=True)
+            n_ok += 1
+    errs = sorted(glob.glob(os.path.join(cache_dir, "*.err")))
+    for e in errs:
+        print(f"[ORACLE-ERR] {os.path.basename(e)[:-4]}: {open(e).read()[:150]}")
+    print(f"\n{n_ok}/{n_ok + n_bad} pass; {len(errs)} oracle errors")
+    sys.exit(0 if (n_bad == 0 and not errs) else 1)
+
+
+if __name__ == "__main__":
+    main()
