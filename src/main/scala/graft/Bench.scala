@@ -4,18 +4,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // dev-only A/B knob (never set by the driver): route streaming state
-    // through RocksDB instead of the default HDFS-backed in-memory map.
-    // At 100 TB the w-family's session/join state outgrows executor heap
-    // and RocksDB (native, spill-to-disk, incremental-checkpoint) is the
-    // knob a deployment turns; the A/B below measures what it costs at
-    // bench scales where state still fits in memory.
-    val stateStoreConf: Map[String, String] =
-      if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
-        Map("spark.sql.streaming.stateStore.providerClass" ->
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      else Map.empty
-    val spark = stateStoreConf.foldLeft(SparkSession.builder()
+    // see HarnessConf: dev-only RocksDB state-store A/B switch
+    val spark = HarnessConf.stateStoreConf.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

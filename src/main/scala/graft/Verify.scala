@@ -10,7 +10,8 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // see HarnessConf: dev-only RocksDB state-store A/B switch
+    val spark = HarnessConf.stateStoreConf.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -24,6 +25,7 @@ object Verify {
       // still writes results wherever outDir points
       .config("spark.local.dir",
         ops.StreamingQueries.fastTmpDir("graft_local_verify"))
+      ) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // interrupt tasks of AQE-cancelled stages (see Bench) — zombie tasks
