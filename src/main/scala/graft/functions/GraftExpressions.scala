@@ -377,7 +377,9 @@ object GraftExpressions {
     ("graft_bytehist_arr", "graft_bytehist_arr(bin) - full 256-cell byte histogram as array<long>",
       exprs => ByteHistArr(exprs(0))),
     ("graft_intersect_count", "graft_intersect_count(a, b) - |array_intersect(a, b)| without materializing it",
-      exprs => IntersectCountS(exprs(0), exprs(1))))
+      exprs => IntersectCountS(exprs(0), exprs(1))),
+    ("graft_topk", "graft_topk(score, id, k) - exact top-k (score DESC, id ASC) pairs per group (aggregate)",
+      exprs => TopKPairs(exprs(0), exprs(1), intLit(exprs(2), "graft_topk k"))))
 
   /** Register the expressions in the session's function registry (the
     * public route to custom expressions: `call_function` after
@@ -396,6 +398,10 @@ object GraftExpressions {
 
   /** Σ a[i]·b[i] as a Column (arrays of double). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Exact top-k (score DESC, id ASC) pairs — an aggregate Column. */
+  def topk(score: Column, id: Column, k: Int): Column =
+    call_function("graft_topk", score, id, lit(k))
 
   /** Distinct word n-gram shingles as a Column. */
   def shingles(text: Column, n: Int): Column =

@@ -1875,6 +1875,48 @@ object Relational {
       .orderBy("digit")
   }
 
+  /** Per-group exact top-k via the custom [[graft.functions.TopKPairs]]
+    * TypedImperativeAggregate — one pass, k-bounded buffers, MAP-SIDE
+    * partial top-k before the shuffle. The window formulation this
+    * replaces (`row_number() OVER (PARTITION BY supplier ORDER BY …)`)
+    * shuffles and sorts every lineitem row; the aggregate's shuffle
+    * carries at most k pairs per (partition, supplier) — the 100 TB
+    * difference between moving the fact table and moving kilobytes. The
+    * oracle IS the window formulation, so the aggregate's exact
+    * (score DESC, id ASC) total order is pinned against the classic
+    * shape. Scores quantize to cents via FLOOR(x·100 + 0.5) — an
+    * IEEE-identical op chain in both engines (ROUND's half-case
+    * convention is not).
+    */
+  val q43GroupedTopK: Q = Q.sql(
+    "q43_grouped_topk",
+    "Per-supplier exact top-3 lineitems by price (custom map-side top-k aggregate vs window oracle).",
+    """WITH scored AS (
+      |  SELECT l_suppkey,
+      |         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS score_cents,
+      |         l_orderkey * 10 + l_linenumber AS line_id
+      |  FROM lineitem),
+      |ranked AS (
+      |  SELECT l_suppkey, score_cents, line_id,
+      |         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      |           ORDER BY score_cents DESC, line_id) AS rank
+      |  FROM scored)
+      |SELECT l_suppkey, CAST(rank AS BIGINT) AS rank, line_id, score_cents
+      |FROM ranked WHERE rank <= 3 ORDER BY l_suppkey, rank""".stripMargin) { (spark, dir) =>
+    graft.functions.GraftExpressions.register(spark)
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        floor(col("l_extendedprice") * lit(100) + lit(0.5)).as("score_cents"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("line_id"))
+      .groupBy(col("l_suppkey"))
+      .agg(graft.functions.GraftExpressions
+        .topk(col("score_cents"), col("line_id"), 3).as("top"))
+      .select(col("l_suppkey"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("l_suppkey"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("p.id").as("line_id"), col("p.score").as("score_cents"))
+      .orderBy("l_suppkey", "rank")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
@@ -1883,7 +1925,7 @@ object Relational {
     q28GroupingSets, q29GapFill, q30Unpivot, q31SaltedJoin, q32LatestPerKey,
     q33RankFamily, q34CorrelatedSubquery, q35Scd2, q36IncrementalAgg,
     q37BloomJoin, q38PeakConcurrency, q39Distribution, q40Retention,
-    q41Attribution, q42Transitions,
+    q41Attribution, q42Transitions, q43GroupedTopK,
     dp1Profile, dp3Histogram, dp4Correlation, dp5Outliers, dp6KsTest,
     dp7ChiSquare, dp8Benford)
 }

@@ -459,6 +459,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q43: top-k runs as a map-side partial aggregate, never a window sort") {
+    val p = plan(Relational.q43GroupedTopK)
+    // TypedImperativeAggregate plans as ObjectHashAggregate; partial+final
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial object aggregate in:\n$p")
+    assert(!p.contains("Window"), s"fell back to a window sort in:\n$p")
+  }
+
   test("s12: IVF-PQ search joins cells/codes by key; probes and centroids broadcast") {
     val p = plan(Similarity.s12IvfPq)
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
