@@ -1875,6 +1875,103 @@ object Relational {
       .orderBy("digit")
   }
 
+  /** Data-quality expectations — the "Great Expectations"-style audit a
+    * training pipeline runs before ingesting a drop: range, domain,
+    * non-null, and uniqueness rules, ALL evaluated in one
+    * conditional-aggregate scan per table (never a scan per rule — at
+    * 100 TB the audit must cost one pass, which is why each table's
+    * rules fold into a single groupBy-less agg). Violations carry a
+    * deterministic witness (max violating key), so a failing drop is
+    * diagnosable from the audit row alone.
+    */
+  val dp9Expectations: Q = Q.sql(
+    "dp9_expectations",
+    "One-scan-per-table data-quality audit: range/domain/null/uniqueness rules with violation counts + witness keys.",
+    """WITH li AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |         CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT) AS v_qty,
+      |         CAST(COALESCE(MAX(l_orderkey) FILTER (WHERE l_quantity < 1 OR l_quantity > 50), -1) AS BIGINT) AS w_qty,
+      |         CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT) AS v_disc,
+      |         CAST(COALESCE(MAX(l_orderkey) FILTER (WHERE l_discount < 0 OR l_discount > 0.1), -1) AS BIGINT) AS w_disc,
+      |         CAST(COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT) AS v_ship,
+      |         CAST(COALESCE(MAX(l_orderkey) FILTER (WHERE l_shipdate IS NULL), -1) AS BIGINT) AS w_ship
+      |  FROM lineitem),
+      |ord AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |         CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT) AS v_status,
+      |         CAST(COALESCE(MAX(o_orderkey) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')), -1) AS BIGINT) AS w_status,
+      |         CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) AS v_price,
+      |         CAST(COALESCE(MAX(o_orderkey) FILTER (WHERE o_totalprice <= 0), -1) AS BIGINT) AS w_price
+      |  FROM orders),
+      |ev AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |         CAST(COUNT(*) FILTER (WHERE value < 0) AS BIGINT) AS v_value,
+      |         CAST(COALESCE(MAX(event_id) FILTER (WHERE value < 0), -1) AS BIGINT) AS w_value,
+      |         CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS v_unique
+      |  FROM events),
+      |cu AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |         CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS v_unique
+      |  FROM customer),
+      |rules AS (
+      |  SELECT 'lineitem' AS tbl, 'quantity_in_1_50' AS rule, n_rows, v_qty AS n_violations, w_qty AS witness FROM li
+      |  UNION ALL SELECT 'lineitem', 'discount_in_0_0.1', n_rows, v_disc, w_disc FROM li
+      |  UNION ALL SELECT 'lineitem', 'shipdate_not_null', n_rows, v_ship, w_ship FROM li
+      |  UNION ALL SELECT 'orders', 'status_in_domain', n_rows, v_status, w_status FROM ord
+      |  UNION ALL SELECT 'orders', 'totalprice_positive', n_rows, v_price, w_price FROM ord
+      |  UNION ALL SELECT 'events', 'value_non_negative', n_rows, v_value, w_value FROM ev
+      |  UNION ALL SELECT 'events', 'event_id_unique', n_rows, v_unique, CAST(-1 AS BIGINT) FROM ev
+      |  UNION ALL SELECT 'customer', 'custkey_unique', n_rows, v_unique, CAST(-1 AS BIGINT) FROM cu)
+      |SELECT tbl, rule, n_rows, n_violations, witness,
+      |       ROUND(1.0 - CAST(n_violations AS DOUBLE) / n_rows, 6) AS pass_rate
+      |FROM rules ORDER BY tbl, rule""".stripMargin) { (spark, dir) =>
+    def vw(cond: Column, key: Column): (Column, Column) =
+      (count(when(cond, 1)).as("v"),
+        coalesce(max(when(cond, key)), lit(-1L)).as("w"))
+    val (vQty, wQty) = vw(col("l_quantity") < 1 || col("l_quantity") > 50, col("l_orderkey"))
+    val (vDisc, wDisc) = vw(col("l_discount") < 0 || col("l_discount") > 0.1, col("l_orderkey"))
+    val (vShip, wShip) = vw(col("l_shipdate").isNull, col("l_orderkey"))
+    val li = Tables.lineitem(spark, dir).agg(count(lit(1)).as("n_rows"),
+      vQty.as("v_qty"), wQty.as("w_qty"), vDisc.as("v_disc"), wDisc.as("w_disc"),
+      vShip.as("v_ship"), wShip.as("w_ship"))
+      .localCheckpoint() // 1-row audit frame, read by 3 union branches: ONE lineitem scan
+    val (vStatus, wStatus) = vw(!col("o_orderstatus").isin("O", "F", "P"), col("o_orderkey"))
+    val (vPrice, wPrice) = vw(col("o_totalprice") <= 0, col("o_orderkey"))
+    val ord = Tables.orders(spark, dir).agg(count(lit(1)).as("n_rows"),
+      vStatus.as("v_status"), wStatus.as("w_status"),
+      vPrice.as("v_price"), wPrice.as("w_price"))
+      .localCheckpoint()
+    val (vValue, wValue) = vw(col("value") < 0, col("event_id"))
+    val ev = Tables.events(spark, dir).agg(count(lit(1)).as("n_rows"),
+      vValue.as("v_value"), wValue.as("w_value"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("v_unique"))
+      .localCheckpoint()
+    val cu = Tables.customer(spark, dir).agg(count(lit(1)).as("n_rows"),
+      (count(lit(1)) - countDistinct(col("c_custkey"))).as("v_unique"))
+      .localCheckpoint()
+    def rule(src: org.apache.spark.sql.DataFrame, tbl: String, name: String,
+        v: String, w: Option[String]): org.apache.spark.sql.DataFrame =
+      src.select(lit(tbl).as("tbl"), lit(name).as("rule"), col("n_rows"),
+        col(v).as("n_violations"),
+        w.map(col).getOrElse(lit(-1L)).as("witness"))
+    val rules = Seq(
+      rule(li, "lineitem", "quantity_in_1_50", "v_qty", Some("w_qty")),
+      rule(li, "lineitem", "discount_in_0_0.1", "v_disc", Some("w_disc")),
+      rule(li, "lineitem", "shipdate_not_null", "v_ship", Some("w_ship")),
+      rule(ord, "orders", "status_in_domain", "v_status", Some("w_status")),
+      rule(ord, "orders", "totalprice_positive", "v_price", Some("w_price")),
+      rule(ev, "events", "value_non_negative", "v_value", Some("w_value")),
+      rule(ev, "events", "event_id_unique", "v_unique", None),
+      rule(cu, "customer", "custkey_unique", "v_unique", None)
+    ).reduce(_.union(_))
+    rules
+      .select(col("tbl"), col("rule"), col("n_rows"), col("n_violations"),
+        col("witness"),
+        round(lit(1.0) - col("n_violations").cast("double") / col("n_rows"), 6)
+          .as("pass_rate"))
+      .orderBy("tbl", "rule")
+  }
+
   /** Per-group exact top-k via the custom [[graft.functions.TopKPairs]]
     * TypedImperativeAggregate — one pass, k-bounded buffers, MAP-SIDE
     * partial top-k before the shuffle. The window formulation this
@@ -1927,5 +2024,5 @@ object Relational {
     q37BloomJoin, q38PeakConcurrency, q39Distribution, q40Retention,
     q41Attribution, q42Transitions, q43GroupedTopK,
     dp1Profile, dp3Histogram, dp4Correlation, dp5Outliers, dp6KsTest,
-    dp7ChiSquare, dp8Benford)
+    dp7ChiSquare, dp8Benford, dp9Expectations)
 }
