@@ -38,6 +38,12 @@ def canonical_cols(con, from_clause):
             expr = f"CAST({q} AS BIGINT)"
         elif t in ("FLOAT", "REAL", "DOUBLE"):
             expr = f"CAST({q} AS DOUBLE)"
+        elif t.startswith("TIMESTAMP"):
+            # TIMESTAMP vs TIMESTAMP_NS hash differently at equal value
+            # (the sf generator writes events.ts as ns, Spark emits µs);
+            # epoch_us truncates both to the same BIGINT — the same
+            # equivalence the python-side datetime compare applies
+            expr = f"CAST(epoch_us({q}) AS BIGINT)"
         else:
             expr = q
         cols.append((name, expr))
@@ -63,6 +69,14 @@ def main():
         oracles = json.load(f)
     con = duckdb.connect()
     con.execute(f"SET threads TO {threads}")
+    # bound DuckDB's footprint and let it spill: the soak runs next to a
+    # 48g Spark JVM, and an unbounded d-family oracle at sf10 was
+    # observed OOM-killed at 87 GB RSS
+    mem = os.environ.get("ORACLE_CACHE_MEM", "24GB")
+    con.execute(f"SET memory_limit='{mem}'")
+    tmp = os.path.join(cache_dir, "duck_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
