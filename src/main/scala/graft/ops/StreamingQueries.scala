@@ -170,8 +170,45 @@ object StreamingQueries {
           unix_micros(col("ts").cast(
             org.apache.spark.sql.types.TimestampType)) * 1000L)
       }
-      canon.repartitionByRange(2, col("ts"))
-        .write.mode("overwrite").parquet(out)
+      // Deterministic, session-bisecting split point — NOT
+      // repartitionByRange's SAMPLED boundary. The sampled split moves
+      // with scale and run: at sf10 (10M events) it landed inside a
+      // quiet gap where no session spanned the file boundary, voiding
+      // w18's state-recovery invariant (the fourth scale-decade bug
+      // class: sampled-exchange nondeterminism breaking a staging
+      // contract); the exact MEDIAN has the mirror problem at sf0.01,
+      // where the median falls in a lull. So the boundary is chosen to
+      // bisect a real session by construction: the midpoint of the
+      // in-session consecutive event pair (gap < 30 min, strictly
+      // increasing) closest to the exact median — total order on
+      // (|mid − median|, mid), exact integer arithmetic, so every run
+      // at every scale stages identical halves AND some user's session
+      // is provably open across the boundary. Falls back to the median
+      // when no such pair exists (ultra-sparse smoke data; w18's span
+      // check logs-and-continues there).
+      val medianTs = canon
+        .agg(expr("percentile(ts, 0.5)")).head.getDouble(0).toLong
+      val gapNs = 30L * 60 * 1000000000L
+      val pairW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val boundary = canon
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("nxt", lead(col("ts"), 1).over(pairW))
+        .filter(col("nxt") > col("ts") && col("nxt") - col("ts") < gapNs)
+        .select(expr("(ts + nxt) div 2").as("mid")) // integer div: no double rounding at 1e18 ns
+        .orderBy(abs(col("mid") - medianTs), col("mid"))
+        .limit(1).collect().headOption.map(_.getLong(0))
+        .getOrElse(medianTs)
+      Seq(("part-0", col("ts") <= boundary), ("part-1", col("ts") > boundary))
+        .foreach { case (name, cond) =>
+          val tmp = fastTmpDir(s"graft_stream_half_$name")
+          canon.filter(cond).repartition(1).write.mode("overwrite").parquet(tmp)
+          val f = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+            .filter(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet"))
+          require(f.length == 1, s"staging half $name: expected 1 file")
+          java.nio.file.Files.move(f(0).toPath,
+            java.nio.file.Paths.get(out, s"$name.parquet"))
+        }
       val root = new java.io.File(out)
       root.deleteOnExit()
       val files = Option(root.listFiles()).getOrElse(Array.empty)
