@@ -67,19 +67,26 @@ def main():
     os.makedirs(cache_dir, exist_ok=True)
     with open(sql_json) as f:
         oracles = json.load(f)
-    con = duckdb.connect()
-    con.execute(f"SET threads TO {threads}")
-    # bound DuckDB's footprint and let it spill: the soak runs next to a
-    # 48g Spark JVM, and an unbounded d-family oracle at sf10 was
-    # observed OOM-killed at 87 GB RSS
+    # fresh connection PER QUERY: after one oracle trips the memory
+    # limit, the connection's buffer pool stays poisoned and every later
+    # query errors "bad allocation" (observed at sf10 — one d3 OOM
+    # cascaded into 90+ spurious errors). A per-query connection also
+    # bounds DuckDB's footprint (the soak runs next to a 48g Spark JVM;
+    # an unbounded d-family oracle was OOM-killed at 87 GB RSS).
     mem = os.environ.get("ORACLE_CACHE_MEM", "24GB")
-    con.execute(f"SET memory_limit='{mem}'")
     tmp = os.path.join(cache_dir, "duck_tmp")
     os.makedirs(tmp, exist_ok=True)
-    con.execute(f"SET temp_directory='{tmp}'")
-    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
-        name = os.path.basename(p)[:-len(".parquet")]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+    def fresh_con():
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {threads}")
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute(f"SET temp_directory='{tmp}'")
+        for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+            name = os.path.basename(p)[:-len(".parquet")]
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+        return con
+
     for name in sorted(oracles):
         if only and name not in only:
             continue
@@ -88,6 +95,7 @@ def main():
             print(f"[skip] {name} (cached)", flush=True)
             continue
         t0 = time.time()
+        con = fresh_con()
         try:
             sub = f"(\n{oracles[name]}\n) graft_oracle_sub"
             cols, n, h = digest(con, sub)
@@ -104,6 +112,8 @@ def main():
             with open(os.path.join(cache_dir, name + ".err"), "w") as f:
                 f.write(str(e))
             print(f"[err] {name}: {str(e)[:200]}", flush=True)
+        finally:
+            con.close()
 
 
 if __name__ == "__main__":
