@@ -498,7 +498,7 @@ object EtlQueries {
       val docs = graft.Tables.documents(spark, dir)
         .select(col("doc_id"), col("n_chars"), col("text"))
       val n = docs.count()
-      val s = math.max(8L, n / 1000L)
+      val s = math.max(8L, n / 64L)
       val r = 4L * s
       val staged = StreamingQueries.fastTmpDir("graft_frag")
       // one file per fine bin: repartition ON the bin column puts each
@@ -539,8 +539,8 @@ object EtlQueries {
     "e10_compaction",
     "Fragmented documents dir -> 4x range-binned compaction; per-bin stats + measured file counts vs model.",
     """WITH pr AS (
-      |  SELECT GREATEST(8, COUNT(*) // 1000) AS s,
-      |         4 * GREATEST(8, COUNT(*) // 1000) AS r
+      |  SELECT GREATEST(8, COUNT(*) // 64) AS s,
+      |         4 * GREATEST(8, COUNT(*) // 64) AS r
       |  FROM documents),
       |staged AS (
       |  SELECT COUNT(DISTINCT d.doc_id // pr.s) AS staged_files
