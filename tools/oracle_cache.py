@@ -74,7 +74,10 @@ def main():
     # bounds DuckDB's footprint (the soak runs next to a 48g Spark JVM;
     # an unbounded d-family oracle was OOM-killed at 87 GB RSS).
     mem = os.environ.get("ORACLE_CACHE_MEM", "24GB")
-    tmp = os.path.join(cache_dir, "duck_tmp")
+    # pid-unique spill dir: two concurrent cache processes sharing one
+    # temp_directory delete each other's spill files (observed: DuckDB
+    # abort() mid-query)
+    tmp = os.path.join(cache_dir, f"duck_tmp_{os.getpid()}")
     os.makedirs(tmp, exist_ok=True)
 
     def fresh_con():

@@ -18,3 +18,5 @@ for name in $(python3 -c "import json,sys; print('\n'.join(sorted(json.load(open
   fi
 done
 echo "LOOP_DONE"
+# spill hygiene: remove this run's pid-unique temp dirs
+rm -rf "$CACHE"/duck_tmp_* 2>/dev/null || true
