@@ -18,5 +18,5 @@ for name in $(python3 -c "import json,sys; print('\n'.join(sorted(json.load(open
   fi
 done
 echo "LOOP_DONE"
-# spill hygiene: remove this run's pid-unique temp dirs
-rm -rf "$CACHE"/duck_tmp_* 2>/dev/null || true
+# (spill dirs are pid-unique and transient; clean them manually once NO
+# cache run is live -- an end-of-loop rm would race a concurrent loop)
