@@ -84,6 +84,10 @@ def main():
         con = duckdb.connect()
         con.execute(f"SET threads TO {threads}")
         con.execute(f"SET memory_limit='{mem}'")
+        # row order is irrelevant (the compare canonically sorts / the
+        # digest is order-independent) and order preservation is a major
+        # DuckDB memory driver on wide pipelines
+        con.execute("SET preserve_insertion_order=false")
         con.execute(f"SET temp_directory='{tmp}'")
         for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
             name = os.path.basename(p)[:-len(".parquet")]
