@@ -2014,6 +2014,94 @@ object Relational {
       .orderBy("l_suppkey", "rank")
   }
 
+  /** The join-key columns dp10 profiles — every key a 100 TB run would
+    * shuffle on for this schema's canonical joins.
+    */
+  private val dp10Cols: Seq[(String, String)] = Seq(
+    ("events", "user_id"), ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"), ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"))
+
+  private def dp10ColSql(tbl: String, key: String): String =
+    s"""(WITH c AS (
+       |  SELECT $key AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM $tbl WHERE $key IS NOT NULL GROUP BY 1),
+       |h AS (
+       |  SELECT cnt, CAST(COUNT(*) AS BIGINT) AS freq,
+       |         MIN(k) AS min_key
+       |  FROM c GROUP BY 1),
+       |x AS (
+       |  SELECT cnt, min_key,
+       |         CAST(SUM(freq) OVER (ORDER BY cnt) AS BIGINT) AS cum,
+       |         CAST(SUM(freq) OVER () AS BIGINT) AS n_keys,
+       |         CAST(SUM(cnt * freq) OVER () AS BIGINT) AS n_rows,
+       |         CAST(MAX(cnt) OVER () AS BIGINT) AS max_cnt
+       |  FROM h)
+       |SELECT '$tbl' AS tbl, '$key' AS col_name,
+       |       MAX(n_rows) AS n_rows, MAX(n_keys) AS n_keys,
+       |       MAX(max_cnt) AS max_cnt,
+       |       ROUND(CAST(MAX(n_rows) AS DOUBLE) / MAX(n_keys), 6) AS avg_cnt,
+       |       ROUND(CAST(MAX(max_cnt) AS DOUBLE) * MAX(n_keys) / MAX(n_rows), 6) AS skew_ratio,
+       |       MIN(CASE WHEN cum >= CEIL(n_keys * 0.5) THEN cnt END) AS p50_cnt,
+       |       MIN(CASE WHEN cum >= CEIL(n_keys * 0.99) THEN cnt END) AS p99_cnt,
+       |       CAST(MIN(CASE WHEN cnt = max_cnt THEN min_key END) AS BIGINT) AS top_key
+       |FROM x)""".stripMargin
+
+  /** Shuffle-key skew audit — the report a 100 TB pipeline reads before
+    * deciding which joins need salting ([[q31SaltedJoin]]) or AQE skew
+    * handling: per join-key column, the key-count distribution's head
+    * (max, argmax key) and shape (avg, p50/p99 discrete percentiles,
+    * skew ratio = max/avg).
+    *
+    * Scale shape, per column: one column-pruned scan → per-key hash count
+    * (map-side partials; the only data-sized shuffle) → a count-of-counts
+    * histogram (tiny: one row per DISTINCT multiplicity, tens-to-hundreds
+    * of rows at any corpus size) carrying `min(key)` per multiplicity so
+    * the heavy-hitter witness and both percentiles fall out of the
+    * histogram alone — no global sort of per-key counts, no second scan
+    * of the facts. The histogram is localCheckpoint-pinned (dp9's
+    * pattern) because the final stats read it through a window + an
+    * aggregate. Percentile positions use `ceil(q·n_keys)` on an exact
+    * (< 2^53) integer — IEEE-identical in both engines; the ratios are
+    * single double divisions of exact integers.
+    */
+  val dp10SkewAudit: Q = Q.sql(
+    "dp10_skew_audit",
+    "Join-key skew audit: per-key count distribution (max/avg/p50/p99/skew ratio + heavy-hitter witness) per shuffle key.",
+    dp10Cols.map { case (t, k) => dp10ColSql(t, k) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_name")) { (spark, dir) =>
+    val perCol = dp10Cols.map { case (tbl, key) =>
+      val counts = Tables.table(spark, dir, tbl)
+        .filter(col(key).isNotNull)
+        .groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+      val hist = counts.groupBy(col("cnt"))
+        .agg(count(lit(1)).as("freq"), min(col("k")).as("min_key"))
+        .localCheckpoint() // tiny count-of-counts frame; pins the fact scan to ONE pass
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt")).rowsBetween(Long.MinValue, 0)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      hist
+        .withColumn("cum", sum(col("freq")).over(wCum))
+        .withColumn("n_keys", sum(col("freq")).over(wAll))
+        .withColumn("n_rows", sum(col("cnt") * col("freq")).over(wAll))
+        .withColumn("max_cnt", max(col("cnt")).over(wAll))
+        .agg(
+          max(col("n_rows")).as("n_rows"), max(col("n_keys")).as("n_keys"),
+          max(col("max_cnt")).as("max_cnt"),
+          min(when(col("cum") >= ceil(col("n_keys") * 0.5), col("cnt"))).as("p50_cnt"),
+          min(when(col("cum") >= ceil(col("n_keys") * 0.99), col("cnt"))).as("p99_cnt"),
+          min(when(col("cnt") === col("max_cnt"), col("min_key"))).as("top_key"))
+        .select(lit(tbl).as("tbl"), lit(key).as("col_name"),
+          col("n_rows"), col("n_keys"), col("max_cnt"),
+          round(col("n_rows").cast("double") / col("n_keys"), 6).as("avg_cnt"),
+          round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"), 6)
+            .as("skew_ratio"),
+          col("p50_cnt"), col("p99_cnt"), col("top_key").cast("long").as("top_key"))
+    }
+    perCol.reduce(_.union(_)).orderBy("tbl", "col_name")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
@@ -2024,5 +2112,5 @@ object Relational {
     q37BloomJoin, q38PeakConcurrency, q39Distribution, q40Retention,
     q41Attribution, q42Transitions, q43GroupedTopK,
     dp1Profile, dp3Histogram, dp4Correlation, dp5Outliers, dp6KsTest,
-    dp7ChiSquare, dp8Benford, dp9Expectations)
+    dp7ChiSquare, dp8Benford, dp9Expectations, dp10SkewAudit)
 }

@@ -975,7 +975,155 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  private val RRF_K0 = 60      // the standard RRF dampening constant
+  private val RRF_LIST = 20    // per-modality candidate list length
+  private val RRF_OUT = 10     // fused neighbors emitted per probe
+
+  /** Hybrid retrieval with Reciprocal Rank Fusion — the two-tower RAG
+    * retrieval shape: a LEXICAL ranked list (rarity-weighted term overlap
+    * through an inverted index, the BM25 family with the idf log replaced
+    * by exact integer weights `n_docs div df` so no libm seam enters the
+    * ranking) and a VECTOR ranked list (exact cosine, broadcast probes —
+    * [[s1AnnBruteForce]]'s shape), fused per candidate by
+    * `Σ 1/(60+rank)` over the lists that retrieved it.
+    *
+    * The probe ids address both towers (`vec_id` and `doc_id` share the
+    * id space — the convention [[s9RetrievalE2e]] established), so a
+    * candidate can surface from either modality alone; the full-outer
+    * fuse keeps it with one COALESCEd contribution per missing list.
+    *
+    * Determinism: ranks are integers with (score DESC, id ASC) total
+    * orders; the fused score is a sum of exactly two IEEE doubles of the
+    * form 1/(60+r) computed in a fixed order — bit-identical across
+    * engines (no multi-way float reduction anywhere).
+    *
+    * Scale shape: the lexical tower is an equi-join of the (tiny) probe
+    * term list against the corpus inverted index with a 5%-df rarity cut
+    * (stopword terms contribute ~zero discrimination at w ≤ 20 anyway and
+    * their posting lists are exactly the ones that explode at 100 TB),
+    * then a (probe, cand) hash aggregate; the vector tower is one corpus
+    * scan against broadcast probes. Both lists are top-[[RRF_LIST]]
+    * window-pruned before the fuse, so the fuse joins 10×20-row frames —
+    * kilobytes regardless of corpus size.
+    */
+  val s13HybridRrf: Q = Q.sql(
+    "s13_hybrid_rrf",
+    s"Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion (top-$RRF_OUT of two top-$RRF_LIST lists).",
+    s"""WITH nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |ptok AS (
+       |  SELECT DISTINCT doc_id AS probe_id, t.term
+       |  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+       |  WHERE doc_id < 10 AND t.term <> ''),
+       |ctok AS (
+       |  SELECT DISTINCT doc_id, t.term
+       |  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+       |  WHERE t.term <> ''),
+       |df AS (SELECT term, COUNT(*) AS df FROM ctok GROUP BY 1),
+       |rare AS (
+       |  SELECT p.probe_id, p.term, nd.n_docs // d.df AS w
+       |  FROM ptok p JOIN df d ON p.term = d.term CROSS JOIN nd
+       |  WHERE d.df * 20 <= nd.n_docs),
+       |lex AS (
+       |  SELECT r.probe_id, c.doc_id AS cand_id, SUM(r.w) AS score
+       |  FROM rare r JOIN ctok c ON r.term = c.term AND c.doc_id <> r.probe_id
+       |  GROUP BY 1, 2),
+       |lexr AS (
+       |  SELECT probe_id, cand_id,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_id
+       |           ORDER BY score DESC, cand_id) AS lex_rank
+       |  FROM lex QUALIFY lex_rank <= $RRF_LIST),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
+       |  FROM e),
+       |vecr AS (
+       |  SELECT probe_id, cand_id,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_id
+       |           ORDER BY cos DESC, cand_id) AS vec_rank
+       |  FROM (
+       |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |             list_transform(range(1, len(p.v) + 1), i -> p.v[i] * c.v[i])), (x, y) -> x + y)
+       |             / (p.nrm * c.nrm) AS cos
+       |    FROM n p JOIN n c ON p.vec_id < 10 AND c.vec_id <> p.vec_id)
+       |  QUALIFY vec_rank <= $RRF_LIST),
+       |fused AS (
+       |  SELECT COALESCE(v.probe_id, l.probe_id) AS probe_id,
+       |         COALESCE(v.cand_id, l.cand_id) AS cand_id,
+       |         v.vec_rank, l.lex_rank,
+       |         COALESCE(1.0 / ($RRF_K0 + v.vec_rank), 0)
+       |           + COALESCE(1.0 / ($RRF_K0 + l.lex_rank), 0) AS rrf
+       |  FROM vecr v FULL OUTER JOIN lexr l
+       |    ON v.probe_id = l.probe_id AND v.cand_id = l.cand_id)
+       |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id,
+       |       CAST(vec_rank AS BIGINT) AS vec_rank,
+       |       CAST(lex_rank AS BIGINT) AS lex_rank,
+       |       ROUND(rrf, 6) AS rrf_score
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |           ORDER BY rrf DESC, cand_id) AS rnk
+       |  FROM fused)
+       |WHERE rnk <= $RRF_OUT ORDER BY probe_id, rnk""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val words = split(col("text"), " ")
+    val ctok = docs.select(col("doc_id"), explode(words).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val ptok = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("probe_id"), explode(words).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // rare: probe terms surviving the 5%-df cut, with integer weights.
+    // Probe side is tiny → broadcast; df flows from the inverted index.
+    val dfT = ctok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val rare = broadcast(ptok.crossJoin(broadcast(nDocs)))
+      .join(dfT, "term")
+      .filter(col("df") * 20 <= col("n_docs"))
+      .select(col("probe_id"), col("term"), expr("n_docs div df").as("w"))
+    val lexW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    val lexr = broadcast(rare)
+      .join(ctok.withColumnRenamed("doc_id", "cand_id"), "term")
+      .filter(col("cand_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("cand_id")).agg(sum(col("w")).as("score"))
+      .withColumn("lex_rank", row_number().over(lexW))
+      .filter(col("lex_rank") <= RRF_LIST)
+      .select(col("probe_id"), col("cand_id"), col("lex_rank"))
+    val n = Dedup.normedVectors(spark, dir)
+    val probes = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val cos = Dedup.cosineCol(col("pv"), col("v"), col("pnrm"), col("nrm"))
+    val vecW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val vecr = broadcast(probes).join(n, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"), cos.as("cos"))
+      .withColumn("vec_rank", row_number().over(vecW))
+      .filter(col("vec_rank") <= RRF_LIST)
+      .select(col("probe_id"), col("cand_id"), col("vec_rank"))
+    val fused = vecr.withColumnRenamed("probe_id", "vp")
+      .withColumnRenamed("cand_id", "vc")
+      .join(lexr.withColumnRenamed("probe_id", "lp")
+          .withColumnRenamed("cand_id", "lc"),
+        col("vp") === col("lp") && col("vc") === col("lc"), "full_outer")
+      .select(coalesce(col("vp"), col("lp")).as("probe_id"),
+        coalesce(col("vc"), col("lc")).as("cand_id"),
+        col("vec_rank"), col("lex_rank"),
+        (coalesce(lit(1.0) / (lit(RRF_K0) + col("vec_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RRF_K0) + col("lex_rank")), lit(0.0))).as("rrf"))
+    val outW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rrf").desc, col("cand_id"))
+    fused.withColumn("rnk", row_number().over(outW).cast("bigint"))
+      .filter(col("rnk") <= RRF_OUT)
+      .select(col("probe_id"), col("rnk"), col("cand_id"),
+        col("vec_rank").cast("bigint").as("vec_rank"),
+        col("lex_rank").cast("bigint").as("lex_rank"),
+        round(col("rrf"), 6).as("rrf_score"))
+      .orderBy("probe_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4LabelCentroids,
     s5KnnJoin, s6Quantize, s7Mips, s8AnnRerank, s9RetrievalE2e, s10PqEncode,
-    s11RecallCurve, s12IvfPq)
+    s11RecallCurve, s12IvfPq, s13HybridRrf)
 }

@@ -476,4 +476,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"no equi-join in:\n$p")
   }
+
+  test("s13: both towers join by key (term / bucketless broadcast); no cartesian") {
+    val p = plan(Similarity.s13HybridRrf)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // lexical tower: probe-term list broadcast into the inverted-index
+    // equi-join on term; vector tower: probes broadcast against the scan
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"towers not broadcast-joined in:\n$p")
+    // the fuse joins two top-20 frames — any equi-join strategy is fine,
+    // but it must BE an equi-join (FullOuter on (probe, cand))
+    assert(p.contains("FullOuter"), s"no full-outer fuse in:\n$p")
+  }
+
+  test("dp10: facts are scanned once per key column, upstream of the pinned histograms") {
+    val p = plan(Relational.dp10SkewAudit)
+    // every per-column branch reads its localCheckpoint-pinned
+    // count-of-counts histogram (ExistingRDD), so the final plan holds NO
+    // parquet scan: the one fact pass per column already happened when the
+    // pin materialized
+    assert(!p.contains("Scan parquet"), s"fact table re-scanned downstream of the pin:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 5,
+      s"expected 5 pinned histogram scans in:\n$p")
+  }
 }
