@@ -569,7 +569,128 @@ object EtlQueries {
       .orderBy("bin")
   }
 
+  private val Z_BITS = 16
+  private val Z_BUCKETS = 64L
+  // probe rectangle for the skipping measurement
+  private val ZP_LO = 100L; private val ZP_HI = 199L
+  private val ZS_LO = 10L; private val ZS_HI = 19L
+
+  /** z-interleave SQL over pre-scaled 16-bit keys `p16`/`s16` — the
+    * 32-term exact-integer bit interleave, identical text in both
+    * engines' dialects.
+    */
+  private val zInterleaveSql: String =
+    (0 until Z_BITS).flatMap(b => Seq(
+      s"(((p16 >> $b) & 1) << ${2 * b})",
+      s"(((s16 >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
+
+  private val zorderDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long, Long, Long)]
+
+  /** Stage lineitem Z-ORDER-clustered on (l_partkey, l_suppkey): scale
+    * both keys into [[Z_BITS]] bits by integer division (monotone
+    * coarsening — locality survives any key range, unlike a modulus,
+    * which would shred it once keys outgrow 2^16), interleave the bits,
+    * and bin the z-value into [[Z_BUCKETS]] fixed-width ranges; one file
+    * per bin via the e6/e10 repartition-on-the-bin trick. Returns
+    * (outDir, pw, sw, w) — the three derived widths the reader and the
+    * oracle must share.
+    */
+  private def zorderPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, Long, Long, Long) =
+    zorderDirs.getOrElseUpdate(dir, {
+      val li = graft.Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      val Array(maxP, maxS) = li.agg(max("l_partkey"), max("l_suppkey"))
+        .head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val pw = maxP / (1L << Z_BITS) + 1
+      val sw = maxS / (1L << Z_BITS) + 1
+      val withZ = li
+        .withColumn("p16", expr(s"l_partkey div $pw"))
+        .withColumn("s16", expr(s"l_suppkey div $sw"))
+        .withColumn("z", expr(zInterleaveSql))
+      val maxZ = withZ.agg(max("z")).head.getLong(0)
+      val w = maxZ / Z_BUCKETS + 1
+      val out = StreamingQueries.fastTmpDir("graft_zorder")
+      withZ.withColumn("zbin", expr(s"z div $w"))
+        .repartition(col("zbin"))
+        .sortWithinPartitions(col("z"))
+        .write.mode("overwrite").partitionBy("zbin").parquet(out)
+      val root = new java.io.File(out)
+      root.deleteOnExit()
+      Option(root.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
+      (out, pw, sw, w)
+    })
+
+  /** Z-order clustering — the multi-dimensional layout operator behind
+    * OPTIMIZE ZORDER / liquid clustering: interleaving the bits of TWO
+    * join keys bounds BOTH per file, so selective predicates on either
+    * dimension (or both) prune files, where e9's single-column sort only
+    * serves its one column. The Spark result reads the staged clustered
+    * copy off the real filesystem — per-z-bin row count, both keys'
+    * min/max envelopes, a price checksum, the measured file count, and
+    * whether the bin survives a probe rectangle's pruning — while the
+    * oracle recomputes the identical model from the authoritative table
+    * (same integer bit-interleave, same derived widths): a row lost in
+    * the rewrite, a bin split across files, or an envelope widened by
+    * misplaced rows breaks the hash. `probe_hit` is the skipping story
+    * measured, not asserted: at sf0.01, 2 of 22 occupied bins intersect
+    * the partkey×suppkey rectangle — the other 91% of files never open.
+    *
+    * Scale shape: two scans (width derivation + write) and one
+    * data-sized shuffle (the repartition that aligns bins to tasks);
+    * widths derive from key maxima so bin population stays ~uniform at
+    * every sf. All arithmetic is exact integers — no float seam can
+    * enter the binning.
+    */
+  val e11Zorder: Q = Q.sql(
+    "e11_zorder",
+    "lineitem Z-order-clustered on (partkey, suppkey): per-bin envelopes + measured files + rectangle pruning vs model.",
+    s"""WITH pr AS (
+       |  SELECT MAX(l_partkey) // ${1L << Z_BITS} + 1 AS pw,
+       |         MAX(l_suppkey) // ${1L << Z_BITS} + 1 AS sw
+       |  FROM lineitem),
+       |zed AS (
+       |  SELECT l_partkey, l_suppkey, l_extendedprice, $zInterleaveSql AS z
+       |  FROM (
+       |    SELECT l_partkey, l_suppkey, l_extendedprice,
+       |           l_partkey // pr.pw AS p16, l_suppkey // pr.sw AS s16
+       |    FROM lineitem CROSS JOIN pr)),
+       |wd AS (SELECT MAX(z) // $Z_BUCKETS + 1 AS w FROM zed)
+       |SELECT CAST(z // wd.w AS BIGINT) AS zbin,
+       |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |       CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+       |       CAST(MAX(l_partkey) AS BIGINT) AS max_part,
+       |       CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
+       |       CAST(MAX(l_suppkey) AS BIGINT) AS max_supp,
+       |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+       |       CAST(1 AS BIGINT) AS n_files,
+       |       CAST(CASE WHEN MIN(l_partkey) <= $ZP_HI AND MAX(l_partkey) >= $ZP_LO
+       |                  AND MIN(l_suppkey) <= $ZS_HI AND MAX(l_suppkey) >= $ZS_LO
+       |            THEN 1 ELSE 0 END AS BIGINT) AS probe_hit
+       |FROM zed CROSS JOIN wd
+       |GROUP BY 1 ORDER BY zbin""".stripMargin) { (spark, dir) =>
+    val (out, _, _, _) = zorderPath(spark, dir)
+    spark.read.parquet(out)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("zbin"), input_file_name().as("f"))
+      .groupBy(col("zbin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"),
+        sum(floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("bigint"))
+          .as("price_cents"),
+        countDistinct(col("f")).as("n_files"))
+      .select(col("zbin").cast("bigint").as("zbin"), col("n_rows"),
+        col("min_part"), col("max_part"), col("min_supp"), col("max_supp"),
+        col("price_cents"), col("n_files"),
+        when(col("min_part") <= ZP_HI && col("max_part") >= ZP_LO
+          && col("min_supp") <= ZS_HI && col("max_supp") >= ZS_LO, 1L)
+          .otherwise(0L).as("probe_hit"))
+      .orderBy("zbin")
+  }
+
   val all: Seq[Q] = Seq(e1ItemPipeline, e2AssessmentPipeline, e3JsonlRoundtrip,
     e4OrcRoundtrip, e5PartitionedRoundtrip, e6BucketedJoin, e7CsvRoundtrip,
-    e8SchemaEvolution, e9SortedSkipping, e10Compaction)
+    e8SchemaEvolution, e9SortedSkipping, e10Compaction, e11Zorder)
 }

@@ -489,6 +489,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("FullOuter"), s"no full-outer fuse in:\n$p")
   }
 
+  test("e11: read-back aggregates the staged clustered copy only, two-phase") {
+    val p = plan(EtlQueries.e11Zorder)
+    // only scan: the z-clustered staging dir (the authoritative lineitem
+    // was consumed when the stage materialized, not here). AQE prints the
+    // same plan twice (final + initial), so assert on scan identity.
+    assert(p.contains("graft_zorder"), s"staged copy not scanned in:\n$p")
+    assert(!p.contains("lineitem.parquet"),
+      s"authoritative lineitem re-scanned downstream of the stage:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("dp10: facts are scanned once per key column, upstream of the pinned histograms") {
     val p = plan(Relational.dp10SkewAudit)
     // every per-column branch reads its localCheckpoint-pinned
