@@ -794,6 +794,55 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.length.toLong === expected)
   }
 
+  test("s13: fused score recomputes from the emitted ranks; lists bounded") {
+    val rows = Similarity.s13HybridRrf.run(spark, sf)
+      .select("probe_id", "rnk", "vec_rank", "lex_rank", "rrf_score").collect()
+    assert(rows.nonEmpty)
+    val perProbe = rows.groupBy(_.getLong(0))
+    perProbe.values.foreach(rs => assert(rs.length <= 10, "over 10 fused rows"))
+    rows.foreach { r =>
+      val vr = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val lr = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(vr.isDefined || lr.isDefined, "candidate retrieved by neither tower")
+      (vr.toSeq ++ lr.toSeq).foreach(k => assert(k >= 1 && k <= 20, s"rank $k out of list bound"))
+      val expected = vr.map(k => 1.0 / (60 + k)).getOrElse(0.0) +
+        lr.map(k => 1.0 / (60 + k)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(4) - expected) < 1e-6,
+        s"rrf ${r.getDouble(4)} != recomputed $expected")
+    }
+  }
+
+  test("dp10: stats recompute from a direct per-key count of o_custkey") {
+    val row = Relational.dp10SkewAudit.run(spark, sf)
+      .filter(col("col_name") === "o_custkey").head
+    val counts = graft.Tables.orders(spark, sf)
+      .groupBy("o_custkey").count().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxCnt = counts.map(_._2).max
+    assert(row.getAs[Long]("n_rows") === counts.map(_._2).sum)
+    assert(row.getAs[Long]("n_keys") === counts.length.toLong)
+    assert(row.getAs[Long]("max_cnt") === maxCnt)
+    assert(row.getAs[Long]("top_key") ===
+      counts.filter(_._2 == maxCnt).map(_._1).min, "heavy-hitter witness wrong")
+    val sorted = counts.map(_._2).sorted
+    def pct(q: Double) = sorted(math.ceil(q * sorted.length).toInt - 1)
+    assert(row.getAs[Long]("p50_cnt") === pct(0.5))
+    assert(row.getAs[Long]("p99_cnt") === pct(0.99))
+    assert(row.getAs[Long]("p50_cnt") <= row.getAs[Long]("p99_cnt"))
+  }
+
+  test("e11: one file per z-bin; rows conserved; hit flag matches envelopes") {
+    val rows = EtlQueries.e11Zorder.run(spark, sf).collect()
+    rows.foreach(r => assert(r.getAs[Long]("n_files") === 1L, "bin split across files"))
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ===
+      graft.Tables.lineitem(spark, sf).count(), "rewrite lost/duplicated rows")
+    rows.foreach { r =>
+      val hit = r.getAs[Long]("min_part") <= 199 && r.getAs[Long]("max_part") >= 100 &&
+        r.getAs[Long]("min_supp") <= 19 && r.getAs[Long]("max_supp") >= 10
+      assert(r.getAs[Long]("probe_hit") === (if (hit) 1L else 0L),
+        "pruning flag disagrees with the emitted envelope")
+    }
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
