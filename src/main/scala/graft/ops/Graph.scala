@@ -619,6 +619,119 @@ object Graph {
       .orderBy("supp_key")
   }
 
+  private val PPR_ITERS = 10
+
+  /** Personalized PageRank from a seed set — the trusted-seed expansion
+    * move behind graph-based data curation (score every document/domain
+    * by proximity to a hand-vetted seed list, keep the high-mass tail):
+    * teleport mass returns ONLY to the seeds (nation-0 customers, the
+    * same seed set [[g2BfsHops]] uses), so rank measures closeness to
+    * the seed neighborhood rather than global centrality.
+    *
+    *   r₀(v)    = SCALE · 1[v ∈ seeds]
+    *   rₖ₊₁(v) = TELEPORT · 1[v ∈ seeds] + (85 · Σ_{u∈N(v)} (rₖ(u) div deg(u))) div 100
+    *
+    * Same fixed-point (×1e6) integer contract as [[g1PageRank]] — sums of
+    * integers are order-independent, so both engines agree bit-for-bit
+    * after any round count. Unlike g1 the frame STARTS at the seed set
+    * and grows with the reached neighborhood (each round's full-outer
+    * join re-injects seed teleport even where no mass arrives), so early
+    * rounds move kilobytes — the sparse-frontier property that makes PPR
+    * the cheap per-seed query at 100 TB. No early exit: mass is still
+    * spreading at round [[PPR_ITERS]] by construction, and g1's scaladoc
+    * records why a threshold exit can't honestly fire.
+    *
+    * Per-round shape: static degree-enriched edges ⋈ rank frame
+    * (broadcast below [[BROADCAST_NODE_LIMIT]]) → destination aggregate
+    * with map-side partials → full-outer with the (tiny, checkpointed)
+    * seed frame; `localCheckpoint` truncates lineage per round.
+    */
+  val g6PersonalizedPageRank: Q = Q.sql(
+    "g6_personalized_pagerank",
+    s"Fixed-point personalized PageRank ($PPR_ITERS rounds) from the nation-0 customer seed set over the co-purchase graph.",
+    {
+      val iters = (0 until PPR_ITERS).map { i =>
+        s"""it${i + 1} AS (
+           |  SELECT COALESCE(c.node, s.node) AS node,
+           |         COALESCE(s.t, 0) + (85 * COALESCE(c.m, 0)) // 100 AS r
+           |  FROM (
+           |    SELECT e.b AS node, SUM(r.r // d.deg) AS m
+           |    FROM it$i r
+           |    JOIN deg d ON r.node = d.node
+           |    JOIN edges e ON e.a = r.node
+           |    GROUP BY e.b) c
+           |  FULL OUTER JOIN seeds s ON c.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH eg AS (
+         |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT a, b FROM eg UNION ALL SELECT b, a FROM eg),
+         |deg AS (SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY a),
+         |seeds AS (
+         |  SELECT c_custkey * 2 AS node, CAST($TELEPORT AS BIGINT) AS t
+         |  FROM customer WHERE c_nationkey = 0),
+         |it0 AS (SELECT node, CAST($SCALE AS BIGINT) AS r FROM seeds),
+         |$iters
+         |SELECT f.node AS node_id,
+         |       CASE WHEN f.node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+         |       f.node // 2 AS entity_key,
+         |       CAST(CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_seed,
+         |       CAST(f.r AS BIGINT) AS rank_fp
+         |FROM it$PPR_ITERS f LEFT JOIN seeds s ON f.node = s.node
+         |WHERE f.r > 0
+         |ORDER BY node_id""".stripMargin
+    }) { (spark, dir) =>
+    val edges = copurchaseEdges(spark, dir)
+    var dedges: DataFrame = null
+    try {
+      val deg = edges.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val nNodes = deg.count()
+      val small = nNodes <= BROADCAST_NODE_LIMIT
+      val degSide = if (small) broadcast(deg) else deg
+      val de0 = edges
+        .join(degSide, edges("a") === deg("node"))
+        .select(col("a"), col("b"), col("deg").as("deg_a"))
+      dedges = (if (small) de0 else de0.repartition(col("a")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seeds = Tables.customer(spark, dir)
+        .filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node"), lit(TELEPORT).as("t"))
+        .localCheckpoint()
+      def rounds(): DataFrame = {
+        var rank = seeds.select(col("node"), lit(SCALE).as("r"))
+          .localCheckpoint()
+        for (_ <- 0 until PPR_ITERS) {
+          val rside = if (small) broadcast(rank) else rank.hint("shuffle_hash")
+          val contrib = dedges
+            .join(rside, col("a") === rank("node"))
+            .select(col("b"), expr("r div deg_a").as("c"))
+          rank = contrib.groupBy(col("b").as("node"))
+            .agg(sum(col("c")).as("m"))
+            .join(broadcast(seeds), Seq("node"), "full_outer")
+            .select(col("node"),
+              (coalesce(col("t"), lit(0L))
+                + expr("(85 * coalesce(m, 0)) div 100")).as("r"))
+            .localCheckpoint()
+        }
+        rank
+      }
+      val rank = if (small) withoutAqe(spark)(rounds()) else rounds()
+      rank.filter(col("r") > 0)
+        .join(broadcast(seeds.select(col("node").as("sn"))),
+          col("node") === col("sn"), "left_outer")
+        .select(col("node").as("node_id"),
+          when(col("node") % 2 === 0, "customer").otherwise("supplier").as("entity"),
+          expr("node div 2").as("entity_key"),
+          when(col("sn").isNull, 0L).otherwise(1L).as("is_seed"),
+          col("r").as("rank_fp"))
+        .orderBy("node_id")
+    } finally {
+      if (dedges != null) dedges.unpersist(false)
+    }
+  }
+
   val all: Seq[Q] = Seq(g1PageRank, g2BfsHops, g3SupplierAffinity,
-    g4TriangleCount, g5KCore)
+    g4TriangleCount, g5KCore, g6PersonalizedPageRank)
 }

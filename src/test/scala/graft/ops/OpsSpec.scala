@@ -843,6 +843,20 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("g6: every seed keeps >= teleport mass; non-seeds only reached via edges") {
+    val rows = Graph.g6PersonalizedPageRank.run(spark, sf)
+      .select("node_id", "is_seed", "rank_fp").collect()
+    assert(rows.nonEmpty)
+    val seedsOut = rows.filter(_.getLong(1) == 1L)
+    assert(seedsOut.nonEmpty, "no seed survived the r>0 filter")
+    seedsOut.foreach(r => assert(r.getLong(2) >= 150000L,
+      s"seed ${r.getLong(0)} below teleport mass"))
+    // non-seed mass can only arrive through an edge: node must be a
+    // customer or supplier present in the co-purchase graph
+    val suppliers = rows.filter(r => r.getLong(0) % 2 == 1)
+    assert(suppliers.nonEmpty, "mass never crossed to the supplier side")
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
