@@ -39,7 +39,7 @@ object Dedup {
     */
   private[ops] def shinglesSqlCteWith(extraExpr: String, extraName: String): String =
     s"""w AS (SELECT doc_id$extraExpr, string_split(text, ' ') AS w FROM documents),
-       |sh AS (SELECT doc_id$extraName,
+       |sh AS MATERIALIZED (SELECT doc_id$extraName,
        |  CASE WHEN len(w) >= 3
        |       THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)])
        |       ELSE [] END AS s
@@ -295,7 +295,7 @@ object Dedup {
        |              + i.i * ('0x' || substring(md5(s), 8, 7))::BIGINT) % ${GraftExpressions.MinHashSig.M}) AS mh
        |  FROM ex CROSS JOIN (SELECT UNNEST(range($K)) AS i) i
        |  GROUP BY doc_id, i.i),
-       |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hi GROUP BY doc_id),
+       |sig AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hi GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, b.b AS band,
        |         md5(array_to_string(list_transform(sig[b.b*$R+1 : b.b*$R+$R], x -> CAST(x AS VARCHAR)), ',')) AS bh

@@ -128,11 +128,11 @@ object Graph {
            |  JOIN edges e ON e.a = r.node
            |  GROUP BY e.b)""".stripMargin
       }.mkString(",\n")
-      s"""WITH eg AS (
+      s"""WITH eg AS MATERIALIZED (
          |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |edges AS (SELECT a, b FROM eg UNION ALL SELECT b, a FROM eg),
-         |deg AS (SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY a),
+         |edges AS MATERIALIZED (SELECT a, b FROM eg UNION ALL SELECT b, a FROM eg),
+         |deg AS MATERIALIZED (SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY a),
          |it0 AS (SELECT node, CAST($SCALE AS BIGINT) AS r FROM deg),
          |$iters
          |SELECT f.node AS node_id,
@@ -254,10 +254,10 @@ object Graph {
            |    FROM it$i r JOIN edges e ON e.a = r.node
            |  ) GROUP BY node)""".stripMargin
       }.mkString(",\n")
-      s"""WITH eg AS (
+      s"""WITH eg AS MATERIALIZED (
          |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |edges AS (SELECT a, b FROM eg UNION ALL SELECT b, a FROM eg),
+         |edges AS MATERIALIZED (SELECT a, b FROM eg UNION ALL SELECT b, a FROM eg),
          |it0 AS (
          |  SELECT c_custkey * 2 AS node, 0 AS dist FROM customer
          |  WHERE c_nationkey = 0),
@@ -662,12 +662,12 @@ object Graph {
            |    GROUP BY e.b) c
            |  FULL OUTER JOIN seeds s ON c.node = s.node)""".stripMargin
       }.mkString(",\n")
-      s"""WITH eg AS (
+      s"""WITH eg AS MATERIALIZED (
          |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |edges AS (SELECT a, b FROM eg UNION ALL SELECT b, a FROM eg),
-         |deg AS (SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY a),
-         |seeds AS (
+         |edges AS MATERIALIZED (SELECT a, b FROM eg UNION ALL SELECT b, a FROM eg),
+         |deg AS MATERIALIZED (SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY a),
+         |seeds AS MATERIALIZED (
          |  SELECT c_custkey * 2 AS node, CAST($TELEPORT AS BIGINT) AS t
          |  FROM customer WHERE c_nationkey = 0),
          |it0 AS (SELECT node, CAST($SCALE AS BIGINT) AS r FROM seeds),

@@ -600,7 +600,7 @@ object Multimodal {
     s"""WITH b AS (
        |  SELECT doc_id, UNNEST(regexp_extract_all(hex(encode(text)), '[0-9A-F]{2}')) AS byte
        |  FROM documents WHERE length(text) > 0),
-       |c AS (SELECT doc_id, byte, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+       |c AS MATERIALIZED (SELECT doc_id, byte, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
        |pw AS (
        |  SELECT p.p, bb.byte,
        |         ('0x' || substring(md5('pw-' || p.p || '-' || bb.byte), 1, 7))::BIGINT % 1000 - 500 AS w
@@ -610,7 +610,7 @@ object Multimodal {
        |  SELECT c.doc_id, pw.p, SUM(c.cnt * pw.w) AS dot, SUM(c.cnt) AS n_doc
        |  FROM c JOIN pw ON c.byte = pw.byte GROUP BY 1, 2),
        |g AS (SELECT p, SUM(dot) AS gp, SUM(n_doc) AS tot FROM dots GROUP BY p),
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT d.doc_id,
        |         CAST(SUM(CASE WHEN CAST(d.dot AS HUGEINT) * g.tot
        |                            - CAST(d.n_doc AS HUGEINT) * g.gp > 0
