@@ -690,7 +690,96 @@ object EtlQueries {
       .orderBy("zbin")
   }
 
+  /** One md5 bucket definition for the CDC derivation — both engines
+    * derive the change feed from it so they cannot drift.
+    */
+  private val cdcBucketSql =
+    "('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 7))::BIGINT % 20"
+  private def cdcBucketCol: org.apache.spark.sql.Column =
+    pmod(graft.functions.DetHash.md5Long28(col("o_orderkey").cast("string")),
+      lit(20))
+
+  /** MERGE INTO — the lakehouse CDC-apply operator (Delta/Iceberg MERGE,
+    * `WHEN MATCHED THEN UPDATE/DELETE, WHEN NOT MATCHED THEN INSERT`): a
+    * change batch (5% deletes, 10% updates, 5% inserts, md5-bucketed off
+    * the order key) applied to the orders snapshot in ONE key-equi
+    * full-outer join — the exact physical shape Delta's merge executes
+    * (both sides hash-partitioned on the key, every base row meets its
+    * at-most-one change row, unmatched change rows become inserts). No
+    * driver-side row handling; at 100 TB the join is the same plan with
+    * file-level pruning ahead of it.
+    *
+    * Price arithmetic runs in DECIMAL(18,2) end-to-end (updates add
+    * 10.00 exactly; the final sum is a decimal reduction cast to double
+    * once), so the result is bit-identical across engines regardless of
+    * reduction order. Insert keys are `-(source_key + 1)` — strictly
+    * negative, so collision-free against the non-negative base key space
+    * (keys start at 0; plain negation would collide AT key 0) without a
+    * global max-key lookup (a driver round-trip at scale).
+    *
+    * The per-status rollup of the MERGED table is the oracle surface:
+    * lost deletes inflate original statuses, missed updates never move
+    * rows to status 'X', dropped inserts empty status 'N', and any
+    * double-application breaks the decimal sum.
+    */
+  val e12MergeUpsert: Q = Q.sql(
+    "e12_merge_upsert",
+    "CDC MERGE apply (delete/update/insert batch) onto orders via one full-outer key join; per-status rollup of the merged table.",
+    s"""WITH b AS (
+       |  SELECT o.*, $cdcBucketSql AS b FROM orders o),
+       |changes AS (
+       |  SELECT o_orderkey AS k, 'D' AS op, NULL::BIGINT AS c_custkey,
+       |         NULL::VARCHAR AS c_status, NULL::DECIMAL(18,2) AS c_price
+       |  FROM b WHERE b = 0
+       |  UNION ALL
+       |  SELECT o_orderkey, 'U', o_custkey, 'X',
+       |         CAST(o_totalprice AS DECIMAL(18,2)) + 10.00
+       |  FROM b WHERE b IN (1, 2)
+       |  UNION ALL
+       |  SELECT -(o_orderkey + 1), 'I', o_custkey, 'N',
+       |         CAST(o_totalprice AS DECIMAL(18,2))
+       |  FROM b WHERE b = 3),
+       |merged AS (
+       |  SELECT COALESCE(c.k, o.o_orderkey) AS k,
+       |         CASE WHEN c.op IS NULL THEN o.o_orderstatus
+       |              ELSE c.c_status END AS status,
+       |         CASE WHEN c.op IS NULL THEN CAST(o.o_totalprice AS DECIMAL(18,2))
+       |              ELSE c.c_price END AS price
+       |  FROM b o FULL OUTER JOIN changes c ON o.o_orderkey = c.k
+       |  WHERE c.op IS NULL OR c.op <> 'D')
+       |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |       CAST(SUM(price) AS DOUBLE) AS sum_price,
+       |       MIN(k) AS min_key, MAX(k) AS max_key
+       |FROM merged GROUP BY status ORDER BY status""".stripMargin) { (spark, dir) =>
+    val base = Tables.orders(spark, dir).withColumn("b", cdcBucketCol)
+    val dec = col("o_totalprice").cast("decimal(18,2)")
+    val changes = base.filter(col("b") === 0)
+      .select(col("o_orderkey").as("k"), lit("D").as("op"),
+        lit(null).cast("string").as("c_status"),
+        lit(null).cast("decimal(18,2)").as("c_price"))
+      .unionAll(base.filter(col("b").isin(1, 2))
+        .select(col("o_orderkey").as("k"), lit("U").as("op"),
+          lit("X").as("c_status"),
+          (dec + lit(BigDecimal("10.00"))).cast("decimal(18,2)").as("c_price")))
+      .unionAll(base.filter(col("b") === 3)
+        .select((-(col("o_orderkey") + 1)).as("k"), lit("I").as("op"),
+          lit("N").as("c_status"), dec.cast("decimal(18,2)").as("c_price")))
+    val merged = base
+      .join(changes, base("o_orderkey") === changes("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(coalesce(col("k"), col("o_orderkey")).as("k"),
+        when(col("op").isNull, col("o_orderstatus"))
+          .otherwise(col("c_status")).as("status"),
+        when(col("op").isNull, dec).otherwise(col("c_price")).as("price"))
+    merged.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price")).cast("double").as("sum_price"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+      .orderBy("status")
+  }
+
   val all: Seq[Q] = Seq(e1ItemPipeline, e2AssessmentPipeline, e3JsonlRoundtrip,
     e4OrcRoundtrip, e5PartitionedRoundtrip, e6BucketedJoin, e7CsvRoundtrip,
-    e8SchemaEvolution, e9SortedSkipping, e10Compaction, e11Zorder)
+    e8SchemaEvolution, e9SortedSkipping, e10Compaction, e11Zorder,
+    e12MergeUpsert)
 }

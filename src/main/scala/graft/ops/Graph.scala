@@ -732,6 +732,107 @@ object Graph {
     }
   }
 
+  private val LPA_ROUNDS = 4
+
+  /** Synchronous label propagation (community detection) over the
+    * mutual-top-[[MUTUAL_TOP]] partner graph — the clustering move behind
+    * topic/domain grouping of a crawled corpus (bucket similar sources,
+    * then sample per community instead of per page). Every node starts
+    * with its own id as label; each round every node adopts the label
+    * held by the PLURALITY of its neighbors, ties broken toward the
+    * smallest label — a fully deterministic variant of Raghavan et al.'s
+    * LPA (random tie-breaks would diverge between engines). Fixed
+    * [[LPA_ROUNDS]] synchronous rounds: synchronous LPA has no guaranteed
+    * fixpoint (bipartite-ish regions oscillate with period 2), so a fixed
+    * round budget IS the spec, identically executed by both engines.
+    *
+    * Distributed shape per round: bidirectional edges ⋈ label frame
+    * (broadcast — one row per node, the same ≤[[BROADCAST_NODE_LIMIT]]
+    * rationale as g1; past it, the same co-partitioned shuffle shape) →
+    * per-(node, label) count aggregate with map-side partials → plurality
+    * pick via a per-node window over ≤ deg(v) ≤ [[MUTUAL_TOP]] candidate
+    * rows. `localCheckpoint` truncates lineage per round; AQE is off for
+    * the micro-stage loop (g1's measured rationale). Degree ≤
+    * [[MUTUAL_TOP]] by construction bounds each round at O(K·|V|) rows —
+    * community detection on the sparsified graph stays linear at 100 TB.
+    */
+  val g7LabelPropagation: Q = Q.sql(
+    "g7_label_propagation",
+    s"Deterministic $LPA_ROUNDS-round label propagation communities over the mutual-top-$MUTUAL_TOP partner graph.",
+    {
+      val iters = (0 until LPA_ROUNDS).map { i =>
+        s"""l${i + 1} AS MATERIALIZED (
+           |  SELECT node, label FROM (
+           |    SELECT e.dst AS node, l.label,
+           |           ROW_NUMBER() OVER (PARTITION BY e.dst
+           |             ORDER BY COUNT(*) DESC, l.label) AS rnk
+           |    FROM ed e JOIN l$i l ON e.src = l.node
+           |    GROUP BY e.dst, l.label)
+           |  WHERE rnk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH eg AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |co AS MATERIALIZED (
+         |  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS co
+         |  FROM eg a JOIN eg b ON a.c = b.c AND a.s < b.s
+         |  GROUP BY 1, 2),
+         |bidir AS (
+         |  SELECT s1 AS s, s2 AS p, co FROM co
+         |  UNION ALL SELECT s2, s1, co FROM co),
+         |topk AS MATERIALIZED (
+         |  SELECT s, p FROM (
+         |    SELECT s, p,
+         |           ROW_NUMBER() OVER (PARTITION BY s ORDER BY co DESC, p) AS rnk
+         |    FROM bidir)
+         |  WHERE rnk <= $MUTUAL_TOP),
+         |mut AS MATERIALIZED (
+         |  SELECT a.s AS x, a.p AS y FROM topk a
+         |  JOIN topk b ON a.s = b.p AND a.p = b.s
+         |  WHERE a.s < a.p),
+         |ed AS MATERIALIZED (
+         |  SELECT x AS src, y AS dst FROM mut UNION ALL SELECT y, x FROM mut),
+         |l0 AS (
+         |  SELECT node, node AS label FROM (
+         |    SELECT x AS node FROM mut UNION SELECT y FROM mut)),
+         |$iters,
+         |cs AS (SELECT label, COUNT(*) AS comm_size FROM l$LPA_ROUNDS GROUP BY label)
+         |SELECT l.node AS supp_key, l.label AS community, c.comm_size
+         |FROM l$LPA_ROUNDS l JOIN cs c ON l.label = c.label
+         |ORDER BY supp_key""".stripMargin
+    }) { (spark, dir) =>
+    val mut = mutualEdges(spark, dir)
+    val ed = mut
+      .select(explode(array(
+        struct(col("x").as("src"), col("y").as("dst")),
+        struct(col("y").as("src"), col("x").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst")).orderBy(col("cnt").desc, col("label"))
+    def rounds(): DataFrame = {
+      var lab = ed.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint()
+      for (_ <- 1 to LPA_ROUNDS) {
+        lab = ed.join(broadcast(lab), col("src") === col("node"))
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("dst").as("node"), col("label"))
+          .localCheckpoint()
+      }
+      lab
+    }
+    val lab = withoutAqe(spark)(rounds())
+    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("comm_size"))
+    lab.join(broadcast(sizes), Seq("label"))
+      .select(col("node").as("supp_key"), col("label").as("community"),
+        col("comm_size"))
+      .orderBy("supp_key")
+  }
+
   val all: Seq[Q] = Seq(g1PageRank, g2BfsHops, g3SupplierAffinity,
-    g4TriangleCount, g5KCore, g6PersonalizedPageRank)
+    g4TriangleCount, g5KCore, g6PersonalizedPageRank, g7LabelPropagation)
 }

@@ -780,6 +780,72 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  private val AE_WIN = 16
+  private val AE_LOUD = 90000L
+
+  /** Windowed audio energy — the VAD/silence-trim primitive of an audio
+    * training pipeline (drop silent segments, shard by activity): each
+    * 8-bit PCM payload is parsed from its REAL bytes, split into
+    * [[AE_WIN]]-sample frames (trailing partial frame dropped, the
+    * fixed-hop convention), and per-frame energy computed as the integer
+    * sum of squared 128-centered samples — exact Long arithmetic, so the
+    * per-asset rollup (frame count, total/max energy, loud-frame count
+    * at the [[AE_LOUD]] threshold) is bit-identical across engines.
+    *
+    * The audio predicate (`doc_id % 3 = 1`) is applied to the SOURCE
+    * frame before [[assetsFrom]] encodes any payload — the filter a
+    * production job pushes into the object-store listing — and the
+    * per-frame fan-out happens inside one `flatMap` partition pass
+    * (window arithmetic over a byte array; no shuffle until the
+    * per-asset aggregate, which carries 4–7 rows per asset). The oracle
+    * recomputes energies from the closed-form sample model the payload
+    * writer commits to — a decode that misaligned windows, dropped the
+    * 128 centering, or read signed bytes fails the hash.
+    */
+  val m9AudioEnergy: Q = Q.sql(
+    "m9_audio_energy",
+    s"Windowed PCM energy per audio asset: $AE_WIN-sample frames, integer sum-of-squares, loud-frame count.",
+    s"""WITH au AS (
+       |  SELECT doc_id, 64 + n_chars % 64 AS n FROM documents
+       |  WHERE doc_id % 3 = 1),
+       |fe AS (
+       |  SELECT doc_id, w.w,
+       |         SUM(((doc_id * 31 + (w.w * $AE_WIN + i.i) * 17) % 256 - 128)
+       |           * ((doc_id * 31 + (w.w * $AE_WIN + i.i) * 17) % 256 - 128)) AS e
+       |  FROM au,
+       |       UNNEST(range(0, n // $AE_WIN)) AS w(w),
+       |       UNNEST(range(0, $AE_WIN)) AS i(i)
+       |  GROUP BY doc_id, w.w)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |       CAST(SUM(e) AS BIGINT) AS total_energy,
+       |       CAST(MAX(e) AS BIGINT) AS max_frame_energy,
+       |       CAST(SUM(CASE WHEN e > $AE_LOUD THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_loud
+       |FROM fe GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    assetsFrom(Tables.documents(spark, dir).filter(col("doc_id") % 3 === 1))
+      .flatMap { a =>
+        val n = a.content.length
+        (0 until n / AE_WIN).map { w =>
+          var e = 0L
+          var i = 0
+          while (i < AE_WIN) {
+            val s = (a.content(w * AE_WIN + i) & 0xff) - 128
+            e += s.toLong * s
+            i += 1
+          }
+          (a.doc_id, e)
+        }
+      }
+      .toDF("doc_id", "e")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("e")).as("total_energy"),
+        max(col("e")).as("max_frame_energy"),
+        sum(when(col("e") > AE_LOUD, 1L).otherwise(0L)).as("n_loud"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(m1Meta, m2PayloadStats, m3FrameSample, m4TypedRollup,
-    m5ShardPack, m6PayloadSig, m7ImageDecode, m8ImageAHash)
+    m5ShardPack, m6PayloadSig, m7ImageDecode, m8ImageAHash, m9AudioEnergy)
 }

@@ -963,9 +963,70 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  private val CLF_BUCKETS = 4096
+  private val CLF_WRANGE = 2001 // weights in [-1000, 1000]
+
+  /** Hashed-feature linear classifier scoring — the model-based quality
+    * filter every LLM corpus pipeline runs (fastText-style: hash each
+    * word bigram into a fixed feature table, sum the weights, threshold).
+    * The "trained" weight table is a deterministic function of the
+    * feature bucket (md5-derived, [[CLF_BUCKETS]] buckets, integer
+    * weights in ±([[CLF_WRANGE]]−1)/2) so both engines hold byte-identical
+    * parameters without shipping a model file; scoring is the real
+    * inference dataflow — tokenize → hash → table lookup → integer
+    * accumulate — and at 100 TB it is one embarrassingly parallel map
+    * stage (the weight "table" rides inside the expression; a learned
+    * table would be a broadcast join on the bucket id, same shape as
+    * t17's merge-table join).
+    *
+    * Integer score accumulation (no float reduction) keeps the verdict
+    * bit-identical across engines; docs with <2 words keep score 0 and
+    * pass — the production default of not filtering on absent evidence.
+    */
+  val t19ClassifierScore: Q = Q.sql(
+    "t19_classifier_score",
+    "Hashed-bigram linear classifier quality score per document (integer weights, keep/drop verdict).",
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |bg AS (
+       |  SELECT doc_id,
+       |         ('0x' || substring(md5(ws[i.i] || '_' || ws[i.i + 1]), 1, 7))::BIGINT
+       |           % $CLF_BUCKETS AS h
+       |  FROM w, UNNEST(range(1, len(ws))) AS i(i)),
+       |sc AS (
+       |  SELECT doc_id, COUNT(*) AS n_features,
+       |         SUM(h % $CLF_WRANGE - ${(CLF_WRANGE - 1) / 2}) AS score
+       |  FROM bg GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       COALESCE(sc.n_features, 0) AS n_features,
+       |       CAST(COALESCE(sc.score, 0) AS BIGINT) AS score,
+       |       CASE WHEN COALESCE(sc.score, 0) >= 0 THEN 'keep' ELSE 'drop' END
+       |         AS verdict
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    val ws = split(lower(col("text")), " ")
+    val bigrams = when(size(col("ws")) >= 2,
+      expr("transform(sequence(0, size(ws) - 2), " +
+        "i -> concat(element_at(ws, i + 1), '_', element_at(ws, i + 2)))"))
+      .otherwise(array().cast("array<string>"))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), explode_outer(bigrams).as("bg"))
+      .select(col("doc_id"),
+        when(col("bg").isNotNull,
+          pmod(DetHash.md5Long28(col("bg")), lit(CLF_BUCKETS))).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(col("h")).as("n_features"),
+        coalesce(sum(col("h") % CLF_WRANGE - (CLF_WRANGE - 1) / 2), lit(0L))
+          .as("score"))
+    scored.select(col("doc_id"), col("n_features"), col("score"),
+        when(col("score") >= 0, "keep").otherwise("drop").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3TokenStats, t4Fingerprint,
     t5BpeTokens, t6HeavyHitters, t7Normalize, t8DistinctiveTerms,
     t9Repetition, t10Commonness, t11TfidfCosine, t12Chunk, t13PiiRedact,
     t14BigramStats, t15Zipf, t16Boilerplate, t17BpeApply, t18Perplexity,
-    dp2Drift)
+    dp2Drift, t19ClassifierScore)
 }

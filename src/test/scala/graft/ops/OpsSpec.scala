@@ -857,6 +857,87 @@ class OpsSpec extends AnyFunSuite {
     assert(suppliers.nonEmpty, "mass never crossed to the supplier side")
   }
 
+  test("g7: labels are graph nodes; community sizes recompute from membership") {
+    val rows = Graph.g7LabelPropagation.run(spark, sf)
+      .select("supp_key", "community", "comm_size").collect()
+    assert(rows.nonEmpty)
+    val nodes = rows.map(_.getLong(0)).toSet
+    rows.foreach(r => assert(nodes.contains(r.getLong(1)),
+      s"community label ${r.getLong(1)} is not a node"))
+    val sizes = rows.groupBy(_.getLong(1)).map { case (c, rs) => c -> rs.length.toLong }
+    rows.foreach(r => assert(r.getLong(2) === sizes(r.getLong(1)),
+      "comm_size disagrees with membership count"))
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length,
+      "node assigned to more than one community")
+  }
+
+  test("e12: action buckets reconcile with the merged per-status rollup") {
+    val rows = EtlQueries.e12MergeUpsert.run(spark, sf)
+      .select("status", "n_rows", "sum_price", "min_key", "max_key").collect()
+    val byStatus = rows.map(r => r.getString(0) -> r).toMap
+    val orders = graft.Tables.orders(spark, sf)
+      .withColumn("b", pmod(graft.functions.DetHash.md5Long28(
+        col("o_orderkey").cast("string")), lit(20)))
+    val nDel = orders.filter(col("b") === 0).count()
+    val nUpd = orders.filter(col("b").isin(1, 2)).count()
+    val nIns = orders.filter(col("b") === 3).count()
+    val total = orders.count()
+    assert(byStatus("X").getLong(1) === nUpd, "updates did not all land in status X")
+    assert(byStatus("N").getLong(1) === nIns, "inserts did not all land in status N")
+    assert(byStatus("N").getLong(4) < 0, "insert keys not strictly negative")
+    assert(rows.map(_.getLong(1)).sum === total - nDel + nIns,
+      "merged row count != base - deletes + inserts")
+    // untouched statuses carry only original (non-negative) keys
+    rows.filter(r => r.getString(0) != "N")
+      .foreach(r => assert(r.getLong(3) >= 0, s"negative key leaked into ${r.getString(0)}"))
+  }
+
+  test("m9: frame energies recompute from the closed-form PCM model") {
+    val rows = Multimodal.m9AudioEnergy.run(spark, sf)
+      .select("doc_id", "n_frames", "total_energy", "max_frame_energy", "n_loud")
+      .collect()
+    assert(rows.nonEmpty)
+    val nCharsById = graft.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(id % 3 === 1, "non-audio doc in the result")
+      def sample(i: Int): Long = (id * 31 + i * 17L) % 256
+      val nChars = nCharsById(id)
+      val n = 64 + (nChars % 64).toInt
+      val energies = (0 until n / 16).map { w =>
+        (0 until 16).map { i => val s = sample(w * 16 + i) - 128; s * s }.sum
+      }
+      assert(r.getLong(1) === energies.length.toLong)
+      assert(r.getLong(2) === energies.sum)
+      assert(r.getLong(3) === energies.max)
+      assert(r.getLong(4) === energies.count(_ > 90000L).toLong)
+    }
+  }
+
+  test("t19: score is the sum of bucket weights over hashed bigrams; verdict thresholds at 0") {
+    val rows = TextAnalysis.t19ClassifierScore.run(spark, sf)
+      .select("doc_id", "n_features", "score", "verdict").collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === docs.size, "one verdict per document")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h28(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16)
+    }
+    rows.take(50).foreach { r =>
+      val ws = docs(r.getLong(0)).toLowerCase.split(" ", -1)
+      val feats = ws.iterator.sliding(2).withPartial(false)
+        .map(p => (h28(p.head + "_" + p(1)) % 4096) % 2001 - 1000).toSeq
+      assert(r.getLong(1) === feats.length.toLong, "n_features mismatch")
+      assert(r.getLong(2) === feats.sum, "score mismatch")
+      assert(r.getString(3) === (if (feats.sum >= 0) "keep" else "drop"))
+    }
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
