@@ -1008,7 +1008,58 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** Paragraph-granularity dedup — the C4/RefinedWeb sub-document move:
+    * instead of keeping or dropping whole documents, find the PASSAGES
+    * repeated across the corpus (boilerplate, licenses, navigation) and
+    * report each document's share of them. Documents are chunked into
+    * non-overlapping 8-word paragraphs (the corpus text is a flat word
+    * stream, so a fixed-width chunk is the deterministic stand-in for a
+    * newline split); a paragraph is "duplicated" when its md5 appears in
+    * more than one distinct document.
+    *
+    * Scale shape: the chunking is pure array arithmetic inside the scan
+    * (split → slice/concat_ws per index — no explode-then-regroup, whose
+    * collect_list reassembly would be order-nondeterministic after a
+    * shuffle); the corpus-frequency pass is one hash shuffle on the
+    * paragraph hash; the join back re-shuffles on the same key. Linear in
+    * corpus size, the exact-dedup (d1) cost model at paragraph
+    * granularity. The paragraph frame feeds both the frequency build and
+    * the join probe, so it is localCheckpoint-pinned — at 100 TB it is
+    * the paragraph index you would materialize to storage once.
+    */
+  val d11ParagraphDedup: Q = Q.sql(
+    "d11_dedup_paragraph",
+    "Paragraph-level (8-word chunk) corpus dedup: per document, total and cross-document-duplicated paragraph counts.",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |para AS (
+      |  SELECT doc_id,
+      |         md5(array_to_string(ws[p*8+1 : p*8+8], ' ')) AS h
+      |  FROM d, UNNEST(generate_series(0, CAST(ceil(len(ws) / 8.0) AS INT) - 1)) AS t(p)),
+      |freq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM para GROUP BY 1)
+      |SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_para,
+      |       CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_para,
+      |       CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_ratio
+      |FROM para p JOIN freq f USING (h)
+      |GROUP BY p.doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val paras = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, cast(ceil(size(ws) / 8.0) as int) - 1), " +
+          "p -> concat_ws(' ', slice(ws, p*8+1, 8)))")).as("ptext"))
+      .select(col("doc_id"), md5(col("ptext")).as("h"))
+      .localCheckpoint() // feeds the frequency build AND the join probe
+    val freq = paras.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    paras.join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_para"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_para"))
+      .select(col("doc_id"), col("n_para"), col("n_dup_para"),
+        (col("n_dup_para").cast("double") / col("n_para")).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d5EmbeddingCosine, d6DedupClusters, d7DedupApply, d8Containment,
-    d9SemanticDedup, d10EmbeddingNearDup)
+    d9SemanticDedup, d10EmbeddingNearDup, d11ParagraphDedup)
 }

@@ -778,8 +778,106 @@ object EtlQueries {
       .orderBy("status")
   }
 
+  /** Time travel — the lakehouse snapshot-as-of-version read (Delta
+    * `VERSION AS OF` / Iceberg snapshot reads): reconstruct the table
+    * state at every version of a commit chain from an ordered changelog.
+    * The chain here is derived, so both engines build it identically:
+    * v0 = the orders snapshot as inserts; v1 and v2 = CDC batches off
+    * DISJOINT md5 bucket sets (v1: del b=0, upd b∈{1,2} → status X
+    * +10.00, ins b=3; v2: del b=4, upd b∈{5,6} → status Y +5.00, ins
+    * b=7). Insert keys are `-(key+1)` (e12's collision-free negative
+    * space; v1/v2 insert buckets are disjoint so their images are too).
+    *
+    * The as-of read is last-writer-wins per key: changelog × the 3-row
+    * broadcast snapshot frame, keep rows with ver ≤ snap, pick the max
+    * version per (snap, key) with one row_number window, drop deletes.
+    * ONE shuffle on (snap, key) over 3× the changelog — linear, and the
+    * same plan a Delta log replay executes after file pruning; at 100 TB
+    * the changelog arrives key-partitioned and the window never crosses
+    * partitions. Decimal(18,2) price arithmetic end-to-end, summed then
+    * cast to double once (e12's parity contract); the per-(snapshot,
+    * status) rollup catches lost deletes, missed updates, leaked future
+    * ops, and any cross-version double-application.
+    */
+  val e13TimeTravel: Q = Q.sql(
+    "e13_time_travel",
+    "Snapshot-as-of-version reads over a 3-version CDC changelog (last-writer-wins per key); per-(snapshot, status) rollup.",
+    s"""WITH b AS (
+       |  SELECT o.*, $cdcBucketSql AS b FROM orders o),
+       |log AS (
+       |  SELECT 0 AS ver, o_orderkey AS k, 'I' AS op, o_orderstatus AS status,
+       |         CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM b
+       |  UNION ALL
+       |  SELECT 1, o_orderkey, 'D', NULL::VARCHAR, NULL::DECIMAL(18,2)
+       |  FROM b WHERE b = 0
+       |  UNION ALL
+       |  SELECT 1, o_orderkey, 'U', 'X', CAST(o_totalprice AS DECIMAL(18,2)) + 10.00
+       |  FROM b WHERE b IN (1, 2)
+       |  UNION ALL
+       |  SELECT 1, -(o_orderkey + 1), 'I', 'N', CAST(o_totalprice AS DECIMAL(18,2))
+       |  FROM b WHERE b = 3
+       |  UNION ALL
+       |  SELECT 2, o_orderkey, 'D', NULL::VARCHAR, NULL::DECIMAL(18,2)
+       |  FROM b WHERE b = 4
+       |  UNION ALL
+       |  SELECT 2, o_orderkey, 'U', 'Y', CAST(o_totalprice AS DECIMAL(18,2)) + 5.00
+       |  FROM b WHERE b IN (5, 6)
+       |  UNION ALL
+       |  SELECT 2, -(o_orderkey + 1), 'I', 'M', CAST(o_totalprice AS DECIMAL(18,2))
+       |  FROM b WHERE b = 7),
+       |snapped AS (
+       |  SELECT s.snap, l.* FROM log l
+       |  JOIN (SELECT UNNEST([0, 1, 2]) AS snap) s ON l.ver <= s.snap),
+       |latest AS (
+       |  SELECT * FROM snapped
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY snap, k ORDER BY ver DESC) = 1)
+       |SELECT snap, status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |       CAST(SUM(price) AS DOUBLE) AS sum_price,
+       |       MIN(k) AS min_key, MAX(k) AS max_key
+       |FROM latest WHERE op <> 'D'
+       |GROUP BY snap, status ORDER BY snap, status""".stripMargin) { (spark, dir) =>
+    val base = Tables.orders(spark, dir).withColumn("b", cdcBucketCol)
+    val dec = col("o_totalprice").cast("decimal(19,2)")
+    def entry(ver: Int, k: org.apache.spark.sql.Column, op: String,
+        status: org.apache.spark.sql.Column, price: org.apache.spark.sql.Column) =
+      struct(lit(ver).as("ver"), k.as("k"), lit(op).as("op"),
+        status.as("status"), price.cast("decimal(19,2)").as("price"))
+    val nullS = lit(null).cast("string")
+    val nullP = lit(null).cast("decimal(19,2)")
+    // ONE fact scan: every row emits its v0 insert plus (bucket-gated)
+    // its v1/v2 change entries — `when` without `otherwise` yields null
+    // slots that the post-explode filter drops. The 7-way UNION the
+    // oracle runs would re-scan orders 7 times here.
+    val log = base.select(explode(array(
+        entry(0, col("o_orderkey"), "I", col("o_orderstatus"), dec),
+        when(col("b") === 0, entry(1, col("o_orderkey"), "D", nullS, nullP)),
+        when(col("b").isin(1, 2), entry(1, col("o_orderkey"), "U", lit("X"),
+          dec + lit(BigDecimal("10.00")))),
+        when(col("b") === 3, entry(1, -(col("o_orderkey") + 1), "I", lit("N"), dec)),
+        when(col("b") === 4, entry(2, col("o_orderkey"), "D", nullS, nullP)),
+        when(col("b").isin(5, 6), entry(2, col("o_orderkey"), "U", lit("Y"),
+          dec + lit(BigDecimal("5.00")))),
+        when(col("b") === 7, entry(2, -(col("o_orderkey") + 1), "I", lit("M"), dec))
+      )).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("e.ver").as("ver"), col("e.k").as("k"), col("e.op").as("op"),
+        col("e.status").as("status"), col("e.price").as("price"))
+    val snaps = spark.range(3).select(col("id").cast("int").as("snap"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("snap"), col("k")).orderBy(col("ver").desc)
+    log.crossJoin(broadcast(snaps))
+      .filter(col("ver") <= col("snap"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .groupBy(col("snap"), col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price")).cast("double").as("sum_price"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+      .orderBy("snap", "status")
+  }
+
   val all: Seq[Q] = Seq(e1ItemPipeline, e2AssessmentPipeline, e3JsonlRoundtrip,
     e4OrcRoundtrip, e5PartitionedRoundtrip, e6BucketedJoin, e7CsvRoundtrip,
     e8SchemaEvolution, e9SortedSkipping, e10Compaction, e11Zorder,
-    e12MergeUpsert)
+    e12MergeUpsert, e13TimeTravel)
 }

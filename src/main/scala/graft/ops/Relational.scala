@@ -2102,6 +2102,74 @@ object Relational {
     perCol.reduce(_.union(_)).orderBy("tbl", "col_name")
   }
 
+  /** (table, column) pairs profiled by the KMV sketch. */
+  private val dp11Cols = Seq(
+    "orders" -> "o_custkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_partkey", "lineitem" -> "l_suppkey")
+
+  private val Kmv = 256
+  /** 2^60 — the hash universe size of [[graft.functions.DetHash.md5Long60]]. */
+  private val KmvUniverse = "1152921504606846976.0"
+
+  private def dp11ColSql(tbl: String, key: String): String =
+    s"""(WITH dh AS (
+       |  SELECT DISTINCT ('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM $tbl WHERE $key IS NOT NULL),
+       |topk AS (SELECT h FROM dh ORDER BY h LIMIT $Kmv)
+       |SELECT '$tbl' AS tbl, '$key' AS col_name,
+       |       (SELECT COUNT(*) FROM dh) AS exact_distinct,
+       |       (SELECT COUNT(*) FROM topk) AS k_eff,
+       |       (SELECT MAX(h) FROM topk) AS kth_hash,
+       |       CASE WHEN (SELECT COUNT(*) FROM topk) < $Kmv
+       |            THEN CAST((SELECT COUNT(*) FROM dh) AS DOUBLE)
+       |            ELSE ${Kmv - 1}.0 * $KmvUniverse
+       |                 / CAST((SELECT MAX(h) FROM topk) AS DOUBLE) END AS est_distinct)""".stripMargin
+
+  /** KMV (k-minimum-values) distinct-count sketch — the mergeable
+    * cardinality estimator a 100 TB profiler runs INSTEAD of
+    * `COUNT(DISTINCT)`: keep the k smallest values of a uniform hash;
+    * the k-th minimum U(k), as a fraction of the hash universe,
+    * estimates the cardinality as (k-1)/U(k) (Bar-Yossef et al. 2002).
+    * The estimate here is exactly that: `255 · 2^60 / kth_hash`, one
+    * double division of exact integers — bit-identical cross-engine.
+    * When fewer than k distinct hashes exist the sketch IS the exact
+    * answer and reports it.
+    *
+    * Scale shape, per column: the k smallest hashes come from Spark's
+    * `orderBy().limit(k)` = TakeOrderedAndProject — a per-partition
+    * partial top-k whose shuffle carries ≤ k rows per partition, never a
+    * global sort. That partial-then-merge structure is precisely the
+    * sketch's mergeability, which is what lets 1000 executors each keep
+    * 256 longs and combine. The exact count (the oracle surface the
+    * estimate is judged against) needs a real distinct — that frame is
+    * localCheckpoint-pinned so its shuffle runs once for both consumers;
+    * a production profiler at 100 TB would skip it and keep only the
+    * sketch.
+    */
+  val dp11KmvSketch: Q = Q.sql(
+    "dp11_kmv_sketch",
+    "KMV distinct-count sketch (k=256 minimum md5 hashes) vs exact cardinality, per join-key column.",
+    dp11Cols.map { case (t, k) => dp11ColSql(t, k) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_name")) { (spark, dir) =>
+    val perCol = dp11Cols.map { case (tbl, key) =>
+      val dh = Tables.table(spark, dir, tbl)
+        .filter(col(key).isNotNull)
+        .select(graft.functions.DetHash.md5Long60(col(key).cast("string")).as("h"))
+        .distinct()
+        .localCheckpoint() // one distinct shuffle feeds both the count and the top-k
+      val exact = dh.agg(count(lit(1)).as("exact_distinct"))
+      val topk = dh.orderBy("h").limit(Kmv)
+        .agg(count(lit(1)).as("k_eff"), max(col("h")).as("kth_hash"))
+      exact.crossJoin(topk).select(
+        lit(tbl).as("tbl"), lit(key).as("col_name"),
+        col("exact_distinct"), col("k_eff"), col("kth_hash"),
+        when(col("k_eff") < Kmv, col("exact_distinct").cast("double"))
+          .otherwise(lit((Kmv - 1).toDouble) * lit(1152921504606846976.0)
+            / col("kth_hash").cast("double")).as("est_distinct"))
+    }
+    perCol.reduce(_.union(_)).orderBy("tbl", "col_name")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
@@ -2112,5 +2180,5 @@ object Relational {
     q37BloomJoin, q38PeakConcurrency, q39Distribution, q40Retention,
     q41Attribution, q42Transitions, q43GroupedTopK,
     dp1Profile, dp3Histogram, dp4Correlation, dp5Outliers, dp6KsTest,
-    dp7ChiSquare, dp8Benford, dp9Expectations, dp10SkewAudit)
+    dp7ChiSquare, dp8Benford, dp9Expectations, dp10SkewAudit, dp11KmvSketch)
 }

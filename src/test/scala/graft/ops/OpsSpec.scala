@@ -938,6 +938,84 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dp11: k_eff/kth_hash recompute from the hash stream; estimate is sane") {
+    val rows = Relational.dp11KmvSketch.run(spark, sf)
+      .select("tbl", "col_name", "exact_distinct", "k_eff", "kth_hash", "est_distinct")
+      .collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val (tbl, key) = (r.getString(0), r.getString(1))
+      val hashes = graft.Tables.table(spark, sf, tbl)
+        .filter(col(key).isNotNull)
+        .select(graft.functions.DetHash.md5Long60(col(key).cast("string")).as("h"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      assert(r.getLong(2) === hashes.length.toLong, s"$tbl.$key exact_distinct")
+      val kEff = math.min(256, hashes.length)
+      assert(r.getLong(3) === kEff.toLong, s"$tbl.$key k_eff")
+      assert(r.getLong(4) === hashes(kEff - 1), s"$tbl.$key kth_hash is the k_eff-th smallest")
+      val est = r.getDouble(5)
+      if (kEff < 256) assert(est === hashes.length.toDouble, s"$tbl.$key exact passthrough")
+      else {
+        assert(est === 255.0 * 1152921504606846976.0 / hashes(255).toDouble)
+        // KMV stderr at k=256 is ~1/sqrt(254) ≈ 6.3%; 5σ bound
+        assert(math.abs(est - hashes.length) / hashes.length < 0.32,
+          s"$tbl.$key estimate off by >32%: $est vs ${hashes.length}")
+      }
+    }
+  }
+
+  test("d11: per-doc counts recompute from the in-memory paragraph model") {
+    val rows = Dedup.d11ParagraphDedup.run(spark, sf)
+      .select("doc_id", "n_para", "n_dup_para", "dup_ratio").collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === docs.size, "one row per document")
+    // full independent recompute of the paragraph model (tiny at sf0.001)
+    val paras = docs.toSeq.flatMap { case (id, text) =>
+      text.split(" ", -1).grouped(8).map(g => id -> g.mkString(" "))
+    }
+    val nDocsByPara = paras.distinct.groupBy(_._2).map { case (p, xs) => p -> xs.size }
+    assert(nDocsByPara.values.exists(_ > 1), "fixture has no cross-document paragraph")
+    rows.foreach { r =>
+      val mine = paras.collect { case (id, p) if id == r.getLong(0) => p }
+      assert(r.getLong(1) === mine.length.toLong, "n_para = ceil(words/8)")
+      assert(r.getLong(2) === mine.count(p => nDocsByPara(p) > 1).toLong,
+        s"n_dup_para recompute for doc ${r.getLong(0)}")
+      assert(r.getDouble(3) === r.getLong(2).toDouble / r.getLong(1))
+    }
+  }
+
+  test("e13: snapshot rollups reconcile across the version chain") {
+    val rows = EtlQueries.e13TimeTravel.run(spark, sf)
+      .select("snap", "status", "n_rows", "min_key", "max_key").collect()
+    val bySnap = rows.groupBy(_.getInt(0))
+    assert(bySnap.keySet === Set(0, 1, 2))
+    val orders = graft.Tables.orders(spark, sf)
+      .withColumn("b", pmod(graft.functions.DetHash.md5Long28(
+        col("o_orderkey").cast("string")), lit(20)))
+    val n = (0 until 20).map(b => b -> orders.filter(col("b") === b).count()).toMap
+    val total = n.values.sum
+    def snapTotal(s: Int) = bySnap(s).map(_.getLong(2)).sum
+    // v0 = the base table; each version then removes its deletes and
+    // adds its inserts (updates move rows across statuses, not counts)
+    assert(snapTotal(0) === total)
+    assert(snapTotal(1) === total - n(0) + n(3))
+    assert(snapTotal(2) === snapTotal(1) - n(4) + n(7))
+    val status = rows.map(r => (r.getInt(0), r.getString(1)) -> r).toMap
+    assert(status((1, "X")).getLong(2) === n(1) + n(2), "v1 updates land in X")
+    assert(status((2, "X")).getLong(2) === n(1) + n(2), "v1 updates survive at v2")
+    assert(status((2, "Y")).getLong(2) === n(5) + n(6), "v2 updates land in Y")
+    assert(!bySnap(1).exists(_.getString(1) == "Y"), "v2 ops leaked into snapshot 1")
+    // inserted rows live in strictly negative key space, originals don't
+    Seq((1, "N"), (2, "N"), (2, "M")).foreach { case (s, st) =>
+      assert(status((s, st)).getLong(4) < 0, s"insert keys non-negative in $s/$st")
+    }
+    rows.filter(r => r.getString(1) != "N" && r.getString(1) != "M")
+      .foreach(r => assert(r.getLong(3) >= 0,
+        s"negative key leaked into ${r.getInt(0)}/${r.getString(1)}"))
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
