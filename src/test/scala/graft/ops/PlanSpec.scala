@@ -512,4 +512,38 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan ExistingRDD".r.findAllIn(p).size >= 5,
       s"expected 5 pinned histogram scans in:\n$p")
   }
+
+  test("dp11: the k smallest hashes come from a partial top-k, never a global sort") {
+    val p = plan(Relational.dp11KmvSketch)
+    // TakeOrderedAndProject = per-partition top-k + merge — the sketch's
+    // mergeability made physical; a global Sort before the limit would
+    // shuffle every distinct hash to one task
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 4,
+      s"top-k fell back to a sort in:\n$p")
+    // both consumers (exact count + top-k) read the pinned distinct frame
+    assert(!p.contains("Scan parquet"),
+      s"fact table re-scanned downstream of the distinct pin:\n$p")
+  }
+
+  test("d11: corpus frequency and join-back meet on the hash key; no pair space") {
+    val p = plan(Dedup.d11ParagraphDedup)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"paragraph join fell back to a pair space:\n$p")
+    // the paragraph frame is pinned: chunking ran once inside the scan
+    assert(!p.contains("Scan parquet"),
+      s"documents re-scanned downstream of the paragraph pin:\n$p")
+  }
+
+  test("e13: the changelog is ONE fact scan; the per-key sort is group-limited") {
+    val p = plan(EtlQueries.e13TimeTravel)
+    // AdaptiveSparkPlan prints the final plan then repeats the initial
+    // one — count scans in the final section only
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(finalPlan).size === 1,
+      s"changelog derivation re-scans orders:\n$p")
+    // Catalyst prunes the row_number sort to the top row per (snap, key)
+    // BEFORE the exchange — the rank-pushdown that keeps the as-of read
+    // from sorting full version history at scale
+    assert(p.contains("WindowGroupLimit"), s"no rank pushdown in:\n$p")
+  }
 }
