@@ -876,8 +876,86 @@ object EtlQueries {
       .orderBy("snap", "status")
   }
 
+  /** Right-to-be-forgotten cascade — the GDPR/CCPA delete a 100 TB
+    * lakehouse must run across every table that references a user: a
+    * tombstone set of customers (~1%, md5-bucketed so both engines derive
+    * the same set) removed from `customer`, cascading to their `orders`
+    * and to those orders' `lineitem` rows. Every delete is an anti-join
+    * against a key frame — the deletion-vector shape: the tombstone and
+    * cascaded-order key sets are both tiny fractions of their tables, so
+    * Spark broadcasts them and each fact table is ONE linear scan; no
+    * fact-to-fact shuffle anywhere.
+    *
+    * The audit result carries, per table, before/deleted/after counts AND
+    * an md5 checksum over the SURVIVING keys — counts alone can't tell
+    * "deleted the right rows" from "deleted the right number of wrong
+    * rows" (checksum sums stay < 2^53: 60M rows × 2^28 hash).
+    */
+  val e14ForgetCascade: Q = Q.sql(
+    "e14_forget_cascade",
+    "GDPR cascade delete: md5-derived customer tombstones anti-joined through customer→orders→lineitem; per-table audit with survivor checksum.",
+    """WITH tomb AS MATERIALIZED (
+      |  SELECT c_custkey FROM customer
+      |  WHERE ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 7))::BIGINT % 97 = 0),
+      |dord AS MATERIALIZED (
+      |  SELECT o_orderkey FROM orders o JOIN tomb t ON o.o_custkey = t.c_custkey),
+      |c_surv AS (SELECT c_custkey AS k FROM customer
+      |           WHERE c_custkey NOT IN (SELECT c_custkey FROM tomb)),
+      |o_surv AS (SELECT o_orderkey AS k FROM orders
+      |           WHERE o_custkey NOT IN (SELECT c_custkey FROM tomb)),
+      |l_surv AS (SELECT l_orderkey AS k FROM lineitem
+      |           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM dord)),
+      |audit AS (
+      |  SELECT 'customer' AS tbl, (SELECT COUNT(*) FROM customer) AS n_before,
+      |         COUNT(*) AS n_after,
+      |         CAST(SUM(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 7))::BIGINT) AS BIGINT) AS survivor_checksum
+      |  FROM c_surv
+      |  UNION ALL
+      |  SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem), COUNT(*),
+      |         CAST(SUM(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 7))::BIGINT) AS BIGINT)
+      |  FROM l_surv
+      |  UNION ALL
+      |  SELECT 'orders', (SELECT COUNT(*) FROM orders), COUNT(*),
+      |         CAST(SUM(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 7))::BIGINT) AS BIGINT)
+      |  FROM o_surv)
+      |SELECT tbl, n_before, n_before - n_after AS n_deleted, n_after, survivor_checksum
+      |FROM audit ORDER BY tbl""".stripMargin) { (spark, dir) =>
+    def hsum = sum(graft.functions.DetHash.md5Long28(col("k").cast("string")))
+      .cast("long").as("survivor_checksum")
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val tomb = customer
+      .filter(pmod(graft.functions.DetHash.md5Long28(
+        col("c_custkey").cast("string")), lit(97)) === 0)
+      .select(col("c_custkey"))
+    // cascaded order tombstones: orders of forgotten customers
+    val dord = orders.join(broadcast(tomb),
+        orders("o_custkey") === tomb("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    def audit(tbl: String, before: org.apache.spark.sql.DataFrame,
+        surv: org.apache.spark.sql.DataFrame) =
+      surv.agg(count(lit(1)).as("n_after"), hsum)
+        .crossJoin(broadcast(before.agg(count(lit(1)).as("n_before"))))
+        .select(lit(tbl).as("tbl"), col("n_before"),
+          (col("n_before") - col("n_after")).as("n_deleted"),
+          col("n_after"), col("survivor_checksum"))
+    val cSurv = customer.join(broadcast(tomb), Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey").as("k"))
+    val oSurv = orders.join(broadcast(tomb),
+        orders("o_custkey") === tomb("c_custkey"), "left_anti")
+      .select(col("o_orderkey").as("k"))
+    val lSurv = lineitem.join(broadcast(dord),
+        lineitem("l_orderkey") === dord("o_orderkey"), "left_anti")
+      .select(col("l_orderkey").as("k"))
+    audit("customer", customer, cSurv)
+      .unionAll(audit("lineitem", lineitem, lSurv))
+      .unionAll(audit("orders", orders, oSurv))
+      .orderBy("tbl")
+  }
+
   val all: Seq[Q] = Seq(e1ItemPipeline, e2AssessmentPipeline, e3JsonlRoundtrip,
     e4OrcRoundtrip, e5PartitionedRoundtrip, e6BucketedJoin, e7CsvRoundtrip,
     e8SchemaEvolution, e9SortedSkipping, e10Compaction, e11Zorder,
-    e12MergeUpsert, e13TimeTravel)
+    e12MergeUpsert, e13TimeTravel, e14ForgetCascade)
 }

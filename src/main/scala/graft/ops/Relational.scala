@@ -2170,6 +2170,75 @@ object Relational {
     perCol.reduce(_.union(_)).orderBy("tbl", "col_name")
   }
 
+  /** Engine-portable Bloom filter — the sketch 100 TB joins actually ship
+    * across the wire (q37 exercises Spark's runtime-injected bloom; this
+    * one builds the filter FROM FIRST PRINCIPLES with md5-derived bit
+    * positions, so every bit is reproducible in any engine). k=4 hash
+    * functions into m = 16·n bits (m derived from the corpus count, the
+    * s5/d5 adaptive-control pattern — a fixed m saturates to all-ones one
+    * decade up and the filter stops filtering; 16 bits/key holds the
+    * false-positive rate near (1−e^(−1/4))^4 ≈ 0.24% at EVERY scale).
+    *
+    * Scale shape: the bit set is explode(4 positions) → distinct — one
+    * hash shuffle; the set is pinned (count + probe join both read it).
+    * Mergeability is the point: per-partition bitmaps OR together, which
+    * is why a 1000-executor build is one treeked OR, not a shuffle of
+    * keys. The probe side (1000 keys from the disjoint negative space,
+    * so every hit is a FALSE positive by construction) broadcasts its
+    * 4000 bit rows against the set; a probe passes only if all 4 bits
+    * are present — the measured fpp lands in the output next to its
+    * design bound.
+    */
+  val dp12BloomProfile: Q = Q.sql(
+    "dp12_bloom_profile",
+    "First-principles Bloom filter over the order keys (k=4, m=16n md5 bits): fill ratio + measured false-positive rate on disjoint probes.",
+    """WITH ks AS MATERIALIZED (SELECT DISTINCT o_orderkey AS key FROM orders),
+      |st AS MATERIALIZED (SELECT 16 * COUNT(*) AS m FROM ks),
+      |bits AS MATERIALIZED (
+      |  SELECT DISTINCT ('0x' || substring(md5('bf' || CAST(i AS VARCHAR) || ':' ||
+      |    CAST(key AS VARCHAR)), 1, 15))::BIGINT % (SELECT m FROM st) AS bit
+      |  FROM ks, UNNEST([0, 1, 2, 3]) AS t(i)),
+      |pbits AS (
+      |  SELECT -g.pid AS key,
+      |         ('0x' || substring(md5('bf' || CAST(i AS VARCHAR) || ':' ||
+      |           CAST(-g.pid AS VARCHAR)), 1, 15))::BIGINT % (SELECT m FROM st) AS bit
+      |  FROM UNNEST(generate_series(1, 1000)) AS g(pid), UNNEST([0, 1, 2, 3]) AS t(i)),
+      |hits AS (
+      |  SELECT pb.key FROM pbits pb JOIN bits b ON pb.bit = b.bit
+      |  GROUP BY pb.key HAVING COUNT(*) = 4)
+      |SELECT (SELECT COUNT(*) FROM ks) AS n_keys,
+      |       (SELECT m FROM st) AS m_bits,
+      |       (SELECT COUNT(*) FROM bits) AS n_bits_set,
+      |       CAST((SELECT COUNT(*) FROM bits) AS DOUBLE) / (SELECT m FROM st) AS fill_ratio,
+      |       (SELECT COUNT(*) FROM hits) AS fp_count""".stripMargin) { (spark, dir) =>
+    val keys = Tables.orders(spark, dir).select(col("o_orderkey").as("key"))
+    // m is driver-side control derived from one metadata-cheap count
+    // (d5-stride precedent); both engines compute 16·n exactly
+    val nKeys = keys.count()
+    val m = 16L * nKeys
+    def bitCol(k: Column, i: Column): Column =
+      pmod(graft.functions.DetHash.md5Long60(
+        concat(lit("bf"), i.cast("string"), lit(":"), k.cast("string"))), lit(m))
+    val is = explode(array((0 to 3).map(lit(_)): _*)).as("i")
+    val bits = keys.select(col("key"), is)
+      .select(bitCol(col("key"), col("i")).as("bit"))
+      .distinct()
+      .localCheckpoint() // pinned: the fill count and the probe join both read it
+    val probes = spark.range(1, 1001).select((-col("id")).as("key"))
+    val pbits = probes.select(col("key"), is)
+      .select(col("key"), bitCol(col("key"), col("i")).as("bit"))
+    val fp = broadcast(pbits).join(bits, "bit")
+      .groupBy(col("key")).agg(count(lit(1)).as("nb"))
+      .filter(col("nb") === 4)
+      .agg(count(lit(1)).as("fp_count"))
+    bits.agg(count(lit(1)).as("n_bits_set"))
+      .crossJoin(fp)
+      .select(lit(nKeys).as("n_keys"), lit(m).as("m_bits"),
+        col("n_bits_set"),
+        (col("n_bits_set").cast("double") / lit(m.toDouble)).as("fill_ratio"),
+        col("fp_count"))
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
@@ -2180,5 +2249,6 @@ object Relational {
     q37BloomJoin, q38PeakConcurrency, q39Distribution, q40Retention,
     q41Attribution, q42Transitions, q43GroupedTopK,
     dp1Profile, dp3Histogram, dp4Correlation, dp5Outliers, dp6KsTest,
-    dp7ChiSquare, dp8Benford, dp9Expectations, dp10SkewAudit, dp11KmvSketch)
+    dp7ChiSquare, dp8Benford, dp9Expectations, dp10SkewAudit, dp11KmvSketch,
+    dp12BloomProfile)
 }

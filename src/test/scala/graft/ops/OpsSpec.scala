@@ -1016,6 +1016,59 @@ class OpsSpec extends AnyFunSuite {
         s"negative key leaked into ${r.getInt(0)}/${r.getString(1)}"))
   }
 
+  test("e14: cascade reconciles — tombstones, their orders, those orders' lines") {
+    val rows = EtlQueries.e14ForgetCascade.run(spark, sf)
+      .select("tbl", "n_before", "n_deleted", "n_after", "survivor_checksum")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h28(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16)
+    }
+    val custkeys = graft.Tables.customer(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val tomb = custkeys.filter(k => h28(k.toString) % 97 == 0).toSet
+    val orders = graft.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val dord = orders.collect { case (ok, ck) if tomb(ck) => ok }.toSet
+    val lkeys = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey").collect().map(_.getLong(0))
+    assert(rows("customer").getLong(2) === tomb.size.toLong)
+    assert(rows("orders").getLong(2) === dord.size.toLong)
+    assert(rows("lineitem").getLong(2) === lkeys.count(dord).toLong)
+    Seq("customer", "orders", "lineitem").foreach { t =>
+      val r = rows(t)
+      assert(r.getLong(1) - r.getLong(2) === r.getLong(3), s"$t counts don't reconcile")
+    }
+    val survSum = orders.collect { case (ok, ck) if !tomb(ck) => h28(ok.toString) }.sum
+    assert(rows("orders").getLong(4) === survSum, "orders survivor checksum recompute")
+  }
+
+  test("dp12: bit set, fill and false positives recompute from first principles") {
+    val r = Relational.dp12BloomProfile.run(spark, sf)
+      .select("n_keys", "m_bits", "n_bits_set", "fill_ratio", "fp_count").first()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val keys = graft.Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val m = 16L * keys.length
+    def bits(k: Long): Seq[Long] = (0 to 3).map(i => h60(s"bf$i:$k") % m)
+    val set = keys.flatMap(bits).toSet
+    assert(r.getLong(0) === keys.length.toLong)
+    assert(r.getLong(1) === m)
+    assert(r.getLong(2) === set.size.toLong)
+    assert(r.getDouble(3) === set.size.toDouble / m)
+    val fp = (1L to 1000L).count(p => bits(-p).forall(set))
+    assert(r.getLong(4) === fp.toLong, "false-positive probe recompute")
+    // the design bound: m=16n keeps measured fpp within an order of
+    // magnitude of (1-e^(-1/4))^4 at any scale
+    assert(fp <= 30, s"fpp ${fp / 1000.0} far above the 0.24% design point")
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

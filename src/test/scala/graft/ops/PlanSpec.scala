@@ -534,6 +534,27 @@ class PlanSpec extends AnyFunSuite {
       s"documents re-scanned downstream of the paragraph pin:\n$p")
   }
 
+  test("e14: every cascade delete is a broadcast anti/semi join, never a shuffle join") {
+    val p = plan(EtlQueries.e14ForgetCascade)
+    // tombstone and cascaded-order key frames are tiny fractions of
+    // their tables — at 100 TB they broadcast; a SortMergeJoin here
+    // would shuffle the full fact table to delete 1% of it
+    assert(!p.contains("SortMergeJoin"), s"cascade delete shuffles a fact table:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected 3+ broadcast deletes in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dp12: the bit set is pinned; probes broadcast against it") {
+    val p = plan(Relational.dp12BloomProfile)
+    // fill count and probe join both read the localCheckpoint-pinned
+    // distinct bit set — the explode+distinct runs exactly once
+    assert(!p.contains("Scan parquet"),
+      s"bit set rebuilt from the fact table downstream of the pin:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("e13: the changelog is ONE fact scan; the per-key sort is group-limited") {
     val p = plan(EtlQueries.e13TimeTravel)
     // AdaptiveSparkPlan prints the final plan then repeats the initial
