@@ -914,7 +914,7 @@ object Dedup {
     "d10_dedup_embedding_lsh",
     s"Bucketed high-threshold embedding dedup: $D10_BANDS×$D10_BAND_BITS-bit sign-LSH bands, exact verify at cos >= $D10_T, keep/drop verdicts.",
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |aug AS (
+       |aug AS MATERIALIZED (
        |  SELECT vec_id, v FROM e
        |  UNION ALL
        |  SELECT vec_id + $D10_DUP_OFFSET AS vec_id,
@@ -922,7 +922,7 @@ object Dedup {
        |           (1 + (('0x' || substring(md5('d10e:' || vec_id || ':' || i), 1, 6))::BIGINT
        |                 % 1000 - 500) / 100000.0)) AS v
        |  FROM e WHERE vec_id % $D10_DUP_EVERY = 0),
-       |n AS (
+       |n AS MATERIALIZED (
        |  SELECT vec_id, v,
        |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
@@ -935,10 +935,10 @@ object Dedup {
        |         THEN 1 ELSE 0 END AS bit
        |  FROM n CROSS JOIN pl
        |  CROSS JOIN (SELECT UNNEST(range(${D10_BANDS * D10_BAND_BITS})) AS p) p),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  SELECT vec_id, p // $D10_BAND_BITS AS band, SUM(bit << (p % $D10_BAND_BITS)) AS bkey
        |  FROM bit GROUP BY 1, 2),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
