@@ -2239,6 +2239,80 @@ object Relational {
         col("fp_count"))
   }
 
+  /** Higher-moment distribution profile per event_type — mean, σ,
+    * skewness, excess kurtosis — the shape statistics a drift monitor
+    * tracks beyond dp1's min/max and dp5's z-scores. Exactness strategy:
+    * values fix-point to ×100 BIGINTs, pass 1 takes (n, Σq) and the
+    * INTEGER mean `Σq div n` (exact floor division in both engines),
+    * pass 2 accumulates the centered power sums Σd², Σd³, Σd⁴ about that
+    * integer mean in DECIMAL(38,0)/HUGEINT — so every statistic derives
+    * from exact integers with ONE fixed-order double combination at the
+    * end. Centering is what keeps this 2-pass: the 1-pass raw-moment
+    * identity needs n³·Σq⁴ ≈ 10⁴⁶ at 10M rows — past any 128-bit
+    * accumulator — while centered rows are |d| ≤ 3.3e4, d⁴ ≤ 1.2e18,
+    * safely BIGINT per row at any corpus size. Skew/kurtosis are
+    * scale-free in n: g₁ = Σd³·√n / (Σd²)^{3/2}, g₂ = Σd⁴·n / (Σd²)² − 3
+    * (the √x·x form, not pow(x,1.5) — pow is a libm seam, sqrt is IEEE
+    * correctly rounded).
+    *
+    * Scale shape: two linear scans (stats then centered sums), the 5-row
+    * stats frame broadcast back (dp5's pattern) — no window, no sort;
+    * both aggregates map-side partial. At 100 TB the second pass is the
+    * price of 128-bit-safe exactness; a 256-bit accumulator would fold
+    * it to one pass.
+    */
+  val dp13Moments: Q = Q.sql(
+    "dp13_moments",
+    "Exact-arithmetic higher moments per event_type: mean, std, skewness, excess kurtosis from centered integer power sums.",
+    """WITH f AS (
+      |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS q FROM events),
+      |st AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(q) AS s1,
+      |         CAST(SUM(q) // COUNT(*) AS BIGINT) AS muq
+      |  FROM f GROUP BY 1),
+      |c AS (
+      |  SELECT f.event_type, f.q - st.muq AS d
+      |  FROM f JOIN st ON f.event_type = st.event_type),
+      |m AS (
+      |  SELECT event_type, SUM(d*d) AS d2, SUM(d*d*d) AS d3, SUM(d*d*d*d) AS d4
+      |  FROM c GROUP BY 1)
+      |SELECT st.event_type, st.n,
+      |       ROUND(CAST(st.s1 AS DOUBLE) / CAST(st.n AS DOUBLE) / 100.0, 6) AS mean_value,
+      |       ROUND(SQRT(CAST(m.d2 AS DOUBLE) / CAST(st.n AS DOUBLE)) / 100.0, 6) AS std_value,
+      |       ROUND(CAST(m.d3 AS DOUBLE) * SQRT(CAST(st.n AS DOUBLE))
+      |             / (CAST(m.d2 AS DOUBLE) * SQRT(CAST(m.d2 AS DOUBLE))), 6) AS skewness,
+      |       ROUND(CAST(m.d4 AS DOUBLE) * CAST(st.n AS DOUBLE)
+      |             / (CAST(m.d2 AS DOUBLE) * CAST(m.d2 AS DOUBLE)) - 3.0, 6) AS kurtosis_x
+      |FROM st JOIN m ON st.event_type = m.event_type
+      |ORDER BY st.event_type""".stripMargin) { (spark, dir) =>
+    val f = Tables.events(spark, dir).select(col("event_type"),
+      round(col("value") * 100, 0).cast("bigint").as("q"))
+    val st = f.groupBy(col("event_type").as("et")).agg(
+        count(lit(1)).as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("s1"))
+      .withColumn("muq", expr("s1 div n"))
+    def sdec(c: Column) = sum(c.cast("decimal(38,0)"))
+    val m = f.join(broadcast(st), col("event_type") === col("et"))
+      .select(col("event_type"), (col("q") - col("muq")).as("d"))
+      .groupBy(col("event_type"))
+      .agg(sdec(col("d") * col("d")).as("d2"),
+        sdec(col("d") * col("d") * col("d")).as("d3"),
+        sdec(col("d") * col("d") * col("d") * col("d")).as("d4"))
+    m.join(broadcast(st), col("event_type") === col("et"))
+      .select(col("event_type"), col("n"),
+        round(col("s1").cast("double") / col("n").cast("double") / 100.0, 6)
+          .as("mean_value"),
+        round(sqrt(col("d2").cast("double") / col("n").cast("double")) / 100.0, 6)
+          .as("std_value"),
+        round(col("d3").cast("double") * sqrt(col("n").cast("double"))
+          / (col("d2").cast("double") * sqrt(col("d2").cast("double"))), 6)
+          .as("skewness"),
+        round(col("d4").cast("double") * col("n").cast("double")
+          / (col("d2").cast("double") * col("d2").cast("double")) - 3.0, 6)
+          .as("kurtosis_x"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
@@ -2250,5 +2324,5 @@ object Relational {
     q41Attribution, q42Transitions, q43GroupedTopK,
     dp1Profile, dp3Histogram, dp4Correlation, dp5Outliers, dp6KsTest,
     dp7ChiSquare, dp8Benford, dp9Expectations, dp10SkewAudit, dp11KmvSketch,
-    dp12BloomProfile)
+    dp12BloomProfile, dp13Moments)
 }

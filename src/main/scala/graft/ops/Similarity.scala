@@ -1123,7 +1123,141 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  private val KM_K = 8       // cells (matches s3/s12's coarse level)
+  private val KM_ROUNDS = 3  // Lloyd iterations (driver-unrolled)
+
+  /** One Lloyd assignment round in DuckDB SQL: every vector to its
+    * min-squared-L2 centroid from the array'd centroid CTE `arr`,
+    * ties to the lower cell id. The distance is a left fold in index
+    * order — bit-identical to Spark's `aggregate(zip_with(...))`.
+    */
+  private def kmAssignSql(arr: String): String =
+    s"""  SELECT vec_id, v, cell, dist FROM (
+       |    SELECT vec_id, v, cell, dist,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM (SELECT e.vec_id, e.v, a.cell,
+       |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |              list_transform(range(1, len(e.v) + 1),
+       |                i -> (e.v[i] - a.cv[i]) * (e.v[i] - a.cv[i]))), (x, y) -> x + y) AS dist
+       |          FROM e CROSS JOIN $arr a))
+       |  WHERE rn = 1""".stripMargin
+
+  /** One Lloyd round r in DuckDB SQL: array the previous centroids,
+    * assign, and re-estimate each (cell, pos) mean with the s4
+    * quantized-exact sum (empty cells keep their previous centroid).
+    */
+  private def kmRoundSql(r: Int): String =
+    s"""a$r AS (SELECT cell, list(c ORDER BY pos) AS cv FROM c${r - 1} GROUP BY cell),
+       |g$r AS (
+       |${kmAssignSql(s"a$r")}),
+       |s$r AS (
+       |  SELECT cell, u.p AS pos,
+       |         SUM(CAST(FLOOR(u.x * 10000000.0) AS BIGINT)) AS sq, COUNT(*) AS cnt
+       |  FROM (SELECT cell, UNNEST(list_transform(range(0, len(v)),
+       |          i -> struct_pack(p := i, x := v[i + 1]))) AS u
+       |        FROM g$r)
+       |  GROUP BY 1, 2),
+       |c$r AS (
+       |  SELECT p.cell, p.pos,
+       |         COALESCE(CAST(s.sq AS DOUBLE) / 10000000.0 / s.cnt, p.c) AS c
+       |  FROM c${r - 1} p LEFT JOIN s$r s ON p.cell = s.cell AND p.pos = s.pos)""".stripMargin
+
+  /** Lloyd's k-means TRAINING — the index-build step every coarse
+    * quantizer in this family assumes: s3/s8/s12 partition around
+    * "deterministic centroids (a real build would k-means these)" and
+    * d9's SemDeDup prunes per cell. This operator IS that build:
+    * [[KM_ROUNDS]] driver-unrolled rounds of assign → re-estimate over
+    * the full corpus, init = the first [[KM_K]] vectors (s3's exact
+    * seed set, so the trained cells refine the cells the searchers use).
+    *
+    * Determinism (the reason textbook k-means is NOT reproducible
+    * across engines): (a) init is fixed, not sampled; (b) the squared-L2
+    * distance is a fixed-order index fold, bit-identical in both
+    * engines; (c) assignment ties break on cell id; (d) the centroid
+    * update — the one place a float SUM over a shuffle would inject
+    * reduction-order noise — uses [[s4LabelCentroids]]'s quantized-exact
+    * trick: `floor(x·1e7)` longs summed in exact integer arithmetic,
+    * divided back in one fixed-order double expression. Empty cells
+    * deterministically keep their previous centroid.
+    *
+    * Scale shape: per round, ONE corpus map stage against an 8-row
+    * broadcast centroid table (no shuffle) + one (cell, pos) hash
+    * aggregate with map-side partials (K·DIMS = 512 groups — constant,
+    * data-independent). The centroid frame is localCheckpoint-pinned per
+    * round (the g1 contract) so round r+1's lineage doesn't replay round
+    * r's corpus pass. At 100 TB this is Lloyd's exactly as a cluster
+    * runs it: linear passes, centroids always broadcast, never collected.
+    * Output: flat (cell, pos, centroid) + per-cell member count and
+    * quantized inertia — the layout s3's assignment step consumes.
+    */
+  val s14KmeansTrain: Q = Q.sql(
+    "s14_kmeans_train",
+    s"Lloyd k-means centroid training ($KM_K cells, $KM_ROUNDS rounds, quantized-exact updates): flat centroids + cell sizes + inertia.",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS cell, u.p AS pos, u.x AS c
+       |  FROM (SELECT vec_id, UNNEST(list_transform(range(0, len(v)),
+       |          i -> struct_pack(p := i, x := v[i + 1]))) AS u
+       |        FROM e WHERE vec_id < $KM_K)),
+       |${(1 to KM_ROUNDS).map(kmRoundSql).mkString(",\n")},
+       |af AS (SELECT cell, list(c ORDER BY pos) AS cv FROM c$KM_ROUNDS GROUP BY cell),
+       |gf AS (
+       |${kmAssignSql("af")}),
+       |st AS (
+       |  SELECT cell, COUNT(*) AS n_members,
+       |         SUM(CAST(FLOOR(dist * 1000000.0) AS BIGINT)) AS inertia_q
+       |  FROM gf GROUP BY 1)
+       |SELECT c.cell, c.pos, c.c AS centroid,
+       |       COALESCE(st.n_members, 0) AS n_members,
+       |       CAST(COALESCE(st.inertia_q, 0) AS BIGINT) AS inertia_q
+       |FROM c$KM_ROUNDS c LEFT JOIN st ON c.cell = st.cell
+       |ORDER BY c.cell, c.pos""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    var cent: DataFrame = e.filter(col("vec_id") < KM_K)
+      .select(col("vec_id").as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("cell"), col("pos").cast("bigint").as("pos"), col("x").as("c"))
+      .localCheckpoint()
+    def centArr(c: DataFrame): DataFrame =
+      c.groupBy(col("cell"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("cv"))
+    val dist = aggregate(
+      zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, z) => acc + z)
+    def assign(c: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+      e.crossJoin(broadcast(centArr(c)))
+        .withColumn("dist", dist)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cell"), col("dist"))
+    }
+    for (_ <- 1 to KM_ROUNDS) {
+      val sums = assign(cent)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("cell"), col("pos").cast("bigint").as("pos"), col("x"))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(floor(col("x") * lit(1.0e7))).as("sq"), count(lit(1)).as("cnt"))
+      cent = cent.join(sums, Seq("cell", "pos"), "left")
+        .select(col("cell"), col("pos"),
+          coalesce(col("sq").cast("double") / lit(1.0e7) / col("cnt"), col("c")).as("c"))
+        .localCheckpoint()
+    }
+    val stats = assign(cent)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(floor(col("dist") * lit(1.0e6))).as("inertia_q"))
+    cent.join(broadcast(stats), Seq("cell"), "left")
+      .select(col("cell"), col("pos"), col("c").as("centroid"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("inertia_q"), lit(0L)).as("inertia_q"))
+      .orderBy("cell", "pos")
+  }
+
   val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4LabelCentroids,
     s5KnnJoin, s6Quantize, s7Mips, s8AnnRerank, s9RetrievalE2e, s10PqEncode,
-    s11RecallCurve, s12IvfPq, s13HybridRrf)
+    s11RecallCurve, s12IvfPq, s13HybridRrf, s14KmeansTrain)
 }

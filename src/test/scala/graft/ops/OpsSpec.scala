@@ -964,6 +964,79 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s14: full Lloyd recompute in driver memory matches bit-for-bit") {
+    val rows = Similarity.s14KmeansTrain.run(spark, sf)
+      .select("cell", "pos", "centroid", "n_members", "inertia_q").collect()
+    assert(rows.length === 8 * 64, "8 cells x 64 dims")
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    // the same fixed-order arithmetic, sequentially: fold-order distance,
+    // min-dist/min-cell assignment, floor(x*1e7) integer mean
+    def dist(v: Array[Double], c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
+      acc
+    }
+    def assign(cent: Array[Array[Double]]) = vecs.map { case (_, v) =>
+      var best = 0; var bd = dist(v, cent(0))
+      for (k <- 1 until 8) { val d = dist(v, cent(k)); if (d < bd) { bd = d; best = k } }
+      (best, v, bd)
+    }
+    var cent = vecs.take(8).map(_._2.clone)
+    for (_ <- 1 to 3) {
+      val a = assign(cent)
+      cent = (0 until 8).toArray.map { k =>
+        val members = a.collect { case (c, v, _) if c == k => v }
+        if (members.isEmpty) cent(k)
+        else Array.tabulate(64) { p =>
+          members.map(v => math.floor(v(p) * 1.0e7).toLong).sum.toDouble / 1.0e7 / members.length
+        }
+      }
+    }
+    val fin = assign(cent)
+    val nBy = fin.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val iqBy = fin.groupBy(_._1).map { case (k, xs) =>
+      k -> xs.map(x => math.floor(x._3 * 1.0e6).toLong).sum
+    }
+    rows.foreach { r =>
+      val (k, p) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      assert(r.getDouble(2) === cent(k)(p), s"centroid($k,$p)")
+      assert(r.getLong(3) === nBy.getOrElse(k, 0L), s"n_members($k)")
+      assert(r.getLong(4) === iqBy.getOrElse(k, 0L), s"inertia_q($k)")
+    }
+    assert(nBy.values.sum === vecs.length.toLong, "every vector assigned once")
+  }
+
+  test("dp13: moments recompute from exact integer sums in driver memory") {
+    val rows = Relational.dp13Moments.run(spark, sf).collect()
+    val vals = graft.Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100, 0).cast("bigint"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    assert(rows.length === vals.size)
+    rows.foreach { r =>
+      val qs = vals(r.getString(0))
+      val n = qs.length.toLong
+      val s1 = qs.map(BigInt(_)).sum
+      val muq = (s1 / n).toLong // positive values: floor = truncate
+      val d = qs.map(_ - muq)
+      val d2 = d.map(x => BigInt(x) * x).sum
+      val d3 = d.map(x => BigInt(x) * x * x).sum
+      val d4 = d.map(x => BigInt(x) * x * x * x).sum
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Double]("mean_value") === r6(s1.toDouble / n / 100.0))
+      assert(r.getAs[Double]("std_value") === r6(math.sqrt(d2.toDouble / n) / 100.0))
+      assert(r.getAs[Double]("skewness") ===
+        r6(d3.toDouble * math.sqrt(n.toDouble) / (d2.toDouble * math.sqrt(d2.toDouble))))
+      assert(r.getAs[Double]("kurtosis_x") ===
+        r6(d4.toDouble * n / (d2.toDouble * d2.toDouble) - 3.0))
+    }
+  }
+
   test("d11: per-doc counts recompute from the in-memory paragraph model") {
     val rows = Dedup.d11ParagraphDedup.run(spark, sf)
       .select("doc_id", "n_para", "n_dup_para", "dup_ratio").collect()

@@ -513,6 +513,26 @@ class PlanSpec extends AnyFunSuite {
       s"expected 5 pinned histogram scans in:\n$p")
   }
 
+  test("s14: centroids broadcast every round; corpus never shuffle-joins") {
+    val p = plan(Similarity.s14KmeansTrain)
+    // each Lloyd round crossJoins the corpus against the 8-row broadcast
+    // centroid table; the (cell,pos) update aggregate is map-side partial
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroids not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffle-join in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation in:\n$p")
+  }
+
+  test("dp13: stats broadcast back onto the stream; no window anywhere") {
+    val p = plan(Relational.dp13Moments)
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast in:\n$p")
+    assert(!p.contains("Window"), s"window crept in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation in:\n$p")
+  }
+
   test("dp11: the k smallest hashes come from a partial top-k, never a global sort") {
     val p = plan(Relational.dp11KmvSketch)
     // TakeOrderedAndProject = per-partition top-k + merge — the sketch's
