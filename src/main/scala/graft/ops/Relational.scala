@@ -2313,6 +2313,113 @@ object Relational {
       .orderBy("event_type")
   }
 
+  private val Dp14K = 256
+  private val dp14Ps = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+  /** Mergeable QUANTILE sketch by deterministic bottom-k sampling — the
+    * third first-principles sketch next to dp11 (cardinality) and dp12
+    * (membership): keep the [[Dp14K]] rows with the smallest md5 hashes
+    * per group (a uniform deterministic sample — the hash plays the
+    * random tape, so both engines draw the SAME sample), estimate
+    * p50/p90/p99 as the sample's type-1 quantiles, and report them next
+    * to the exact quantiles computed from the full data. Bottom-k
+    * sampling is mergeable exactly like dp11's KMV: 1000 executors each
+    * keep their 256 smallest (hash, value) pairs and the union's bottom
+    * 256 is the global sample — per-partition partial top-k, ≤ k rows
+    * shuffled per partition. The sample here comes from the SAME
+    * map-side [[graft.functions.TopKPairs]] aggregate q43 pins (score
+    * −hash: top-k by −h ASC = bottom-k by hash), reused as a SAMPLER.
+    *
+    * The exact side it is judged against: per-(group, value) counts
+    * (values fix-point to ×100 cents, so the domain is ≤ 33k distinct
+    * cells), running CDF over that count-of-values histogram, quantile =
+    * min value with cum ≥ ⌈p·n⌉. The windows run over the tiny histogram
+    * — bounded by the VALUE DOMAIN, not the row count (dp10's trick) — a
+    * 100 TB profiler would keep only the sketch and skip that pass.
+    * Rank arithmetic (⌈p·k⌉, ⌈p·n⌉) is the same IEEE multiply + ceil in
+    * both engines; ties inside the sample collapse to the same value at
+    * any rank, so the compare is hash-exact.
+    */
+  val dp14QuantileSketch: Q = Q.sql(
+    "dp14_quantile_sketch",
+    s"Bottom-k (k=$Dp14K md5) sampled quantile sketch per event_type: p50/p90/p99 estimates vs exact type-1 quantiles.",
+    s"""WITH f AS (
+       |  SELECT event_type, event_id, CAST(ROUND(value * 100) AS BIGINT) AS q
+       |  FROM events),
+       |h AS (
+       |  SELECT event_type, q,
+       |         ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM f),
+       |samp AS (
+       |  SELECT event_type, q,
+       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, q) AS rn
+       |  FROM h),
+       |sk AS (
+       |  SELECT event_type, q,
+       |         COUNT(*) OVER (PARTITION BY event_type) AS k_eff,
+       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY q) AS vr
+       |  FROM samp WHERE rn <= $Dp14K),
+       |est AS (
+       |  SELECT event_type, k_eff,
+       |${dp14Ps.map { case (nm, p) =>
+            s"         CAST(MAX(CASE WHEN vr = CAST(CEIL($p * k_eff) AS BIGINT) THEN q END) AS DOUBLE) / 100.0 AS est_$nm"
+          }.mkString(",\n")}
+       |  FROM sk GROUP BY 1, 2),
+       |cnt AS (SELECT event_type, q, COUNT(*) AS c FROM f GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, q,
+       |         SUM(c) OVER (PARTITION BY event_type ORDER BY q) AS cum,
+       |         SUM(c) OVER (PARTITION BY event_type) AS n
+       |  FROM cnt),
+       |ex AS (
+       |  SELECT event_type, n,
+       |${dp14Ps.map { case (nm, p) =>
+            s"         CAST(MIN(CASE WHEN cum >= CAST(CEIL($p * n) AS BIGINT) THEN q END) AS DOUBLE) / 100.0 AS exact_$nm"
+          }.mkString(",\n")}
+       |  FROM cum GROUP BY 1, 2)
+       |SELECT e.event_type, CAST(x.n AS BIGINT) AS n, e.k_eff,
+       |       e.est_p50, e.est_p90, e.est_p99,
+       |       x.exact_p50, x.exact_p90, x.exact_p99
+       |FROM est e JOIN ex x ON e.event_type = x.event_type
+       |ORDER BY e.event_type""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftExpressions.register(spark)
+    val f = Tables.events(spark, dir).select(col("event_type"), col("event_id"),
+      round(col("value") * 100, 0).cast("bigint").as("q"))
+    val withH = f.select(col("event_type"), col("q"),
+      graft.functions.DetHash.md5Long60(col("event_id").cast("string")).as("h"))
+    val samp = withH.groupBy(col("event_type"))
+      .agg(graft.functions.GraftExpressions
+        .topk(-col("h"), col("q"), Dp14K).as("top"))
+      .select(col("event_type"), size(col("top")).cast("bigint").as("k_eff"),
+        explode(col("top")).as("e"))
+      .select(col("event_type"), col("k_eff"), col("e.id").as("sq"))
+    val vrW = Window.partitionBy(col("event_type")).orderBy(col("sq"))
+    val estCols = dp14Ps.map { case (nm, p) =>
+      (max(when(col("vr") === ceil(lit(p) * col("k_eff")), col("sq")))
+        .cast("double") / 100.0).as(s"est_$nm")
+    }
+    val est = samp.withColumn("vr", row_number().over(vrW))
+      .groupBy(col("event_type"), col("k_eff"))
+      .agg(estCols.head, estCols.tail: _*)
+    val cnt = f.groupBy(col("event_type"), col("q")).agg(count(lit(1)).as("c"))
+    val cum = cnt
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("q"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+    val exCols = dp14Ps.map { case (nm, p) =>
+      (min(when(col("cum") >= ceil(lit(p) * col("n")), col("q")))
+        .cast("double") / 100.0).as(s"exact_$nm")
+    }
+    val ex = cum.groupBy(col("event_type"), col("n"))
+      .agg(exCols.head, exCols.tail: _*)
+    est.join(ex, "event_type")
+      .select(col("event_type"), col("n"), col("k_eff"),
+        col("est_p50"), col("est_p90"), col("est_p99"),
+        col("exact_p50"), col("exact_p90"), col("exact_p99"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
@@ -2324,5 +2431,5 @@ object Relational {
     q41Attribution, q42Transitions, q43GroupedTopK,
     dp1Profile, dp3Histogram, dp4Correlation, dp5Outliers, dp6KsTest,
     dp7ChiSquare, dp8Benford, dp9Expectations, dp10SkewAudit, dp11KmvSketch,
-    dp12BloomProfile, dp13Moments)
+    dp12BloomProfile, dp13Moments, dp14QuantileSketch)
 }

@@ -1049,9 +1049,63 @@ object StreamingQueries {
     ()
   }
 
+  /** Stream-stream LEFT SEMI join — the "did a preceding click exist"
+    * gate emitted as ONE row per purchase, completing the streaming join
+    * family (inner w7, left outer w13, full outer w14). Semi is the
+    * attribution-filter shape a funnel pipeline runs when it needs the
+    * qualifying purchases but NOT the click payload — at 100 TB the
+    * output is |purchases| rows instead of w7's |purchase×click| pairs,
+    * and no click column ever crosses the join.
+    *
+    * Streaming semantics under test: a matched left row must emit
+    * exactly ONCE no matter how many clicks match across micro-batches
+    * (the engine emits on FIRST match and marks the state row); an
+    * unmatched purchase must never emit. Both sides carry w7's
+    * watermarks and the range condition bounds the click state — the
+    * same state-retention contract, different emission rule. The oracle
+    * is the batch EXISTS — any double-emit breaks the row-count compare
+    * before the hash even runs.
+    */
+  val w19StreamSemiJoin: Q = Q.sql(
+    "w19_stream_semi_join",
+    "Stream-stream LEFT SEMI join: purchases with at least one click in the prior 10 min, emitted once each.",
+    """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |       CAST(p.value AS DOUBLE) AS purchase_value
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |  AND EXISTS (
+      |    SELECT 1 FROM events c
+      |    WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |      AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts)
+      |ORDER BY purchase_id""".stripMargin) { (spark, dir) =>
+    runStream(spark, "w19_stream_semi_join", w19Joined(spark, dir),
+        OutputMode.Append())
+      .orderBy("purchase_id")
+  }
+
+  /** w19's joined frame pre-sink — exposed for the PlanSpec pin. */
+  private[graft] def w19Joined(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = EventsStream.read(spark, eventsPath(spark, dir))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").cast("double").as("purchase_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = EventsStream.read(spark, eventsPath(spark, dir))
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") < col("p_ts"),
+        "left_semi")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("p_ts").as("purchase_ts"), col("purchase_value"))
+  }
+
   val all: Seq[Q] = Seq(w3StreamTumbling, w4StreamSession, w5StreamDedup,
     w6CustomSessionizer, w7StreamJoin, w10StreamStatic, w11StreamUpsert,
     w12StreamHopping, w13StreamOuterJoin, w14StreamFullOuter,
     w15StreamTimeoutSessions, w16StreamRestart, w17StreamLateDrop,
-    w18StreamStateRestart)
+    w18StreamStateRestart, w19StreamSemiJoin)
 }

@@ -1037,6 +1037,57 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dp14: sample and quantiles recompute from the raw rows in driver memory") {
+    val rows = Relational.dp14QuantileSketch.run(spark, sf).collect()
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id").cast("string"),
+        round(col("value") * 100, 0).cast("bigint"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def typ1(sorted: IndexedSeq[Long], k: Long, p: Double): Double =
+      sorted(math.ceil(p * k).toLong.toInt - 1).toDouble / 100.0
+    val byType = raw.groupBy(_._1)
+    assert(rows.length === byType.size)
+    rows.foreach { r =>
+      val xs = byType(r.getString(0))
+      val n = xs.length.toLong
+      val sample = xs.map(x => (h60(x._2), x._3)).sortBy(identity)
+        .take(256).map(_._2).sorted.toIndexedSeq
+      val kEff = sample.length.toLong
+      val full = xs.map(_._3).sorted.toIndexedSeq
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("k_eff") === kEff)
+      for ((nm, p) <- Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))) {
+        assert(r.getAs[Double](s"est_$nm") === typ1(sample, kEff, p), s"est_$nm")
+        assert(r.getAs[Double](s"exact_$nm") === typ1(full, n, p), s"exact_$nm")
+      }
+      // the sketch contract: the k=256 sample's p50/p90 land within the
+      // distribution (sanity against a degenerate sampler)
+      assert(r.getAs[Double]("est_p50") >= full.head / 100.0 &&
+        r.getAs[Double]("est_p50") <= full.last / 100.0)
+    }
+  }
+
+  test("w19: each qualifying purchase emits exactly once; set equals batch EXISTS") {
+    val rows = StreamingQueries.w19StreamSemiJoin.run(spark, sf)
+      .select("purchase_id").collect().map(_.getLong(0))
+    assert(rows.distinct.length === rows.length, "a purchase double-emitted")
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicks = ev.filter(_._3 == "click")
+    val want = ev.filter(_._3 == "purchase").collect {
+      case (id, u, _, t) if clicks.exists(c =>
+        c._2 == u && c._4 >= t - 600 && c._4 < t) => id
+    }.sorted
+    assert(rows.sorted.toSeq === want.toSeq, "semi-join set != batch EXISTS")
+  }
+
   test("d11: per-doc counts recompute from the in-memory paragraph model") {
     val rows = Dedup.d11ParagraphDedup.run(spark, sf)
       .select("doc_id", "n_para", "n_dup_para", "dup_ratio").collect()

@@ -533,6 +533,29 @@ class PlanSpec extends AnyFunSuite {
       s"no partial aggregation in:\n$p")
   }
 
+  test("dp14: the sampler is the map-side top-k aggregate; windows stay partitioned") {
+    val p = plan(Relational.dp14QuantileSketch)
+    // TopKPairs plans as ObjectHashAggregate partial+final — the sample
+    // never comes from a per-group sort of the fact rows
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial top-k sampler in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("w19: the optimized stream keeps a LeftSemi join with both watermarks") {
+    import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val plan = optimizedStreaming(StreamingQueries.w19Joined(spark, sf))
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty, s"join eliminated in:\n$plan")
+    assert(joins.exists(_.joinType == LeftSemi),
+      s"semi join rewritten to ${joins.map(_.joinType)} in:\n$plan")
+    // both sides must keep their watermark nodes — they bound the
+    // click state and gate the purchase emission
+    val wms = plan.collect { case w: EventTimeWatermark => w }
+    assert(wms.size == 2, s"expected 2 watermark nodes, got ${wms.size} in:\n$plan")
+  }
+
   test("dp11: the k smallest hashes come from a partial top-k, never a global sort") {
     val p = plan(Relational.dp11KmvSketch)
     // TakeOrderedAndProject = per-partition top-k + merge — the sketch's
