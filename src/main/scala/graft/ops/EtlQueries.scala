@@ -954,8 +954,130 @@ object EtlQueries {
       .orderBy("tbl")
   }
 
+  private val vacuumDirs = scala.collection.concurrent.TrieMap
+    .empty[String, (String, String, Long, Long, Long)]
+
+  /** Stage the e15 vacuum scenario: the documents corpus written as fine
+    * range-binned files (e10's fragmentation model, width s), then a
+    * REWRITE that compacts every EVEN coarse bin (width r = 4s) into one
+    * file — leaving the superseded fine files on disk, exactly the state
+    * a lakehouse table is in after OPTIMIZE and before VACUUM — then the
+    * vacuum itself: every fine file whose coarse bin was rewritten is
+    * physically deleted. Returns (stagedDir, compactDir, r, filesBefore,
+    * filesDeleted) with both file counts MEASURED (listing + scan), not
+    * assumed.
+    */
+  private def vacuumPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String, Long, Long, Long) =
+    vacuumDirs.getOrElseUpdate(dir, {
+      val docs = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"), col("text"))
+      val n = docs.count()
+      val s = math.max(8L, n / 64L)
+      val r = 4L * s
+      val staged = StreamingQueries.fastTmpDir("graft_vac_fine")
+      docs.withColumn("fb", expr(s"doc_id div $s"))
+        .repartition(col("fb"))
+        .write.mode("overwrite").partitionBy("fb").parquet(staged)
+      val compact = StreamingQueries.fastTmpDir("graft_vac_coarse")
+      spark.read.parquet(staged)
+        .filter(expr(s"(doc_id div $r) % 2 = 0"))
+        .select(col("doc_id"), col("n_chars"), col("text"))
+        .withColumn("cb", expr(s"doc_id div $r"))
+        .repartition(col("cb"))
+        .write.mode("overwrite").partitionBy("cb").parquet(compact)
+      def nFiles(d: String): Long = spark.read.parquet(d)
+        .select(input_file_name()).distinct().count()
+      val filesBefore = nFiles(staged) + nFiles(compact)
+      // VACUUM: the fine files superseded by the rewrite (their coarse
+      // bin is even) leave the filesystem for real
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      val superseded = Option(new java.io.File(staged).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("fb="))
+        .filter(f => (f.getName.stripPrefix("fb=").toLong / 4) % 2 == 0)
+      superseded.foreach(rm)
+      Seq(staged, compact).foreach { d =>
+        val root = new java.io.File(d)
+        root.deleteOnExit()
+        Option(root.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
+      }
+      (staged, compact, r, filesBefore, superseded.length.toLong)
+    })
+
+  /** VACUUM / retention — the other half of the e10 maintenance pair:
+    * after a compaction rewrite, the superseded data files must leave the
+    * filesystem without touching a LIVE byte. The stage builds the
+    * post-OPTIMIZE state (fine files + even-coarse rewrites, fine
+    * originals still present), the vacuum physically deletes every
+    * superseded fine file, and the result reads the SURVIVING files only
+    * — per-bin rollup with text checksum plus measured per-bin and
+    * global file counts — while the oracle recomputes the whole model
+    * (live/deleted/before counts and the per-bin stats) from the
+    * authoritative table. A vacuum that deletes a live file loses rows
+    * and breaks the checksum; one that misses a superseded file breaks
+    * the measured file counts.
+    *
+    * Scale shape: the rewrite and the read are bin-partitioned linear
+    * scans (one file per bin via the e6/e10 repartition trick); the
+    * delete is a pure manifest/filesystem operation — at 100 TB this is
+    * exactly Delta's VACUUM: list files, anti-join against the live
+    * manifest, delete the difference; no data shuffles anywhere.
+    */
+  val e15Vacuum: Q = Q.sql(
+    "e15_vacuum",
+    "Post-compaction VACUUM: superseded fine files physically deleted; surviving-file read + measured file counts vs model.",
+    """WITH pr AS (
+      |  SELECT GREATEST(8, COUNT(*) // 64) AS s,
+      |         4 * GREATEST(8, COUNT(*) // 64) AS r
+      |  FROM documents),
+      |fine AS (
+      |  SELECT DISTINCT d.doc_id // pr.s AS fb, d.doc_id // pr.r AS cb
+      |  FROM documents d CROSS JOIN pr),
+      |cm AS (
+      |  SELECT COUNT(*) AS n_fine,
+      |         COUNT(CASE WHEN cb % 2 = 0 THEN 1 END) AS fine_even,
+      |         COUNT(DISTINCT CASE WHEN cb % 2 = 0 THEN cb END) AS coarse_even
+      |  FROM fine),
+      |base AS (
+      |  SELECT d.doc_id // pr.r AS bin, d.doc_id // pr.s AS fb,
+      |         d.n_chars, d.text
+      |  FROM documents d CROSS JOIN pr)
+      |SELECT CAST(bin AS BIGINT) AS bin,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(SUM(('0x' || substring(md5(text), 1, 7))::BIGINT) AS BIGINT) AS text_checksum,
+      |       CAST(CASE WHEN bin % 2 = 0 THEN 1
+      |                 ELSE COUNT(DISTINCT fb) END AS BIGINT) AS n_files,
+      |       CAST(MAX(cm.n_fine + cm.coarse_even) AS BIGINT) AS files_before,
+      |       CAST(MAX(cm.fine_even) AS BIGINT) AS files_deleted,
+      |       CAST(MAX(cm.n_fine + cm.coarse_even - cm.fine_even) AS BIGINT) AS files_live
+      |FROM base CROSS JOIN cm
+      |GROUP BY bin ORDER BY bin""".stripMargin) { (spark, dir) =>
+    val (staged, compact, r, filesBefore, filesDeleted) = vacuumPath(spark, dir)
+    def part(d: String) = spark.read.parquet(d)
+      .select(col("doc_id"), col("n_chars"), col("text"),
+        input_file_name().as("f"))
+    part(staged).union(part(compact))
+      .withColumn("bin", expr(s"doc_id div $r"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"),
+        sum(graft.functions.DetHash.md5Long28(col("text"))).as("text_checksum"),
+        countDistinct(col("f")).as("n_files"))
+      .select(col("bin"), col("n_docs"), col("sum_chars"),
+        col("text_checksum"), col("n_files"),
+        lit(filesBefore).as("files_before"),
+        lit(filesDeleted).as("files_deleted"),
+        lit(filesBefore - filesDeleted).as("files_live"))
+      .orderBy("bin")
+  }
+
   val all: Seq[Q] = Seq(e1ItemPipeline, e2AssessmentPipeline, e3JsonlRoundtrip,
     e4OrcRoundtrip, e5PartitionedRoundtrip, e6BucketedJoin, e7CsvRoundtrip,
     e8SchemaEvolution, e9SortedSkipping, e10Compaction, e11Zorder,
-    e12MergeUpsert, e13TimeTravel, e14ForgetCascade)
+    e12MergeUpsert, e13TimeTravel, e14ForgetCascade, e15Vacuum)
 }

@@ -846,6 +846,86 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  final case class FrameDiff(doc_id: Long, frame_idx: Long, diff_sum: Long,
+      is_cut: Long)
+
+  /** Scene-cut threshold: a frame is a cut when its mean per-pixel-channel
+    * absolute delta vs the previous frame exceeds 2.5 — compared as the
+    * exact integer inequality `2·Σ|Δ| > 5·3·side²` (no float mean).
+    */
+  private val SC_NUM = 5L * 3 * VF_SIDE * VF_SIDE
+
+  /** Scene-cut detection over DECODED video frames — the
+    * frame-delta segmentation step a video-training pipeline runs before
+    * sampling clips (PySceneDetect's content detector, made exact): each
+    * consecutive frame pair's summed absolute per-pixel-channel delta,
+    * and a cut verdict from an integer threshold compare. The Spark side
+    * really decodes: BMP-container frame offsets → ImageIO per frame →
+    * pixel loop over BOTH frames of each pair (the decode path m3/m7
+    * gate, now differenced) — any codec drift shifts `diff_sum` and
+    * fails the hash. The oracle re-derives every delta closed-form from
+    * the generator model.
+    *
+    * Scale shape: pure mapPartitions over the persisted asset table (one
+    * decode pass per video, frames walked sequentially — state is two
+    * frames, not the video); no shuffle anywhere. The integer cut test
+    * `2·Σ|Δ| > 5·3·side²` keeps the verdict engine-exact — a float mean
+    * would put near-threshold frames on the seam.
+    */
+  val m10SceneCut: Q = Q.sql(
+    "m10_scene_cut",
+    "Scene-cut detection: per consecutive decoded frame pair, exact abs-delta sum + integer-threshold cut verdict.",
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars % 24 + 1 AS nf FROM documents WHERE doc_id % 3 = 2),
+       |diff AS (
+       |  SELECT d.doc_id, f.f AS frame_idx,
+       |         SUM(ABS((d.doc_id + f.f + 7 * x.x + 13 * y.y) % 256
+       |               - (d.doc_id + f.f - 1 + 7 * x.x + 13 * y.y) % 256)
+       |           + ABS((3 * d.doc_id + 2 * f.f + 5 * x.x + 11 * y.y) % 256
+       |               - (3 * d.doc_id + 2 * f.f - 2 + 5 * x.x + 11 * y.y) % 256)
+       |           + ABS((d.doc_id + f.f + x.x * y.y) % 256
+       |               - (d.doc_id + f.f - 1 + x.x * y.y) % 256)) AS diff_sum
+       |  FROM d,
+       |       UNNEST(range(1, nf)) AS f(f),
+       |       UNNEST(range(0, $VF_SIDE)) AS x(x),
+       |       UNNEST(range(0, $VF_SIDE)) AS y(y)
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, frame_idx, CAST(diff_sum AS BIGINT) AS diff_sum,
+       |       CAST(CASE WHEN 2 * diff_sum > $SC_NUM THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+       |FROM diff ORDER BY doc_id, frame_idx""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    assets(spark, dir)
+      .filter(_.meta.mediaType == "video")
+      .mapPartitions { batch =>
+        batch.flatMap { a =>
+          val frames = frameOffsets(a.content).map { case (off, len) =>
+            decodeBmp(a.content, off, len)
+          }
+          frames.sliding(2).zipWithIndex.collect {
+            case (Seq(prev, cur), i) =>
+              var s = 0L
+              var y = 0
+              while (y < cur.getHeight) {
+                var x = 0
+                while (x < cur.getWidth) {
+                  val p = prev.getRGB(x, y); val c = cur.getRGB(x, y)
+                  s += math.abs(((c >> 16) & 0xff) - ((p >> 16) & 0xff))
+                  s += math.abs(((c >> 8) & 0xff) - ((p >> 8) & 0xff))
+                  s += math.abs((c & 0xff) - (p & 0xff))
+                  x += 1
+                }
+                y += 1
+              }
+              FrameDiff(a.doc_id, (i + 1).toLong, s,
+                if (2 * s > SC_NUM) 1L else 0L)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val all: Seq[Q] = Seq(m1Meta, m2PayloadStats, m3FrameSample, m4TypedRollup,
-    m5ShardPack, m6PayloadSig, m7ImageDecode, m8ImageAHash, m9AudioEnergy)
+    m5ShardPack, m6PayloadSig, m7ImageDecode, m8ImageAHash, m9AudioEnergy,
+    m10SceneCut)
 }

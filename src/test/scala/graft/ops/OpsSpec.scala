@@ -1110,6 +1110,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e15: vacuum audit reconciles; no live row lost, no superseded file kept") {
+    val rows = EtlQueries.e15Vacuum.run(spark, sf)
+      .select("bin", "n_docs", "n_files", "files_before", "files_deleted",
+        "files_live").collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs,
+      "vacuum changed the live row count")
+    rows.foreach { r =>
+      val (bin, nf) = (r.getLong(0), r.getLong(2))
+      if (bin % 2 == 0) assert(nf === 1L, s"rewritten bin $bin not single-file")
+      else assert(nf >= 1L && nf <= 4L, s"bin $bin file count $nf")
+      assert(r.getLong(3) - r.getLong(4) === r.getLong(5),
+        "before - deleted != live")
+    }
+    assert(rows.head.getLong(4) > 0, "vacuum deleted nothing — stage degenerate")
+  }
+
+  test("m10: cut verdict is the integer threshold; diffs match the generator model") {
+    val rows = Multimodal.m10SceneCut.run(spark, sf)
+      .select("doc_id", "frame_idx", "diff_sum", "is_cut").collect()
+    assert(rows.nonEmpty)
+    val side = 8
+    def r6(id: Long, f: Long, x: Long, y: Long) = (id + f + 7 * x + 13 * y) % 256
+    def g6(id: Long, f: Long, x: Long, y: Long) = (3 * id + 2 * f + 5 * x + 11 * y) % 256
+    def b6(id: Long, f: Long, x: Long, y: Long) = (id + f + x * y) % 256
+    rows.foreach { r =>
+      val (id, f, ds, cut) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val want = (for (x <- 0L until side; y <- 0L until side) yield
+        math.abs(r6(id, f, x, y) - r6(id, f - 1, x, y)) +
+        math.abs(g6(id, f, x, y) - g6(id, f - 1, x, y)) +
+        math.abs(b6(id, f, x, y) - b6(id, f - 1, x, y))).sum
+      assert(ds === want, s"decoded diff != model for ($id,$f)")
+      assert(cut === (if (2 * ds > 5L * 3 * side * side) 1L else 0L))
+    }
+    assert(rows.exists(_.getLong(3) == 1L) && rows.exists(_.getLong(3) == 0L),
+      "threshold degenerate: all frames on one side")
+  }
+
   test("e13: snapshot rollups reconcile across the version chain") {
     val rows = EtlQueries.e13TimeTravel.run(spark, sf)
       .select("snap", "status", "n_rows", "min_key", "max_key").collect()

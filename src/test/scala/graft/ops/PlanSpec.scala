@@ -467,6 +467,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"fell back to a window sort in:\n$p")
   }
 
+  test("e15: the read scans only surviving staged files, never the authoritative table") {
+    val p = plan(EtlQueries.e15Vacuum)
+    assert(p.contains("graft_vac_fine") && p.contains("graft_vac_coarse"),
+      s"staged dirs not scanned in:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"authoritative documents re-scanned downstream of the stage:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation in:\n$p")
+  }
+
+  test("m10: pure decode map — no join, no pre-aggregate shuffle") {
+    val p = plan(Multimodal.m10SceneCut)
+    assert(p.contains("MapPartitions"), s"no mapPartitions decode in:\n$p")
+    assert(!p.contains("Join"), s"join crept into the decode map:\n$p")
+  }
+
   test("s12: IVF-PQ search joins cells/codes by key; probes and centroids broadcast") {
     val p = plan(Similarity.s12IvfPq)
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
