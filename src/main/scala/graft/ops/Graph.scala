@@ -413,7 +413,7 @@ object Graph {
     * sizes, and the session cache keeps the top-K window from re-running
     * per consumer query.
     */
-  private def mutualEdges(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def mutualEdges(spark: SparkSession, dir: String): DataFrame =
     mutualCache.getOrElseUpdate(spark, dir) {
       val co = coPairs(spark, dir)
       val bidir = co
@@ -833,6 +833,111 @@ object Graph {
       .orderBy("supp_key")
   }
 
+  private val WALK_LEN = 4
+
+  /** Deterministic random walks over the mutual-top-[[MUTUAL_TOP]]
+    * partner graph — the DeepWalk/node2vec corpus-generation step: one
+    * length-[[WALK_LEN]] walk per node, whose step-t transition picks
+    * neighbor index `md5(node#t#start) mod degree` from the rank-ordered
+    * adjacency. The md5 stream plays the random tape (the dp14 trick
+    * applied to walks), so the walk corpus is bit-reproducible in any
+    * engine — the property that makes graph-embedding training data
+    * auditable, where a PRNG-seeded walker never reproduces across
+    * frameworks. Hashing (node, step, START) rather than (node, step)
+    * keeps two walks that meet at a node from merging into the same
+    * suffix — the corpus stays diverse, as sampled walks would be.
+    *
+    * Distributed shape: the ranked adjacency (rank + degree windows over
+    * the degree-≤[[MUTUAL_TOP]] edge frame) is built once and
+    * localCheckpoint-pinned; each step is ONE equi-join of the walk
+    * frontier against it on the node key (frontier rows join ≤ K
+    * adjacency rows, then the rank filter keeps exactly one) — at 100 TB
+    * both sides hash-partition on the node id and each step is a
+    * co-partitioned join of n rows, the textbook distributed walk
+    * engine. No floats anywhere.
+    */
+  val g8RandomWalk: Q = Q.sql(
+    "g8_random_walk",
+    s"Deterministic md5-driven random walks (length $WALK_LEN) over the mutual-top-$MUTUAL_TOP partner graph.",
+    {
+      val steps = (1 to WALK_LEN).map { t =>
+        s"""w$t AS (
+           |  SELECT w.start, a.dst AS node
+           |  FROM w${t - 1} w JOIN adj a
+           |    ON a.src = w.node
+           |   AND a.rnk = 1 + ('0x' || substring(md5(concat_ws('#', w.node, $t, w.start)), 1, 7))::BIGINT % a.deg)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 to WALK_LEN)
+        .map(t => s"SELECT start, $t AS step, node FROM w$t")
+        .mkString("\nUNION ALL ")
+      s"""WITH eg AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |co AS MATERIALIZED (
+         |  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS co
+         |  FROM eg a JOIN eg b ON a.c = b.c AND a.s < b.s
+         |  GROUP BY 1, 2),
+         |bidir AS (
+         |  SELECT s1 AS s, s2 AS p, co FROM co
+         |  UNION ALL SELECT s2, s1, co FROM co),
+         |topk AS MATERIALIZED (
+         |  SELECT s, p FROM (
+         |    SELECT s, p,
+         |           ROW_NUMBER() OVER (PARTITION BY s ORDER BY co DESC, p) AS rnk
+         |    FROM bidir)
+         |  WHERE rnk <= $MUTUAL_TOP),
+         |mut AS MATERIALIZED (
+         |  SELECT a.s AS x, a.p AS y FROM topk a
+         |  JOIN topk b ON a.s = b.p AND a.p = b.s
+         |  WHERE a.s < a.p),
+         |ed AS (
+         |  SELECT x AS src, y AS dst FROM mut UNION ALL SELECT y, x FROM mut),
+         |adj AS MATERIALIZED (
+         |  SELECT src, dst,
+         |         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rnk,
+         |         COUNT(*) OVER (PARTITION BY src) AS deg
+         |  FROM ed),
+         |w0 AS (SELECT DISTINCT src AS start, src AS node FROM adj),
+         |$steps
+         |SELECT start, CAST(step AS BIGINT) AS step, node FROM (
+         |$unions)
+         |ORDER BY start, step""".stripMargin
+    }) { (spark, dir) =>
+    val mut = mutualEdges(spark, dir)
+    val ed = mut
+      .select(explode(array(
+        struct(col("x").as("src"), col("y").as("dst")),
+        struct(col("y").as("src"), col("x").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val adj = ed
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src")).orderBy(col("dst"))))
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .localCheckpoint()
+    def walk(): DataFrame = {
+      var cur = adj.select(col("src")).distinct()
+        .select(col("src").as("start"), col("src").as("node"))
+        .localCheckpoint()
+      var acc = cur.withColumn("step", lit(0L))
+      for (t <- 1 to WALK_LEN) {
+        val pick = pmod(graft.functions.DetHash.md5Long28(
+          concat_ws("#", col("node"), lit(t), col("start"))), col("deg")) + 1
+        cur = cur.join(adj, col("node") === col("src"))
+          .filter(col("rnk") === pick)
+          .select(col("start"), col("dst").as("node"))
+          .localCheckpoint()
+        acc = acc.union(cur.withColumn("step", lit(t.toLong)))
+      }
+      acc
+    }
+    withoutAqe(spark)(walk())
+      .select(col("start"), col("step"), col("node"))
+      .orderBy("start", "step")
+  }
+
   val all: Seq[Q] = Seq(g1PageRank, g2BfsHops, g3SupplierAffinity,
-    g4TriangleCount, g5KCore, g6PersonalizedPageRank, g7LabelPropagation)
+    g4TriangleCount, g5KCore, g6PersonalizedPageRank, g7LabelPropagation,
+    g8RandomWalk)
 }

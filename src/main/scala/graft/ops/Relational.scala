@@ -2420,6 +2420,78 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Mutual information between event_type and hour-of-day — the
+    * dependence measure dp7's chi-square grid reports as a test
+    * statistic, here as the information-theoretic quantity a feature
+    * audit ranks columns by. Exactness: every log goes through t18's
+    * integer micro-nat quantization — L(k) = floor(ln(k)·1e6) as BIGINT
+    * — so each observed cell contributes the exact integer
+    * o·(L(o)+L(n)−L(r)−L(c)) and the total MI is an integer sum (zero
+    * cells contribute zero by the 0·log 0 convention, so only observed
+    * cells carry terms). One double division at the end converts to
+    * nats-per-row. Last-ulp ln() disagreement only matters when
+    * ln(k)·1e6 sits within one ulp of an integer — the t18-documented
+    * seam class, not hit by any gate scale.
+    *
+    * Scale shape: dp7's exactly — one scan to the cell frame (map-side
+    * partials), marginals re-aggregate the pinned ~120-row grid,
+    * everything downstream is broadcast arithmetic on that grid.
+    */
+  val dp15MutualInfo: Q = Q.sql(
+    "dp15_mutual_information",
+    "Integer micro-nat mutual information between event_type and hour-of-day: per-cell PMI terms + total MI.",
+    """WITH obs AS (
+      |  SELECT event_type, hour(ts) AS hr, COUNT(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rowm AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY 1),
+      |colm AS (SELECT hr, SUM(o) AS c FROM obs GROUP BY 1),
+      |tot AS (SELECT SUM(o) AS n FROM obs),
+      |cells AS (
+      |  SELECT ob.event_type, ob.hr, CAST(ob.o AS BIGINT) AS o,
+      |         CAST(t.n AS BIGINT) AS n,
+      |         ob.o * (CAST(FLOOR(ln(ob.o) * 1000000.0) AS BIGINT)
+      |               + CAST(FLOOR(ln(t.n) * 1000000.0) AS BIGINT)
+      |               - CAST(FLOOR(ln(rm.r) * 1000000.0) AS BIGINT)
+      |               - CAST(FLOOR(ln(cm.c) * 1000000.0) AS BIGINT)) AS pmi_q
+      |  FROM obs ob
+      |  JOIN rowm rm ON ob.event_type = rm.event_type
+      |  JOIN colm cm ON ob.hr = cm.hr
+      |  CROSS JOIN tot t),
+      |mi AS (SELECT SUM(pmi_q) AS mi_q FROM cells)
+      |SELECT c.event_type, c.hr, c.o, CAST(c.pmi_q AS BIGINT) AS pmi_q,
+      |       CAST(m.mi_q AS BIGINT) AS mi_q,
+      |       ROUND(CAST(m.mi_q AS DOUBLE) / 1000000.0 / CAST(c.n AS DOUBLE), 6)
+      |         AS mi_nats_per_row
+      |FROM cells c CROSS JOIN mi m
+      |ORDER BY c.event_type, c.hr""".stripMargin) { (spark, dir) =>
+    def lq(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1.0e6))
+    val obs = Tables.events(spark, dir)
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // tiny cell frame; marginals re-aggregate it
+    val rowm = obs.groupBy(col("event_type").as("et")).agg(sum(col("o")).as("r"))
+    val colm = obs.groupBy(col("hr").as("ch")).agg(sum(col("o")).as("c"))
+    val tot = obs.agg(sum(col("o")).as("n"))
+    val cells = obs
+      .join(broadcast(rowm), col("event_type") === col("et"))
+      .join(broadcast(colm), col("hr") === col("ch"))
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("hr"), col("o").cast("bigint").as("o"),
+        col("n").cast("bigint").as("n"),
+        (col("o") * (lq(col("o")) + lq(col("n")) - lq(col("r")) - lq(col("c"))))
+          .as("pmi_q"))
+      .localCheckpoint() // two consumers: the total and the output rows
+    val mi = cells.agg(sum(col("pmi_q")).as("mi_q"))
+    cells.crossJoin(broadcast(mi))
+      .select(col("event_type"), col("hr"), col("o"),
+        col("pmi_q").cast("bigint").as("pmi_q"),
+        col("mi_q").cast("bigint").as("mi_q"),
+        round(col("mi_q").cast("double") / 1.0e6 / col("n").cast("double"), 6)
+          .as("mi_nats_per_row"))
+      .orderBy("event_type", "hr")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
@@ -2431,5 +2503,5 @@ object Relational {
     q41Attribution, q42Transitions, q43GroupedTopK,
     dp1Profile, dp3Histogram, dp4Correlation, dp5Outliers, dp6KsTest,
     dp7ChiSquare, dp8Benford, dp9Expectations, dp10SkewAudit, dp11KmvSketch,
-    dp12BloomProfile, dp13Moments, dp14QuantileSketch)
+    dp12BloomProfile, dp13Moments, dp14QuantileSketch, dp15MutualInfo)
 }

@@ -1088,6 +1088,59 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.sorted.toSeq === want.toSeq, "semi-join set != batch EXISTS")
   }
 
+  test("g8: every transition replays the md5 rule over the ranked adjacency") {
+    val rows = Graph.g8RandomWalk.run(spark, sf)
+      .select("start", "step", "node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mut = Graph.mutualEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (mut ++ mut.map(_.swap)).groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(_._2).sorted }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h28(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16)
+    }
+    val byStart = rows.groupBy(_._1)
+    assert(byStart.size === adj.size, "one walk per graph node")
+    byStart.foreach { case (start, steps) =>
+      val path = steps.sortBy(_._2).map(_._3)
+      assert(path.length === 5, s"walk from $start not length 5")
+      assert(path.head === start, "step 0 must be the start node")
+      for (t <- 1 until path.length) {
+        val nbrs = adj(path(t - 1))
+        val pick = (h28(s"${path(t - 1)}#$t#$start") % nbrs.length).toInt
+        assert(path(t) === nbrs(pick),
+          s"walk $start step $t took ${path(t)}, rule says ${nbrs(pick)}")
+      }
+    }
+  }
+
+  test("dp15: per-cell PMI terms and the MI total recompute from raw counts") {
+    val rows = Relational.dp15MutualInfo.run(spark, sf).collect()
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), hour(col("ts"))).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val byCell = ev.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val byRow = ev.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val byCol = ev.groupBy(_._2).map { case (k, xs) => k -> xs.length.toLong }
+    val n = ev.length.toLong
+    def lq(k: Long): Long = math.floor(math.log(k.toDouble) * 1.0e6).toLong
+    val wantMi = byCell.map { case ((et, hr), o) =>
+      o * (lq(o) + lq(n) - lq(byRow(et)) - lq(byCol(hr)))
+    }.sum
+    assert(rows.length === byCell.size, "one row per observed cell")
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getInt(1))
+      val o = byCell(key)
+      assert(r.getAs[Long]("o") === o)
+      assert(r.getAs[Long]("pmi_q") ===
+        o * (lq(o) + lq(n) - lq(byRow(key._1)) - lq(byCol(key._2))), s"pmi $key")
+      assert(r.getAs[Long]("mi_q") === wantMi)
+    }
+    assert(wantMi > 0, "independence fixture degenerate: MI <= 0")
+  }
+
   test("d11: per-doc counts recompute from the in-memory paragraph model") {
     val rows = Dedup.d11ParagraphDedup.run(spark, sf)
       .select("doc_id", "n_para", "n_dup_para", "dup_ratio").collect()

@@ -483,6 +483,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"join crept into the decode map:\n$p")
   }
 
+  test("g8: walk steps are equi-joins on the node key; no pair space forms") {
+    val p = plan(Graph.g8RandomWalk)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"theta-join in:\n$p")
+  }
+
+  test("dp15: the output rides the pinned cell grid, never a fact re-scan") {
+    val p = plan(Relational.dp15MutualInfo)
+    // the single events scan feeds the cell aggregate ABOVE the
+    // localCheckpoint; the visible plan must read only the pinned grid
+    // (both PMI rows and the 1-row broadcast total)
+    assert(!p.contains("events.parquet"),
+      s"fact table re-scanned downstream of the pinned grid:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"MI total not broadcast in:\n$p")
+  }
+
   test("s12: IVF-PQ search joins cells/codes by key; probes and centroids broadcast") {
     val p = plan(Similarity.s12IvfPq)
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
