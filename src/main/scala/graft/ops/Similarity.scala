@@ -1123,6 +1123,107 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  private val BQ_K = 5       // neighbors per probe in the hamming search
+
+  /** BINARY quantization + Hamming search — the signature layout modern
+    * vector stores scan first (binary quantization / sign sketches):
+    * each 64-dim float vector compresses to its 64 SIGN BITS, packed
+    * into two BIGINT words (16 bytes, 32× smaller than the quantized
+    * arrays of s6/s10 and 64× smaller than float32), and the probe scan
+    * ranks candidates by Hamming distance = two XORs + two popcounts per
+    * candidate — pure integer arithmetic, no multiply at all. The exact
+    * cosine of each returned pair rides along as the agreement witness
+    * (the s8 pattern): sign-bit Hamming approximates angle, and the
+    * witness column shows how well, pair by pair.
+    *
+    * Differs from d4 (SimHash over text shingle sets) and s2 (LSH
+    * bucketing): here the EMBEDDING's own signs are the code — no
+    * projection planes — and the search is a full exact ranking under
+    * the Hamming metric, the first-stage scan a binary-quantized index
+    * runs before float rerank.
+    *
+    * Scale shape: signature build is one map-side aggregate per vector
+    * (the posexplode + shift-sum mirrors the oracle bit-for-bit); the
+    * search is broadcast-probes × corpus — 16 bytes per corpus row
+    * streamed through codegen'd integer ops; the cosine witness joins
+    * only the ≤ probes·k result rows back to the vectors.
+    */
+  val s15BinaryQuant: Q = Q.sql(
+    "s15_binary_quant",
+    s"Sign-bit binary quantization (64 bits -> 2 words): Hamming top-$BQ_K per probe + exact-cosine witness.",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |x AS (
+       |  SELECT vec_id, u.p AS pos, u.x AS x
+       |  FROM (SELECT vec_id, UNNEST(list_transform(range(0, len(v)),
+       |          i -> struct_pack(p := i, x := v[i + 1]))) AS u
+       |        FROM e)),
+       |sig AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN x > 0 AND pos < 32
+       |                  THEN CAST(1 AS BIGINT) << pos ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(SUM(CASE WHEN x > 0 AND pos >= 32
+       |                  THEN CAST(1 AS BIGINT) << (pos - 32) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM x GROUP BY 1),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id, hamming,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_id
+       |           ORDER BY hamming, neighbor_id) AS rank
+       |  FROM (
+       |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |           CAST(bit_count(xor(p.lo, c.lo))
+       |              + bit_count(xor(p.hi, c.hi)) AS BIGINT) AS hamming
+       |    FROM sig p JOIN sig c ON p.vec_id < 10 AND c.vec_id <> p.vec_id)),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
+       |  FROM e)
+       |SELECT r.probe_id, CAST(r.rank AS BIGINT) AS rank, r.neighbor_id, r.hamming,
+       |       ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(p.v) + 1), i -> p.v[i] * c.v[i])), (x, y) -> x + y)
+       |         / (p.nrm * c.nrm), 6) AS cosine
+       |FROM ranked r
+       |JOIN n p ON r.probe_id = p.vec_id
+       |JOIN n c ON r.neighbor_id = c.vec_id
+       |WHERE r.rank <= $BQ_K
+       |ORDER BY r.probe_id, r.rank""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sig = e
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(when(col("x") > 0 && col("pos") < 32,
+          expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0L))
+          .cast("bigint").as("lo"),
+        sum(when(col("x") > 0 && col("pos") >= 32,
+          expr("shiftleft(CAST(1 AS BIGINT), pos - 32)")).otherwise(0L))
+          .cast("bigint").as("hi"))
+    val probes = sig.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("lo").as("plo"), col("hi").as("phi"))
+    val hamming = (bit_count(col("plo").bitwiseXOR(col("lo")))
+      + bit_count(col("phi").bitwiseXOR(col("hi")))).cast("bigint")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val ranked = broadcast(probes)
+      .join(sig, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        hamming.as("hamming"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= BQ_K)
+    val n = Dedup.normedVectors(spark, dir)
+    val cos = Dedup.cosineCol(col("pv"), col("nv"), col("pnrm"), col("nnrm"))
+    ranked
+      .join(n.select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnrm")),
+        col("probe_id") === col("pid"))
+      .join(n.select(col("vec_id").as("nid"), col("v").as("nv"), col("nrm").as("nnrm")),
+        col("neighbor_id") === col("nid"))
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("hamming"),
+        round(cos, 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
   private val KM_K = 8       // cells (matches s3/s12's coarse level)
   private val KM_ROUNDS = 3  // Lloyd iterations (driver-unrolled)
 
@@ -1259,5 +1360,5 @@ object Similarity {
 
   val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4LabelCentroids,
     s5KnnJoin, s6Quantize, s7Mips, s8AnnRerank, s9RetrievalE2e, s10PqEncode,
-    s11RecallCurve, s12IvfPq, s13HybridRrf, s14KmeansTrain)
+    s11RecallCurve, s12IvfPq, s13HybridRrf, s14KmeansTrain, s15BinaryQuant)
 }

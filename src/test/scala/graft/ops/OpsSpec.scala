@@ -1010,6 +1010,31 @@ class OpsSpec extends AnyFunSuite {
     assert(nBy.values.sum === vecs.length.toLong, "every vector assigned once")
   }
 
+  test("s15: signatures, hamming ranking and witness recompute in driver memory") {
+    val rows = Similarity.s15BinaryQuant.run(spark, sf)
+      .select("probe_id", "rank", "neighbor_id", "hamming").collect()
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def sig(v: Array[Double]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      for (i <- 0 until 64 if v(i) > 0)
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      (lo, hi)
+    }
+    val sigs = vecs.map { case (id, v) => id -> sig(v) }
+    def ham(a: (Long, Long), b: (Long, Long)): Long =
+      java.lang.Long.bitCount(a._1 ^ b._1).toLong +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    rows.groupBy(_.getLong(0)).foreach { case (p, rs) =>
+      val want = sigs.toSeq.filter(_._1 != p)
+        .map { case (id, s) => (ham(sigs(p), s), id) }.sorted.take(5)
+      val got = rs.sortBy(_.getLong(1)).map(r => (r.getLong(3), r.getLong(2)))
+      assert(got.toSeq === want, s"hamming top-5 mismatch for probe $p")
+    }
+    assert(rows.length === 50)
+  }
+
   test("dp13: moments recompute from exact integer sums in driver memory") {
     val rows = Relational.dp13Moments.run(spark, sf).collect()
     val vals = graft.Tables.events(spark, sf)

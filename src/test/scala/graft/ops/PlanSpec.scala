@@ -500,6 +500,17 @@ class PlanSpec extends AnyFunSuite {
       s"MI total not broadcast in:\n$p")
   }
 
+  test("s15: probes broadcast over the 16-byte signature scan; witness joins by key") {
+    val p = plan(Similarity.s15BinaryQuant)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the hamming scan is the 10-row probe broadcast against signatures;
+    // the cosine witness joins the <=50 result rows back by vec_id
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probes not broadcast in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"signature build not partially aggregated in:\n$p")
+  }
+
   test("s12: IVF-PQ search joins cells/codes by key; probes and centroids broadcast") {
     val p = plan(Similarity.s12IvfPq)
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
