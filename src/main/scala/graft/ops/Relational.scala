@@ -2492,6 +2492,216 @@ object Relational {
       .orderBy("event_type", "hr")
   }
 
+  /** (table, column) pairs audited by the HLL sketch — dp11's four join
+    * keys plus one tiny-cardinality column (nation) so the small-range
+    * linear-counting branch is exercised at every scale.
+    */
+  private val dp16Cols = dp11Cols :+ ("nation" -> "n_nationkey")
+
+  /** HLL registers (m). */
+  private val HllM = 256
+
+  private def dp16ColSql(tbl: String, key: String): String =
+    s"""(WITH h AS (
+       |  SELECT ('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM $tbl WHERE $key IS NOT NULL),
+       |jw AS (SELECT h % $HllM AS j, h // $HllM AS w FROM h),
+       |mns AS (SELECT j, MIN(w) AS mn FROM jw GROUP BY 1),
+       |pows AS (SELECT i AS p, CAST(power(2, i) AS BIGINT) AS pv FROM range(53) t(i)),
+       |touched AS (
+       |  SELECT m.j, COALESCE(52 - MAX(p.p), 53) AS reg
+       |  FROM mns m LEFT JOIN pows p ON p.pv <= m.mn
+       |  GROUP BY m.j, m.mn),
+       |regs AS (
+       |  SELECT COALESCE(t.reg, 0) AS reg
+       |  FROM range($HllM) r(j) LEFT JOIN touched t ON r.j = t.j),
+       |agg AS (
+       |  SELECT SUM(CAST(power(2, 53 - reg) AS BIGINT)) AS s_denom,
+       |         SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS v_zero
+       |  FROM regs),
+       |ex AS (SELECT COUNT(DISTINCT $key) AS exact_distinct
+       |       FROM $tbl WHERE $key IS NOT NULL),
+       |est AS (
+       |  SELECT a.s_denom, a.v_zero, x.exact_distinct,
+       |         0.7213/(1.0+1.079/$HllM.0)*${HllM * HllM}.0*9007199254740992.0
+       |           / CAST(a.s_denom AS DOUBLE) AS raw
+       |  FROM agg a CROSS JOIN ex x),
+       |fin AS (
+       |  SELECT *,
+       |    CASE WHEN raw <= ${HllM * 5 / 2}.0 AND v_zero > 0
+       |         THEN $HllM.0 * CAST(CAST(FLOOR(ln($HllM.0)*1000000.0) AS BIGINT)
+       |              - CAST(FLOOR(ln(CAST(v_zero AS DOUBLE))*1000000.0) AS BIGINT) AS DOUBLE)
+       |              / 1000000.0
+       |         ELSE raw END AS est
+       |  FROM est)
+       |SELECT '$tbl' AS tbl, '$key' AS col_name, exact_distinct,
+       |       CAST(v_zero AS BIGINT) AS v_zero, CAST(s_denom AS BIGINT) AS s_denom,
+       |       ROUND(raw, 4) AS raw_est, ROUND(est, 4) AS est_distinct,
+       |       ROUND((est - exact_distinct) / exact_distinct, 4) AS rel_err
+       |FROM fin)""".stripMargin
+
+  /** HyperLogLog distinct-count sketch from first principles — the OTHER
+    * mergeable cardinality estimator next to dp11's KMV, and the one a
+    * 100 TB profiler actually ships (fixed 256-register state vs KMV's
+    * k values; registers merge by per-slot MAX, so a 1000-executor build
+    * is one tiny combine). Flajolet et al. 2007 layout: the md5-60bit
+    * hash splits into a register index (low 8 bits) and a 52-bit value
+    * whose leading-zero run sets the register via rho = 52 − msb.
+    *
+    * Engine-exactness, the design problem: rho must NOT come from
+    * floating log2 (exact powers of two sit on the rounding seam), so
+    * msb is computed by an exact integer join against a 53-row
+    * powers-of-two frame — and because msb is monotone in the value,
+    * the per-register aggregate is just MIN(w) over RAW ROWS (insert
+    * idempotence for free: no distinct shuffle anywhere in the sketch
+    * path — the whole point vs COUNT(DISTINCT)). The harmonic-mean
+    * denominator Σ 2^−reg is held exact by scaling to the integer
+    * Σ 2^(53−reg) (≤ 256·2^53 < 2^62), one double division at the end;
+    * the small-range linear-counting branch (raw ≤ 2.5m, zeros present
+    * — nation's 25 keys trigger it) uses t18's integer micro-nat logs,
+    * so the correction is integer arithmetic too. The exact
+    * COUNT(DISTINCT) alongside is the judge surface a production run
+    * would skip.
+    */
+  val dp16HllSketch: Q = Q.sql(
+    "dp16_hll_sketch",
+    s"First-principles HyperLogLog ($HllM registers, exact-integer rho + harmonic denominator) vs exact cardinality, per join-key column.",
+    dp16Cols.map { case (t, k) => dp16ColSql(t, k) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_name")) { (spark, dir) =>
+    val perCol = dp16Cols.map { case (tbl, key) =>
+      val jw = Tables.table(spark, dir, tbl)
+        .filter(col(key).isNotNull)
+        .select(graft.functions.DetHash.md5Long60(col(key).cast("string")).as("h"))
+        .select((col("h") % HllM).as("j"), expr(s"h div $HllM").as("w"))
+      // ONE fact scan to ≤256 rows, map-side partials — the sketch build
+      val mns = jw.groupBy(col("j")).agg(min(col("w")).as("mn"))
+      val pows = spark.range(53).select(col("id").as("p"),
+        expr("CAST(power(2, id) AS BIGINT)").as("pv"))
+      val touched = mns.join(pows, col("pv") <= col("mn"), "left")
+        .groupBy(col("j"), col("mn")).agg(max(col("p")).as("msb"))
+        .select(col("j"), coalesce(lit(52) - col("msb"), lit(53)).as("reg"))
+      val regs = spark.range(HllM).select(col("id").as("rj"))
+        .join(touched, col("rj") === col("j"), "left")
+        .select(coalesce(col("reg"), lit(0)).as("reg"))
+      val agg = regs.agg(
+        sum(expr("CAST(power(2, 53 - reg) AS BIGINT)")).as("s_denom"),
+        sum(when(col("reg") === 0, 1L).otherwise(0L)).as("v_zero"))
+      val ex = Tables.table(spark, dir, tbl)
+        .filter(col(key).isNotNull)
+        .agg(count_distinct(col(key)).as("exact_distinct"))
+      val withRaw = agg.crossJoin(ex).withColumn("raw",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllM.toDouble))
+          * lit((HllM * HllM).toDouble) * lit(9007199254740992.0)
+          / col("s_denom").cast("double"))
+      val lnq = (c: Column) => floor(log(c) * lit(1.0e6)).cast("bigint")
+      val withEst = withRaw.withColumn("est",
+        when(col("raw") <= lit((HllM * 5 / 2).toDouble) && col("v_zero") > 0,
+          lit(HllM.toDouble)
+            * (lnq(lit(HllM.toDouble)) - lnq(col("v_zero").cast("double")))
+              .cast("double") / lit(1.0e6))
+          .otherwise(col("raw")))
+      withEst.select(lit(tbl).as("tbl"), lit(key).as("col_name"),
+        col("exact_distinct"),
+        col("v_zero").cast("bigint").as("v_zero"),
+        col("s_denom").cast("bigint").as("s_denom"),
+        round(col("raw"), 4).as("raw_est"),
+        round(col("est"), 4).as("est_distinct"),
+        round((col("est") - col("exact_distinct")) / col("exact_distinct"), 4)
+          .as("rel_err"))
+    }
+    perCol.reduce(_.union(_)).orderBy("tbl", "col_name")
+  }
+
+  /** Count-Min rows (d) — 4 independent md5 hash functions. */
+  private val CmD = 4
+
+  /** Count-Min frequency sketch over the lineitem part key — the
+    * mergeable FREQUENCY estimator (Cormode & Muthukrishnan 2005) that
+    * completes the sketch quartet: dp11/dp16 cardinality, dp12
+    * membership, dp14 quantiles, dp17 frequencies. d=4 hash rows of w
+    * counters; a key's estimate is the MIN over its 4 counters, so
+    * estimates only ever OVERSHOOT (collision mass adds) — `overest`
+    * in the output is the measured bias, guaranteed ≥ 0.
+    *
+    * The width is NOT fixed: w = smallest power of two with 8·w ≥ N,
+    * derived from one COUNT(*) by an exact integer join against a
+    * powers table (the s5/d5/dp12 adaptive-control pattern — a fixed
+    * width saturates a decade up; ~8 rows/bucket pins expected
+    * per-counter collision mass at every scale; no float log2 anywhere
+    * near the width decision). Build shape: explode ×4 → ONE hash
+    * aggregate with map-side partials, ≤ 4w cells total state; counters
+    * merge by addition, which is why 1000 executors each build a local
+    * 4×w grid and sum them — nothing keyed ever shuffles. The probes
+    * are the exact top-10 keys (TakeOrderedAndProject — per-partition
+    * partial top-k), which is also the judge surface.
+    */
+  val dp17CountMin: Q = Q.sql(
+    "dp17_countmin",
+    s"Count-Min sketch (d=$CmD md5 rows, adaptive power-of-two width) over l_partkey: exact vs estimated counts for the top-10 keys.",
+    s"""WITH st AS (SELECT COUNT(*) AS n FROM lineitem),
+       |pows AS (SELECT CAST(power(2, i) AS BIGINT) AS pv FROM range(61) t(i)),
+       |wsel AS MATERIALIZED (SELECT MIN(pv) AS w FROM pows, st WHERE pv >= (n + 7) // 8),
+       |cells AS MATERIALIZED (
+       |  SELECT u.i,
+       |         ('0x' || substring(md5('cm' || CAST(u.i AS VARCHAR) || ':' ||
+       |            CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+       |           % (SELECT w FROM wsel) AS bucket,
+       |         COUNT(*) AS c
+       |  FROM lineitem, UNNEST([${(0 until CmD).mkString(", ")}]) AS u(i)
+       |  GROUP BY 1, 2),
+       |ex AS MATERIALIZED (
+       |  SELECT l_partkey AS key, COUNT(*) AS cnt FROM lineitem
+       |  GROUP BY 1 ORDER BY cnt DESC, key LIMIT 10),
+       |pr AS (
+       |  SELECT e.key, e.cnt, u.i,
+       |         ('0x' || substring(md5('cm' || CAST(u.i AS VARCHAR) || ':' ||
+       |            CAST(e.key AS VARCHAR)), 1, 15))::BIGINT
+       |           % (SELECT w FROM wsel) AS bucket
+       |  FROM ex e, UNNEST([${(0 until CmD).mkString(", ")}]) AS u(i)),
+       |est AS (
+       |  SELECT p.key, p.cnt, MIN(c.c) AS est_cnt
+       |  FROM pr p JOIN cells c ON p.i = c.i AND p.bucket = c.bucket
+       |  GROUP BY 1, 2)
+       |SELECT key AS part_key, cnt AS exact_cnt, est_cnt,
+       |       est_cnt - cnt AS overest, (SELECT w FROM wsel) AS w_buckets
+       |FROM est ORDER BY part_key""".stripMargin) { (spark, dir) =>
+    val li = Tables.table(spark, dir, "lineitem")
+    val st = li.agg(count(lit(1)).as("n"))
+    val pows = spark.range(61).select(expr("CAST(power(2, id) AS BIGINT)").as("pv"))
+    // tiny but derived from a fact count — pin so the two consumers
+    // (cell build + probe hash) don't each re-run the count
+    val wsel = pows.crossJoin(st).filter(col("pv") >= expr("(n + 7) div 8"))
+      .agg(min(col("pv")).as("w"))
+      .localCheckpoint()
+    def hashed(k: Column, w: Column): Column = array((0 until CmD).map { i =>
+      struct(lit(i).as("i"),
+        (graft.functions.DetHash.md5Long60(
+          concat(lit(s"cm$i:"), k.cast("string"))) % w).as("bucket"))
+    }: _*)
+    val cells = li.select(col("l_partkey").as("k")).crossJoin(broadcast(wsel))
+      .select(explode(hashed(col("k"), col("w"))).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    // exact top-10 = the probe set AND the judge surface; pinned (probe
+    // hash + final output both read it)
+    val ex = li.groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("key")).limit(10)
+      .crossJoin(broadcast(wsel))
+      .localCheckpoint()
+    val pr = ex.select(col("key"), col("cnt"),
+      explode(hashed(col("key"), col("w"))).as("e"))
+      .select(col("key"), col("cnt"), col("e.i").as("pi"), col("e.bucket").as("pb"))
+    val est = broadcast(pr).join(cells,
+        col("pi") === col("i") && col("pb") === col("bucket"))
+      .groupBy(col("key"), col("cnt")).agg(min(col("c")).as("est_cnt"))
+    est.join(broadcast(ex.select(col("key").as("k2"), col("w"))),
+        col("key") === col("k2"))
+      .select(col("key").as("part_key"), col("cnt").as("exact_cnt"),
+        col("est_cnt"), (col("est_cnt") - col("cnt")).as("overest"),
+        col("w").as("w_buckets"))
+      .orderBy("part_key")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
@@ -2503,5 +2713,6 @@ object Relational {
     q41Attribution, q42Transitions, q43GroupedTopK,
     dp1Profile, dp3Histogram, dp4Correlation, dp5Outliers, dp6KsTest,
     dp7ChiSquare, dp8Benford, dp9Expectations, dp10SkewAudit, dp11KmvSketch,
-    dp12BloomProfile, dp13Moments, dp14QuantileSketch, dp15MutualInfo)
+    dp12BloomProfile, dp13Moments, dp14QuantileSketch, dp15MutualInfo,
+    dp16HllSketch, dp17CountMin)
 }

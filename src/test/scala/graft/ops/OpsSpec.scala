@@ -1309,6 +1309,89 @@ class OpsSpec extends AnyFunSuite {
     assert(fp <= 30, s"fpp ${fp / 1000.0} far above the 0.24% design point")
   }
 
+  test("dp16: registers, denominator and HLL estimate recompute from raw keys") {
+    val rows = Relational.dp16HllSketch.run(spark, sf).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cols = Seq("orders" -> "o_custkey", "orders" -> "o_orderkey",
+      "lineitem" -> "l_partkey", "lineitem" -> "l_suppkey",
+      "nation" -> "n_nationkey")
+    assert(rows.length === cols.size)
+    var lcFired = 0
+    cols.foreach { case (tbl, key) =>
+      val keys = graft.Tables.table(spark, sf, tbl)
+        .filter(col(key).isNotNull).select(col(key).cast("string"))
+        .collect().map(_.getString(0))
+      val regs = Array.fill(256)(0L)
+      keys.foreach { k =>
+        val h = h60(k); val j = (h % 256).toInt; val w = h / 256
+        val rho =
+          if (w == 0) 53L
+          else 52L - (63 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs(j)) regs(j) = rho
+      }
+      val s = regs.map(r => 1L << (53 - r)).sum
+      val v = regs.count(_ == 0L).toLong
+      val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0 / s.toDouble
+      def lq(x: Double) = math.floor(math.log(x) * 1.0e6).toLong
+      val est =
+        if (raw <= 640.0 && v > 0) { lcFired += 1
+          256.0 * (lq(256.0) - lq(v.toDouble)).toDouble / 1.0e6 }
+        else raw
+      val exact = keys.distinct.length.toLong
+      val r = rows.find(r => r.getString(0) == tbl && r.getString(1) == key).get
+      assert(r.getAs[Long]("exact_distinct") === exact, s"$tbl.$key exact")
+      assert(r.getAs[Long]("v_zero") === v, s"$tbl.$key v_zero")
+      assert(r.getAs[Long]("s_denom") === s, s"$tbl.$key s_denom")
+      assert(r.getAs[Double]("raw_est") === r4(raw), s"$tbl.$key raw_est")
+      assert(r.getAs[Double]("est_distinct") === r4(est), s"$tbl.$key est")
+      assert(r.getAs[Double]("rel_err") === r4((est - exact) / exact), s"$tbl.$key err")
+      // the estimator contract: within 3 standard errors (1.04/sqrt(256))
+      assert(math.abs(est - exact) <= 3 * 1.04 / 16.0 * exact + 1,
+        s"$tbl.$key estimate $est vs exact $exact outside the HLL bound")
+    }
+    assert(lcFired >= 1, "fixture never exercised the linear-counting branch")
+  }
+
+  test("dp17: width, counters and CMS estimates recompute from raw keys") {
+    val rows = Relational.dp17CountMin.run(spark, sf).collect()
+    val keys = graft.Tables.table(spark, sf, "lineitem")
+      .select(col("l_partkey")).collect().map(_.getLong(0))
+    val n = keys.length.toLong
+    var w = 1L
+    while (w < (n + 7) / 8) w *= 2
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    keys.foreach { k =>
+      for (i <- 0 until 4) {
+        val b = h60(s"cm$i:$k") % w
+        cells((i, b)) = cells.getOrElse((i, b), 0L) + 1
+      }
+    }
+    val exact = keys.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val top10 = exact.toSeq.sortBy { case (k, c) => (-c, k) }.take(10).map(_._1).toSet
+    assert(rows.length === 10)
+    assert(rows.map(_.getAs[Long]("part_key")).toSet === top10, "probe set != exact top-10")
+    rows.foreach { r =>
+      val k = r.getAs[Long]("part_key")
+      val cnt = exact(k)
+      val est = (0 until 4).map(i => cells((i, h60(s"cm$i:$k") % w))).min
+      assert(r.getAs[Long]("exact_cnt") === cnt, s"key $k exact")
+      assert(r.getAs[Long]("est_cnt") === est, s"key $k est")
+      assert(r.getAs[Long]("overest") === est - cnt, s"key $k overest")
+      assert(est >= cnt, s"key $k: CMS undercounted — impossible by construction")
+      assert(r.getAs[Long]("w_buckets") === w)
+    }
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -654,4 +654,27 @@ class PlanSpec extends AnyFunSuite {
     // from sorting full version history at scale
     assert(p.contains("WindowGroupLimit"), s"no rank pushdown in:\n$p")
   }
+
+  test("dp16: the register build is a partial-combined aggregate; no window, no sort join") {
+    val p = plan(Relational.dp16HllSketch)
+    // the ONE fact pass per column reduces to <=256 register rows with
+    // map-side partial MIN — the no-distinct-shuffle property that is
+    // HLL's whole advantage over COUNT(DISTINCT)
+    assert(p.contains("partial_min"), s"register MIN lost its partial phase in:\n$p")
+    assert(!p.contains("Window"), s"window crept into the sketch path:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"tiny register frames shuffle-joined:\n$p")
+  }
+
+  test("dp17: counters combine map-side; probes broadcast; ONE fact scan") {
+    val p = plan(Relational.dp17CountMin)
+    assert(p.contains("partial_count"), s"counter build lost its partial phase in:\n$p")
+    // probes and width are localCheckpoint-pinned (their top-k ran as
+    // TakeOrderedAndProject inside the pin job) — the visible plan must
+    // scan lineitem exactly once, for the counter build
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(finalPlan).size === 1,
+      s"expected exactly one fact scan (the counter build) in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"probe join shuffled the cell grid:\n$p")
+  }
 }
