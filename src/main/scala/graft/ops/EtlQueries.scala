@@ -1000,11 +1000,11 @@ object EtlQueries {
         .filter(f => f.isDirectory && f.getName.startsWith("fb="))
         .filter(f => (f.getName.stripPrefix("fb=").toLong / 4) % 2 == 0)
       superseded.foreach(rm)
-      Seq(staged, compact).foreach { d =>
-        val root = new java.io.File(d)
-        root.deleteOnExit()
-        Option(root.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
-      }
+      // temp hygiene: both roots came from fastTmpDir, which registers
+      // them with the RECURSIVE shutdown-hook cleanup (scratchRoots) —
+      // deleteOnExit would silently leak the non-empty parquet subtrees
+      // (it cannot remove non-empty dirs), so no per-file registration
+      // here on purpose
       (staged, compact, r, filesBefore, superseded.length.toLong)
     })
 

@@ -298,23 +298,87 @@ object Graph {
 
   private val AFFINITY_TOP = 5
 
+  /** Hot-key cap on the pair-mine: per customer, at most this many
+    * suppliers enter the co-occurrence self-join. A customer of degree d
+    * emits d² pairs, so ONE hot key (a crawler account, a marketplace
+    * aggregator) turns the otherwise-linear mine quadratic — the s5
+    * failure class. The cap bounds every customer's pair fan-out at
+    * CAP² = 2304 rows regardless of corpus scale, which is what keeps
+    * the mine volume-linear at 100 TB. Selection is DETERMINISTIC —
+    * top-[[DEGREE_CAP]] by md5(c#s) with an (s) tie-break, the same
+    * hash-as-random-tape contract as dp14/g8 — so both engines truncate
+    * to the SAME supplier subset and the capped semantics are themselves
+    * oracle-verified (the cap FIRES at the sf0.01 gate: p99 degree 55,
+    * max 67). Chosen over sampling because a uniform hash pick preserves
+    * co-occurrence statistics in expectation without an RNG seam.
+    */
+  private[ops] val DEGREE_CAP = 48
+
+  /** Oracle-side mirror of [[cappedIncidence]]: CTE body over `eg(c,s)`.
+    * Shared verbatim by the five pair-mine consumers (g3/g4/g5/g7/g8) so
+    * the cap rule can never drift between their oracles.
+    */
+  private def egcSql: String =
+    s"""egc AS MATERIALIZED (
+       |  SELECT c, s FROM (
+       |    SELECT c, s, ROW_NUMBER() OVER (PARTITION BY c
+       |      ORDER BY md5(concat_ws('#', c, s)), s) AS rn
+       |    FROM eg)
+       |  WHERE rn <= $DEGREE_CAP)""".stripMargin
+
+  private val incidenceCache = new SessionCache[String, DataFrame]()
+
+  /** Uncached capped incidence plan — exposed (with [[pairMinePlan]]) so
+    * PlanSpec can pin that the cap window sits BELOW the pair self-join
+    * (the caches hide the subtree from the consumers' executed plans).
+    */
+  private[ops] def cappedIncidencePlan(spark: SparkSession, dir: String): DataFrame = {
+    // the cached undirected frame holds each edge once per direction;
+    // keeping only even (customer-side) sources recovers the distinct
+    // customer→supplier incidence exactly
+    val cs = copurchaseEdges(spark, dir)
+      .filter(col("a") % 2 === 0)
+      .select(expr("a div 2").as("c"), expr("b div 2").as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c"))
+      .orderBy(md5(concat_ws("#", col("c"), col("s"))), col("s"))
+    cs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= DEGREE_CAP)
+      .select(col("c"), col("s"))
+  }
+
+  /** Degree-capped customer→supplier incidence (see [[DEGREE_CAP]]) —
+    * the frame every pair-mine consumer starts from. One window shuffle
+    * on the customer key; localCheckpoint-pinned so the g3 degree frame
+    * and the pair self-join read one materialization.
+    */
+  private def cappedIncidence(spark: SparkSession, dir: String): DataFrame =
+    incidenceCache.getOrElseUpdate(spark, dir) {
+      cappedIncidencePlan(spark, dir).localCheckpoint()
+    }
+
+  /** Uncached pair-mine plan for PlanSpec (cap-below-join pin). */
+  private[ops] def pairMinePlan(spark: SparkSession, dir: String): DataFrame = {
+    val cs = cappedIncidencePlan(spark, dir)
+    cs.as("x").join(cs.as("y"),
+        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("s1"), col("y.s").as("s2"))
+      .agg(count(lit(1)).as("co"))
+  }
+
   private val pairCache = new SessionCache[String, DataFrame](df => { df.unpersist(false); () })
 
   /** Shared-customer counts per supplier pair (s1 < s2) — the pair-mine
     * aggregate both g3 (affinity top-k) and g4 (mutual-kNN triangles)
-    * start from. It is the expensive half of either query (an inverted
-    * index self-join on the customer key over the full incidence list),
-    * so it is persisted once per (session, dataset) with an eager count
-    * barrier, like [[copurchaseEdges]].
+    * start from, over the DEGREE-CAPPED incidence ([[DEGREE_CAP]] — the
+    * hot-key guard that keeps the mine linear at 100 TB). It is the
+    * expensive half of either query (an inverted index self-join on the
+    * customer key), so it is persisted once per (session, dataset) with
+    * an eager count barrier, like [[copurchaseEdges]].
     */
   private def coPairs(spark: SparkSession, dir: String): DataFrame =
     pairCache.getOrElseUpdate(spark, dir) {
-      // the cached undirected frame holds each edge once per direction;
-      // keeping only even (customer-side) sources recovers the distinct
-      // customer→supplier incidence exactly
-      val cs = copurchaseEdges(spark, dir)
-        .filter(col("a") % 2 === 0)
-        .select(expr("a div 2").as("c"), expr("b div 2").as("s"))
+      val cs = cappedIncidence(spark, dir)
       val df = cs.as("x").join(cs.as("y"),
           col("x.c") === col("y.c") && col("x.s") < col("y.s"))
         .groupBy(col("x.s").as("s1"), col("y.s").as("s2"))
@@ -336,26 +400,26 @@ object Graph {
     * the pair aggregate has map-side partials. The top-k is a
     * row_number window partitioned by supplier — each supplier's
     * partner list sorts independently, no global sort. Ties break
-    * deterministically (count desc, partner asc). The scale risk of any
-    * co-occurrence mine is the hot-entity blowup — a customer of d
-    * suppliers emits d² pairs; the standard mitigation (cap or sample
-    * per-entity fan-out above a frequency ceiling) is a semantics
-    * change, so this exact variant keeps the full join and relies on
-    * the pair aggregate's partial combine, which is exact and
-    * sufficient while max-degree² rows fit a task (true for every gate
-    * sf; a 100 TB catalog would cap).
+    * deterministically (count desc, partner asc). The hot-entity blowup
+    * every co-occurrence mine risks — a customer of d suppliers emits
+    * d² pairs — is bounded by the [[DEGREE_CAP]] deterministic
+    * per-customer truncation BELOW the self-join (PlanSpec-pinned),
+    * mirrored in the oracle's `egc` CTE; degrees and Jaccard are over
+    * the same capped incidence, so the statistic is internally
+    * consistent.
     */
   val g3SupplierAffinity: Q = Q.sql(
     "g3_supplier_affinity",
-    s"Top-$AFFINITY_TOP co-purchase partner suppliers by shared customers, with customer-set Jaccard.",
+    s"Top-$AFFINITY_TOP co-purchase partner suppliers by shared customers (degree-capped pair-mine), with customer-set Jaccard.",
     s"""WITH eg AS (
        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |$egcSql,
        |co AS (
        |  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS co
-       |  FROM eg a JOIN eg b ON a.c = b.c AND a.s < b.s
+       |  FROM egc a JOIN egc b ON a.c = b.c AND a.s < b.s
        |  GROUP BY 1, 2),
-       |deg AS (SELECT s, COUNT(*) AS d FROM eg GROUP BY s),
+       |deg AS (SELECT s, COUNT(*) AS d FROM egc GROUP BY s),
        |bidir AS (
        |  SELECT s1 AS s, s2 AS p, co FROM co
        |  UNION ALL SELECT s2, s1, co FROM co),
@@ -369,13 +433,12 @@ object Graph {
        |WHERE r.rnk <= $AFFINITY_TOP
        |ORDER BY supp_key, rnk""".stripMargin) { (spark, dir) =>
     val co = coPairs(spark, dir)
-    val cs = copurchaseEdges(spark, dir)
-      .filter(col("a") % 2 === 0)
-      .select(expr("a div 2").as("c"), expr("b div 2").as("s"))
-    // tiny (one row per supplier) but derived from a full incidence scan —
-    // checkpoint so its TWO broadcast consumers below don't re-run that
-    // scan each
-    val deg = cs.groupBy(col("s")).agg(count(lit(1)).as("d"))
+    // degree over the SAME capped incidence the pairs come from (the
+    // Jaccard must be internally consistent); tiny (one row per
+    // supplier) but derived from a full incidence scan — checkpoint so
+    // its TWO broadcast consumers below don't re-run that scan each
+    val deg = cappedIncidence(spark, dir)
+      .groupBy(col("s")).agg(count(lit(1)).as("d"))
       .localCheckpoint()
     // both orientations via map-side explode, NOT union(co, co.swap): the
     // union's branches would each recompute the whole pair-mine aggregate
@@ -468,9 +531,10 @@ object Graph {
     s"""WITH eg AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |$egcSql,
        |co AS MATERIALIZED (
        |  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS co
-       |  FROM eg a JOIN eg b ON a.c = b.c AND a.s < b.s
+       |  FROM egc a JOIN egc b ON a.c = b.c AND a.s < b.s
        |  GROUP BY 1, 2),
        |bidir AS (
        |  SELECT s1 AS s, s2 AS p, co FROM co
@@ -564,9 +628,10 @@ object Graph {
       s"""WITH eg AS MATERIALIZED (
          |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |$egcSql,
          |co AS MATERIALIZED (
          |  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS co
-         |  FROM eg a JOIN eg b ON a.c = b.c AND a.s < b.s
+         |  FROM egc a JOIN egc b ON a.c = b.c AND a.s < b.s
          |  GROUP BY 1, 2),
          |bidir AS (
          |  SELECT s1 AS s, s2 AS p, co FROM co
@@ -773,9 +838,10 @@ object Graph {
       s"""WITH eg AS MATERIALIZED (
          |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |$egcSql,
          |co AS MATERIALIZED (
          |  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS co
-         |  FROM eg a JOIN eg b ON a.c = b.c AND a.s < b.s
+         |  FROM egc a JOIN egc b ON a.c = b.c AND a.s < b.s
          |  GROUP BY 1, 2),
          |bidir AS (
          |  SELECT s1 AS s, s2 AS p, co FROM co
@@ -873,9 +939,10 @@ object Graph {
       s"""WITH eg AS MATERIALIZED (
          |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |$egcSql,
          |co AS MATERIALIZED (
          |  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS co
-         |  FROM eg a JOIN eg b ON a.c = b.c AND a.s < b.s
+         |  FROM egc a JOIN egc b ON a.c = b.c AND a.s < b.s
          |  GROUP BY 1, 2),
          |bidir AS (
          |  SELECT s1 AS s, s2 AS p, co FROM co

@@ -925,7 +925,82 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  private val PATCH = 4
+
+  final case class PatchStats(doc_id: Long, patch_row: Long, patch_col: Long,
+      token_idx: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** ViT-style patchify over DECODED images — the vision-transformer
+    * preprocessing step between decode and embed: each image is cropped
+    * to whole [[PATCH]]×[[PATCH]] patches (crop-to-multiple, the
+    * edge-pixel convention a resize-free pipeline uses), each patch gets
+    * its row-major TOKEN INDEX — the position id the transformer
+    * consumes — and exact per-patch RGB channel sums (the integer
+    * sufficient statistic for per-patch normalization). The decode is
+    * the real ImageIO path (m7's roundtrip contract), so the oracle's
+    * closed-form pixel re-derivation proves decode + grid arithmetic
+    * together; a patch offset or crop slip shifts every sum.
+    *
+    * Scale shape: one mapPartitions pass over the staged asset table
+    * (batched decode, m1's argument) with a bounded fan-out of
+    * (w/4)·(h/4) ≤ 15 rows per image; no shuffle at all until the gate's
+    * ORDER BY. At 100 TB the patch frame is written partition-parallel
+    * next to the shard manifest (m5) — patchify is embarrassingly
+    * parallel and the only cost that matters is decode locality, which
+    * the asset-partition alignment preserves.
+    */
+  val m11PatchGrid: Q = Q.sql(
+    "m11_patch_grid",
+    s"ViT patchify: ${PATCH}x$PATCH crop-to-multiple patch grid over decoded images, row-major token ids + exact per-patch RGB sums.",
+    s"""SELECT doc_id,
+       |  pr.pr AS patch_row, pc.pc AS patch_col,
+       |  pr.pr * ((8 + doc_id % 16) // $PATCH) + pc.pc AS token_idx,
+       |  CAST(SUM((doc_id + 7 * ($PATCH * pc.pc + dx.dx) + 13 * ($PATCH * pr.pr + dy.dy)) % 256) AS BIGINT) AS sum_r,
+       |  CAST(SUM((3 * doc_id + 5 * ($PATCH * pc.pc + dx.dx) + 11 * ($PATCH * pr.pr + dy.dy)) % 256) AS BIGINT) AS sum_g,
+       |  CAST(SUM((doc_id + ($PATCH * pc.pc + dx.dx) * ($PATCH * pr.pr + dy.dy)) % 256) AS BIGINT) AS sum_b
+       |FROM documents,
+       |     UNNEST(range(0, (8 + doc_id % 8) // $PATCH)) AS pr(pr),
+       |     UNNEST(range(0, (8 + doc_id % 16) // $PATCH)) AS pc(pc),
+       |     UNNEST(range(0, $PATCH)) AS dx(dx),
+       |     UNNEST(range(0, $PATCH)) AS dy(dy)
+       |WHERE doc_id % 3 = 0
+       |GROUP BY doc_id, pr.pr, pc.pc
+       |ORDER BY doc_id, patch_row, patch_col""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    assets(spark, dir)
+      .filter(_.meta.mediaType == "image")
+      .mapPartitions { batch =>
+        batch.flatMap { a =>
+          val img = decodeBmp(a.content, 0, a.content.length)
+          val cols = img.getWidth / PATCH
+          val rows = img.getHeight / PATCH
+          for {
+            pr <- (0 until rows).iterator
+            pc <- 0 until cols
+          } yield {
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var dy = 0
+            while (dy < PATCH) {
+              var dx = 0
+              while (dx < PATCH) {
+                val p = img.getRGB(PATCH * pc + dx, PATCH * pr + dy)
+                sr += (p >> 16) & 0xff
+                sg += (p >> 8) & 0xff
+                sb += p & 0xff
+                dx += 1
+              }
+              dy += 1
+            }
+            PatchStats(a.doc_id, pr.toLong, pc.toLong,
+              pr.toLong * cols + pc, sr, sg, sb)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "patch_row", "patch_col")
+  }
+
   val all: Seq[Q] = Seq(m1Meta, m2PayloadStats, m3FrameSample, m4TypedRollup,
     m5ShardPack, m6PayloadSig, m7ImageDecode, m8ImageAHash, m9AudioEnergy,
-    m10SceneCut)
+    m10SceneCut, m11PatchGrid)
 }

@@ -2212,9 +2212,11 @@ object Relational {
       |       CAST((SELECT COUNT(*) FROM bits) AS DOUBLE) / (SELECT m FROM st) AS fill_ratio,
       |       (SELECT COUNT(*) FROM hits) AS fp_count""".stripMargin) { (spark, dir) =>
     val keys = Tables.orders(spark, dir).select(col("o_orderkey").as("key"))
-    // m is driver-side control derived from one metadata-cheap count
-    // (d5-stride precedent); both engines compute 16·n exactly
-    val nKeys = keys.count()
+    // m is driver-side control derived from one count (d5-stride
+    // precedent) — over the DISTINCT key multiset, exactly as the
+    // oracle's SELECT DISTINCT, so a duplicate key can never change m
+    // on one side only (o_orderkey is a PK today; don't depend on it)
+    val nKeys = keys.distinct().count()
     val m = 16L * nKeys
     def bitCol(k: Column, i: Column): Column =
       pmod(graft.functions.DetHash.md5Long60(
@@ -2243,7 +2245,9 @@ object Relational {
     * skewness, excess kurtosis — the shape statistics a drift monitor
     * tracks beyond dp1's min/max and dp5's z-scores. Exactness strategy:
     * values fix-point to ×100 BIGINTs, pass 1 takes (n, Σq) and the
-    * INTEGER mean `Σq div n` (exact floor division in both engines),
+    * INTEGER mean ⌊Σq/n⌋ (true floor in both engines: DuckDB's `//`
+    * floors natively; Spark's truncating `div` is floor-adjusted for
+    * negative sums),
     * pass 2 accumulates the centered power sums Σd², Σd³, Σd⁴ about that
     * integer mean in DECIMAL(38,0)/HUGEINT — so every statistic derives
     * from exact integers with ONE fixed-order double combination at the
@@ -2287,10 +2291,18 @@ object Relational {
       |ORDER BY st.event_type""".stripMargin) { (spark, dir) =>
     val f = Tables.events(spark, dir).select(col("event_type"),
       round(col("value") * 100, 0).cast("bigint").as("q"))
+    // FLOOR division to mirror DuckDB's `//`: Spark's `div` truncates
+    // toward zero, which diverges by 1 whenever a group's sum is
+    // negative — the fixture is all-positive today, but the seam must
+    // not depend on that. n = COUNT(*) > 0 always, so floor(s1/n) =
+    // trunc(s1/n) − 1 exactly when s1 < 0 and n ∤ s1. Pure integer
+    // arithmetic — no decimal-division precision seam.
     val st = f.groupBy(col("event_type").as("et")).agg(
         count(lit(1)).as("n"),
         sum(col("q").cast("decimal(38,0)")).as("s1"))
-      .withColumn("muq", expr("s1 div n"))
+      .withColumn("muq",
+        expr("s1 div n") -
+          when(col("s1") < 0 && expr("s1 % n") =!= 0, 1).otherwise(0))
     def sdec(c: Column) = sum(c.cast("decimal(38,0)"))
     val m = f.join(broadcast(st), col("event_type") === col("et"))
       .select(col("event_type"), (col("q") - col("muq")).as("d"))
@@ -2702,6 +2714,127 @@ object Relational {
       .orderBy("part_key")
   }
 
+  private val PSI_BINS = 10
+
+  /** Population Stability Index between the first and second time half
+    * of the event stream, per event_type — THE drift score a production
+    * model/data monitor alarms on (PSI > 0.2 = retrain). Cohorts split
+    * at the midpoint timestamp (min+max)/2 — exact integer micros, both
+    * engines floor the same division — and values land in [[PSI_BINS]]
+    * equal-width bins over the global ×100 fixed-point value range
+    * (integer bin arithmetic; a fixed reference binning is what real
+    * monitors use, so bin edges are NOT per-cohort). Add-one smoothing
+    * over the full bin spine keeps empty bins finite (the classic PSI
+    * zero-cell fix), deterministically.
+    *
+    * Exactness: with smoothed counts a,b and totals na,nb, each bin's
+    * term is (a/na − b/nb)·ln((a·nb)/(b·na)). The difference and the
+    * log argument are exact integers; the log goes through t18/dp15's
+    * micro-nat quantization L(k) = floor(ln(k)·1e6), so the per-bin
+    * numerator (a·nb − b·na)·(L(a·nb) − L(b·na)) is an EXACT integer
+    * (decimal-128 — the factors reach ~1e14·3e7 past BIGINT at 10M
+    * rows), monotonicity of floor∘ln keeps it ≥ 0 like true PSI, and
+    * the bin PSI and total PSI each convert with ONE double division by
+    * na·nb·1e6 — no float reduction anywhere.
+    *
+    * Scale shape: one scan for the global bounds (4-value aggregate),
+    * one scan to the (event_type, cohort, bin) cell frame with map-side
+    * partials, then pure broadcast arithmetic on the ~types×[[PSI_BINS]]
+    * grid (dp15's shape). The spine cross join is types×10 rows.
+    */
+  val dp18PsiDrift: Q = Q.sql(
+    "dp18_psi_drift",
+    s"Population Stability Index (add-one smoothed, $PSI_BINS fixed bins, integer micro-nat logs) between time halves, per event_type.",
+    s"""WITH f AS (
+       |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS q,
+       |         epoch_us(ts) AS us
+       |  FROM events),
+       |bd AS (SELECT MIN(us) AS lo, MAX(us) AS hi,
+       |              MIN(q) AS qlo, MAX(q) AS qhi FROM f),
+       |g AS (
+       |  SELECT f.event_type,
+       |         CASE WHEN f.us <= (bd.lo + bd.hi) // 2 THEN 0 ELSE 1 END AS cohort,
+       |         ((f.q - bd.qlo) * $PSI_BINS) // (bd.qhi - bd.qlo + 1) AS bin
+       |  FROM f CROSS JOIN bd),
+       |cnt AS (
+       |  SELECT event_type, bin,
+       |         COUNT(*) FILTER (WHERE cohort = 0) AS ca0,
+       |         COUNT(*) FILTER (WHERE cohort = 1) AS cb0
+       |  FROM g GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT et.event_type, b.bin
+       |  FROM (SELECT DISTINCT event_type FROM f) et,
+       |       (SELECT UNNEST(range($PSI_BINS)) AS bin) b),
+       |sm AS (
+       |  SELECT s.event_type, s.bin,
+       |         COALESCE(c.ca0, 0) + 1 AS a, COALESCE(c.cb0, 0) + 1 AS b
+       |  FROM spine s LEFT JOIN cnt c
+       |    ON s.event_type = c.event_type AND s.bin = c.bin),
+       |tt AS (SELECT event_type, SUM(a) AS na, SUM(b) AS nb FROM sm GROUP BY 1),
+       |terms AS (
+       |  SELECT sm.event_type, sm.bin, sm.a, sm.b, tt.na, tt.nb,
+       |         (CAST(sm.a AS HUGEINT) * tt.nb - CAST(sm.b AS HUGEINT) * tt.na)
+       |         * (CAST(FLOOR(ln(CAST(sm.a AS DOUBLE) * tt.nb) * 1000000.0) AS HUGEINT)
+       |          - CAST(FLOOR(ln(CAST(sm.b AS DOUBLE) * tt.na) * 1000000.0) AS HUGEINT)) AS t_q
+       |  FROM sm JOIN tt ON sm.event_type = tt.event_type),
+       |tot AS (SELECT event_type, SUM(t_q) AS psi_q FROM terms GROUP BY 1)
+       |SELECT t.event_type, t.bin,
+       |       CAST(t.a - 1 AS BIGINT) AS n_ref, CAST(t.b - 1 AS BIGINT) AS n_cur,
+       |       ROUND(CAST(t.t_q AS DOUBLE)
+       |             / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) / 1000000.0, 9)
+       |         AS psi_bin,
+       |       ROUND(CAST(x.psi_q AS DOUBLE)
+       |             / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) / 1000000.0, 9)
+       |         AS psi_total
+       |FROM terms t JOIN tot x ON t.event_type = x.event_type
+       |ORDER BY t.event_type, t.bin""".stripMargin) { (spark, dir) =>
+    val f = Tables.events(spark, dir).select(col("event_type"),
+      round(col("value") * 100, 0).cast("bigint").as("q"),
+      unix_micros(col("ts")).as("us"))
+    val bd = f.agg(min(col("us")).as("lo"), max(col("us")).as("hi"),
+      min(col("q")).as("qlo"), max(col("q")).as("qhi"))
+    val g = f.crossJoin(broadcast(bd))
+      .select(col("event_type"),
+        when(col("us") <= expr("(lo + hi) div 2"), 0).otherwise(1).as("cohort"),
+        expr(s"((q - qlo) * $PSI_BINS) div (qhi - qlo + 1)").as("bin"))
+    val cnt = g.groupBy(col("event_type"), col("bin"))
+      .agg(count(when(col("cohort") === 0, 1)).as("ca0"),
+        count(when(col("cohort") === 1, 1)).as("cb0"))
+      .localCheckpoint() // tiny cell frame off one fact scan; spine + types read it
+    val spine = cnt.select(col("event_type")).distinct()
+      .crossJoin(spark.range(PSI_BINS).select(col("id").as("bin")))
+    val sm = spine.join(cnt, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        (coalesce(col("ca0"), lit(0L)) + 1).as("a"),
+        (coalesce(col("cb0"), lit(0L)) + 1).as("b"))
+      .localCheckpoint() // consumed by totals and terms
+    val tt = sm.groupBy(col("event_type").as("et"))
+      .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def lq(c: Column): Column =
+      floor(log(c) * lit(1.0e6)).cast("decimal(38,0)")
+    val terms = sm.join(broadcast(tt), col("event_type") === col("et"))
+      .select(col("event_type"), col("bin"), col("a"), col("b"),
+        col("na"), col("nb"),
+        ((dec(col("a")) * dec(col("nb")) - dec(col("b")) * dec(col("na")))
+          * (lq(col("a").cast("double") * col("nb"))
+            - lq(col("b").cast("double") * col("na")))).as("t_q"))
+      .localCheckpoint() // two consumers: per-type total and output rows
+    val tot = terms.groupBy(col("event_type").as("et2"))
+      .agg(sum(col("t_q")).as("psi_q"))
+    terms.join(broadcast(tot), col("event_type") === col("et2"))
+      .select(col("event_type"), col("bin"),
+        (col("a") - 1).cast("bigint").as("n_ref"),
+        (col("b") - 1).cast("bigint").as("n_cur"),
+        round(col("t_q").cast("double")
+          / (col("na").cast("double") * col("nb").cast("double")) / 1.0e6, 9)
+          .as("psi_bin"),
+        round(col("psi_q").cast("double")
+          / (col("na").cast("double") * col("nb").cast("double")) / 1.0e6, 9)
+          .as("psi_total"))
+      .orderBy("event_type", "bin")
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
@@ -2714,5 +2847,5 @@ object Relational {
     dp1Profile, dp3Histogram, dp4Correlation, dp5Outliers, dp6KsTest,
     dp7ChiSquare, dp8Benford, dp9Expectations, dp10SkewAudit, dp11KmvSketch,
     dp12BloomProfile, dp13Moments, dp14QuantileSketch, dp15MutualInfo,
-    dp16HllSketch, dp17CountMin)
+    dp16HllSketch, dp17CountMin, dp18PsiDrift)
 }

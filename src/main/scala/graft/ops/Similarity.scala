@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
@@ -1263,6 +1264,68 @@ object Similarity {
        |         COALESCE(CAST(s.sq AS DOUBLE) / 10000000.0 / s.cnt, p.c) AS c
        |  FROM c${r - 1} p LEFT JOIN s$r s ON p.cell = s.cell AND p.pos = s.pos)""".stripMargin
 
+  private val kmCache = new SessionCache[String, DataFrame]()
+
+  /** Per-cell centroid ARRAYS from the flat (cell, pos, c) frame —
+    * sort_array on (pos, c) structs reassembles index order
+    * deterministically after any shuffle.
+    */
+  private def kmCentArr(c: DataFrame): DataFrame =
+    c.groupBy(col("cell"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+
+  /** One Lloyd ASSIGNMENT over the full corpus against the given flat
+    * centroid frame: every vector to its min-squared-L2 cell, fixed-order
+    * index-fold distance, ties to the lower cell id — the deterministic
+    * assignment both the trainer (s14) and the trained index (s16) run.
+    * Returns (vec_id, v, cell, dist).
+    */
+  private def kmAssign(spark: SparkSession, dir: String, c: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dist = aggregate(
+      zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, z) => acc + z)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+    e.crossJoin(broadcast(kmCentArr(c)))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cell"), col("dist"))
+  }
+
+  /** Trained coarse-quantizer centroids — the [[KM_ROUNDS]]-round Lloyd
+    * loop, factored out of s14 and session-cached so TRAINING RUNS ONCE
+    * per (session, dataset) and both consumers (s14's training report,
+    * s16's trained index+search) read the same checkpointed frame. At
+    * 100 TB the trained codebook is a build ARTIFACT consumed by every
+    * downstream indexing job, not a per-query recomputation. Returns the
+    * flat (cell, pos, c) layout.
+    */
+  private[ops] def trainedCentroids(spark: SparkSession, dir: String): DataFrame =
+    kmCache.getOrElseUpdate(spark, dir) {
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      var cent: DataFrame = e.filter(col("vec_id") < KM_K)
+        .select(col("vec_id").as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("cell"), col("pos").cast("bigint").as("pos"), col("x").as("c"))
+        .localCheckpoint()
+      for (_ <- 1 to KM_ROUNDS) {
+        val sums = kmAssign(spark, dir, cent)
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .select(col("cell"), col("pos").cast("bigint").as("pos"), col("x"))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(floor(col("x") * lit(1.0e7))).as("sq"), count(lit(1)).as("cnt"))
+        cent = cent.join(sums, Seq("cell", "pos"), "left")
+          .select(col("cell"), col("pos"),
+            coalesce(col("sq").cast("double") / lit(1.0e7) / col("cnt"), col("c")).as("c"))
+          .localCheckpoint()
+      }
+      cent
+    }
+
   /** Lloyd's k-means TRAINING — the index-build step every coarse
     * quantizer in this family assumes: s3/s8/s12 partition around
     * "deterministic centroids (a real build would k-means these)" and
@@ -1270,6 +1333,9 @@ object Similarity {
     * [[KM_ROUNDS]] driver-unrolled rounds of assign → re-estimate over
     * the full corpus, init = the first [[KM_K]] vectors (s3's exact
     * seed set, so the trained cells refine the cells the searchers use).
+    * The loop itself lives in [[trainedCentroids]] (session-cached);
+    * [[s16TrainedIvf]] consumes the same artifact — the train→index→
+    * search composition.
     *
     * Determinism (the reason textbook k-means is NOT reproducible
     * across engines): (a) init is fixed, not sampled; (b) the squared-L2
@@ -1313,41 +1379,8 @@ object Similarity {
        |       CAST(COALESCE(st.inertia_q, 0) AS BIGINT) AS inertia_q
        |FROM c$KM_ROUNDS c LEFT JOIN st ON c.cell = st.cell
        |ORDER BY c.cell, c.pos""".stripMargin) { (spark, dir) =>
-    import org.apache.spark.sql.DataFrame
-    import org.apache.spark.sql.expressions.Window
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    var cent: DataFrame = e.filter(col("vec_id") < KM_K)
-      .select(col("vec_id").as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-      .select(col("cell"), col("pos").cast("bigint").as("pos"), col("x").as("c"))
-      .localCheckpoint()
-    def centArr(c: DataFrame): DataFrame =
-      c.groupBy(col("cell"))
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
-          s => s.getField("c")).as("cv"))
-    val dist = aggregate(
-      zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, z) => acc + z)
-    def assign(c: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
-      e.crossJoin(broadcast(centArr(c)))
-        .withColumn("dist", dist)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cell"), col("dist"))
-    }
-    for (_ <- 1 to KM_ROUNDS) {
-      val sums = assign(cent)
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .select(col("cell"), col("pos").cast("bigint").as("pos"), col("x"))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(floor(col("x") * lit(1.0e7))).as("sq"), count(lit(1)).as("cnt"))
-      cent = cent.join(sums, Seq("cell", "pos"), "left")
-        .select(col("cell"), col("pos"),
-          coalesce(col("sq").cast("double") / lit(1.0e7) / col("cnt"), col("c")).as("c"))
-        .localCheckpoint()
-    }
-    val stats = assign(cent)
+    val cent = trainedCentroids(spark, dir)
+    val stats = kmAssign(spark, dir, cent)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"),
         sum(floor(col("dist") * lit(1.0e6))).as("inertia_q"))
@@ -1358,7 +1391,231 @@ object Similarity {
       .orderBy("cell", "pos")
   }
 
+  /** IVF search over the TRAINED quantizer — the composition that closes
+    * the train→index→search loop: [[trainedCentroids]] (s14's Lloyd
+    * artifact, session-cached) is the coarse codebook, the INDEX pass
+    * assigns every corpus vector to its trained cell (one linear map
+    * stage against the broadcast K×64 codebook — [[kmAssign]], the same
+    * deterministic min-L2/tie-low rule training used), and the SEARCH
+    * joins probes to candidates on the cell id with an exact-cosine
+    * in-cell rank. s3/s12 seed their cells from raw vectors; this
+    * operator proves the engine runs the pipeline a real 100 TB vector
+    * store builds — train on the corpus, broadcast the trained codebook,
+    * one indexing pass, then every query is a cell-equi-join instead of
+    * a corpus scan. Cell sizes ride along as the balance witness (Lloyd
+    * rounds visibly rebalance them vs s3's seed cells).
+    *
+    * Scale shape: training is [[KM_ROUNDS]] linear passes (constant
+    * 512-group aggregate each); indexing is one linear pass; the search
+    * probe side is broadcast and the in-cell candidate set is corpus/K
+    * on average — no stage is quadratic and nothing but the codebook is
+    * ever collected or broadcast.
+    */
+  val s16TrainedIvf: Q = Q.sql(
+    "s16_trained_ivf",
+    s"Train→index→search composition: IVF over s14's trained centroids ($KM_K cells), exact-cosine in-cell top-$IVF_K with cell-size witness.",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS cell, u.p AS pos, u.x AS c
+       |  FROM (SELECT vec_id, UNNEST(list_transform(range(0, len(v)),
+       |          i -> struct_pack(p := i, x := v[i + 1]))) AS u
+       |        FROM e WHERE vec_id < $KM_K)),
+       |${(1 to KM_ROUNDS).map(kmRoundSql).mkString(",\n")},
+       |af AS (SELECT cell, list(c ORDER BY pos) AS cv FROM c$KM_ROUNDS GROUP BY cell),
+       |cells AS MATERIALIZED (
+       |${kmAssignSql("af")}),
+       |sz AS (SELECT cell, COUNT(*) AS cell_size FROM cells GROUP BY cell),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
+       |  FROM e),
+       |cand AS (
+       |  SELECT p.vec_id AS probe_id, p.cell, c.vec_id AS neighbor_id,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(pn.v) + 1), i -> pn.v[i] * cn.v[i])), (x, y) -> x + y)
+       |           / (pn.nrm * cn.nrm) AS cos
+       |  FROM cells p
+       |  JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.vec_id
+       |  JOIN n pn ON pn.vec_id = p.vec_id
+       |  JOIN n cn ON cn.vec_id = c.vec_id
+       |  WHERE p.vec_id < 10),
+       |ranked AS (
+       |  SELECT probe_id, cell, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |SELECT r.probe_id, r.cell, sz.cell_size, r.rank, r.neighbor_id,
+       |       ROUND(r.cos, 6) AS cosine
+       |FROM ranked r JOIN sz ON r.cell = sz.cell
+       |WHERE r.rank <= $IVF_K
+       |ORDER BY probe_id, rank""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // INDEX: one linear corpus pass against the trained broadcast codebook;
+    // pinned because probes, candidates, and sizes all read it
+    val cells = kmAssign(spark, dir, trainedCentroids(spark, dir))
+      .select(col("vec_id"), col("cell"))
+      .localCheckpoint()
+    val sz = cells.groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
+    val n = Dedup.normedVectors(spark, dir)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val probes = cells.filter(col("vec_id") < 10)
+      .join(n, "vec_id")
+      .select(col("vec_id").as("probe_id"), col("cell"),
+        col("v").as("pv"), col("nrm").as("pnrm"))
+    val cos = Dedup.cosineCol(col("pv"), col("nv"), col("pnrm"), col("nnrm"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes)
+      .join(cells.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .join(n.select(col("vec_id").as("neighbor_id"),
+        col("v").as("nv"), col("nrm").as("nnrm")), "neighbor_id")
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= IVF_K)
+      .join(broadcast(sz), Seq("cell"))
+      .select(col("probe_id"), col("cell"), col("cell_size"), col("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  private val MMR_POOL = 20   // per-probe exact-cosine candidate pool
+  private val MMR_OUT = 5     // diversified picks emitted per probe
+  private val MMR_LAMBDA = 0.7
+
+  /** Maximal Marginal Relevance rerank — the diversity-aware retrieval
+    * step a RAG/training-data sampler runs AFTER similarity search so
+    * the k results aren't k near-copies of each other:
+    * greedily pick argmax λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s), i.e.
+    * relevance to the probe discounted by similarity to what is already
+    * selected. [[MMR_OUT]] driver-unrolled greedy rounds over a
+    * per-probe pool of the [[MMR_POOL]] exact-cosine nearest (s1's
+    * shape), both mirrored CTE-for-round in the oracle.
+    *
+    * Determinism: every cosine is the fixed-order index fold; the score
+    * is exactly two IEEE multiplies and one subtract in fixed order; the
+    * in-round max-over-selected is a true max (order-independent); every
+    * argmax tie-breaks on candidate id. No float accumulates across
+    * rounds — each round's scores recompute from exact inputs.
+    *
+    * Scale shape: the one corpus-sized stage is the pool build
+    * (broadcast probes against a single scan + per-probe top-k window);
+    * every greedy round joins the ≤probes×[[MMR_POOL]] pool against the
+    * ≤probes×round selected set — kilobytes regardless of corpus size,
+    * which is why MMR is always run AFTER candidate generation, never
+    * on the corpus. localCheckpoint per round (the g1 micro-stage
+    * contract, AQE off).
+    */
+  val s17MmrDiversify: Q = Q.sql(
+    "s17_mmr_diversify",
+    s"MMR diversity rerank (λ=$MMR_LAMBDA): greedy top-$MMR_OUT from a $MMR_POOL-candidate exact-cosine pool per probe.",
+    {
+      def cosSql(av: String, an: String, bv: String, bn: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(range(1, len($av) + 1), i -> $av[i] * $bv[i])), (x, y) -> x + y)
+           |      / ($an * $bn)""".stripMargin
+      val rounds = (2 to MMR_OUT).map { k =>
+        s"""pen$k AS (
+           |  SELECT c.probe_id, c.cand_id, c.rel,
+           |         MAX(${cosSql("c.cv", "c.cnrm", "sv.cv", "sv.cnrm")}) AS mpen
+           |  FROM cand c
+           |  JOIN sel${k - 1} s ON s.probe_id = c.probe_id
+           |  JOIN cand sv ON sv.probe_id = s.probe_id AND sv.cand_id = s.cand_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} x
+           |                    WHERE x.probe_id = c.probe_id AND x.cand_id = c.cand_id)
+           |  GROUP BY 1, 2, 3),
+           |pick$k AS (
+           |  SELECT probe_id, cand_id, $k AS pick, rel, score FROM (
+           |    SELECT probe_id, cand_id, rel,
+           |           $MMR_LAMBDA * rel - ${1 - MMR_LAMBDA} * mpen AS score,
+           |           ROW_NUMBER() OVER (PARTITION BY probe_id
+           |             ORDER BY $MMR_LAMBDA * rel - ${1 - MMR_LAMBDA} * mpen DESC, cand_id) AS rn
+           |    FROM pen$k)
+           |  WHERE rn = 1),
+           |sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM pick$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS MATERIALIZED (
+         |  SELECT vec_id, v,
+         |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
+         |  FROM e),
+         |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm FROM n WHERE vec_id < 10),
+         |cand AS MATERIALIZED (
+         |  SELECT probe_id, cand_id, rel, cv, cnrm FROM (
+         |    SELECT p.probe_id, c.vec_id AS cand_id,
+         |           ${cosSql("p.pv", "p.pnrm", "c.v", "c.nrm")} AS rel,
+         |           c.v AS cv, c.nrm AS cnrm,
+         |           ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+         |             ${cosSql("p.pv", "p.pnrm", "c.v", "c.nrm")} DESC, c.vec_id) AS rn
+         |    FROM p JOIN n c ON c.vec_id <> p.probe_id)
+         |  WHERE rn <= $MMR_POOL),
+         |sel1 AS (
+         |  SELECT probe_id, cand_id, 1 AS pick, rel, $MMR_LAMBDA * rel AS score FROM (
+         |    SELECT probe_id, cand_id, rel,
+         |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY rel DESC, cand_id) AS rn
+         |    FROM cand)
+         |  WHERE rn = 1),
+         |$rounds
+         |SELECT probe_id, CAST(pick AS BIGINT) AS pick, cand_id AS neighbor_id,
+         |       ROUND(rel, 6) AS relevance, ROUND(score, 6) AS mmr_score
+         |FROM sel$MMR_OUT
+         |ORDER BY probe_id, pick""".stripMargin
+    }) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val n = Dedup.normedVectors(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val probes = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val relCos = Dedup.cosineCol(col("pv"), col("cv"), col("pnrm"), col("cnrm"))
+    val poolW = Window.partitionBy(col("probe_id")).orderBy(col("rel").desc, col("cand_id"))
+    // the ONLY corpus-sized stage; pinned — every greedy round reads it
+    val cand = broadcast(probes)
+      .join(n.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cnrm")),
+        col("cand_id") =!= col("probe_id"))
+      .withColumn("rel", relCos)
+      .withColumn("rn", row_number().over(poolW))
+      .filter(col("rn") <= MMR_POOL)
+      .select(col("probe_id"), col("cand_id"), col("rel"), col("cv"), col("cnrm"))
+      .localCheckpoint()
+    val pickW = Window.partitionBy(col("probe_id")).orderBy(col("score").desc, col("cand_id"))
+    var sel = cand
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("rel").desc, col("cand_id"))))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("cand_id"), lit(1L).as("pick"), col("rel"),
+        (lit(MMR_LAMBDA) * col("rel")).as("score"))
+      .localCheckpoint()
+    val pairCos = Dedup.cosineCol(col("cv"), col("sv"), col("cnrm"), col("snrm"))
+    for (k <- 2 to MMR_OUT) {
+      val selV = sel.join(cand.select(col("probe_id").as("sp"),
+          col("cand_id").as("sc"), col("cv").as("sv"), col("cnrm").as("snrm")),
+        col("probe_id") === col("sp") && col("cand_id") === col("sc"))
+        .select(col("probe_id").as("jp"), col("cand_id").as("jc"),
+          col("sv"), col("snrm"))
+      val pen = cand
+        .join(broadcast(sel.select(col("probe_id").as("xp"), col("cand_id").as("xc"))),
+          col("probe_id") === col("xp") && col("cand_id") === col("xc"), "left_anti")
+        .join(broadcast(selV), col("probe_id") === col("jp"))
+        .withColumn("pc", pairCos)
+        .groupBy(col("probe_id"), col("cand_id"), col("rel"))
+        .agg(max(col("pc")).as("mpen"))
+      val pick = pen
+        .withColumn("score",
+          lit(MMR_LAMBDA) * col("rel") - lit(1 - MMR_LAMBDA) * col("mpen"))
+        .withColumn("rn", row_number().over(pickW))
+        .filter(col("rn") === 1)
+        .select(col("probe_id"), col("cand_id"), lit(k.toLong).as("pick"),
+          col("rel"), col("score"))
+      sel = sel.union(pick).localCheckpoint()
+    }
+    Graph.withoutAqe(spark)(sel)
+      .select(col("probe_id"), col("pick"), col("cand_id").as("neighbor_id"),
+        round(col("rel"), 6).as("relevance"), round(col("score"), 6).as("mmr_score"))
+      .orderBy("probe_id", "pick")
+  }
+
   val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4LabelCentroids,
     s5KnnJoin, s6Quantize, s7Mips, s8AnnRerank, s9RetrievalE2e, s10PqEncode,
-    s11RecallCurve, s12IvfPq, s13HybridRrf, s14KmeansTrain, s15BinaryQuant)
+    s11RecallCurve, s12IvfPq, s13HybridRrf, s14KmeansTrain, s15BinaryQuant,
+    s16TrainedIvf, s17MmrDiversify)
 }

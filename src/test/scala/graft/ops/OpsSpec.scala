@@ -1010,6 +1010,65 @@ class OpsSpec extends AnyFunSuite {
     assert(nBy.values.sum === vecs.length.toLong, "every vector assigned once")
   }
 
+  test("s16: trained-cell index + in-cell exact top-k recompute in driver memory") {
+    val rows = Similarity.s16TrainedIvf.run(spark, sf)
+      .select("probe_id", "cell", "cell_size", "rank", "neighbor_id", "cosine").collect()
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def dist(v: Array[Double], c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
+      acc
+    }
+    def assign(cent: Array[Array[Double]]) = vecs.map { case (id, v) =>
+      var best = 0; var bd = dist(v, cent(0))
+      for (k <- 1 until 8) { val d = dist(v, cent(k)); if (d < bd) { bd = d; best = k } }
+      (id, best, v)
+    }
+    // identical Lloyd replay to the s14 test — s16 must consume the SAME
+    // trained codebook (the composition is the point)
+    var cent = vecs.take(8).map(_._2.clone)
+    for (_ <- 1 to 3) {
+      val a = assign(cent)
+      cent = (0 until 8).toArray.map { k =>
+        val members = a.collect { case (_, c, v) if c == k => v }
+        if (members.isEmpty) cent(k)
+        else Array.tabulate(64) { p =>
+          members.map(v => math.floor(v(p) * 1.0e7).toLong).sum.toDouble / 1.0e7 / members.length
+        }
+      }
+    }
+    val idx = assign(cent)
+    val cellOf = idx.map(x => x._1 -> x._2).toMap
+    val sizes = idx.groupBy(_._2).map { case (k, xs) => k -> xs.length.toLong }
+    def cos(u: Array[Double], v: Array[Double]): Double = {
+      var d = 0.0; var nu = 0.0; var nv = 0.0; var i = 0
+      while (i < u.length) { d += u(i) * v(i); nu += u(i) * u(i); nv += v(i) * v(i); i += 1 }
+      d / (math.sqrt(nu) * math.sqrt(nv))
+    }
+    val byId = vecs.toMap
+    rows.groupBy(_.getLong(0)).foreach { case (p, rs) =>
+      val pc = cellOf(p)
+      val want = idx.filter(x => x._2 == pc && x._1 != p)
+        .map(x => (-cos(byId(p), byId(x._1)), x._1))
+        .sorted.take(5)
+      val got = rs.sortBy(_.getLong(3))
+      got.foreach { r =>
+        assert(r.getLong(1) === pc.toLong, s"probe $p indexed to wrong cell")
+        assert(r.getLong(2) === sizes(pc), s"cell_size($pc)")
+      }
+      assert(got.map(_.getLong(4)).toSeq === want.map(_._2).toSeq,
+        s"in-cell top-5 mismatch for probe $p")
+      got.zip(want).foreach { case (r, (negc, _)) =>
+        assert(math.abs(r.getDouble(5) - (-negc)) < 1e-6, s"cosine witness for probe $p")
+      }
+    }
+    assert(rows.map(_.getLong(0)).distinct.length === 10, "10 probes")
+  }
+
   test("s15: signatures, hamming ranking and witness recompute in driver memory") {
     val rows = Similarity.s15BinaryQuant.run(spark, sf)
       .select("probe_id", "rank", "neighbor_id", "hamming").collect()
@@ -1164,6 +1223,108 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("mi_q") === wantMi)
     }
     assert(wantMi > 0, "independence fixture degenerate: MI <= 0")
+  }
+
+  test("dp18: smoothed PSI bins and totals recompute from raw events") {
+    val rows = Relational.dp18PsiDrift.run(spark, sf).collect()
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long"),
+        unix_micros(col("ts"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (lo, hi) = (ev.map(_._3).min, ev.map(_._3).max)
+    val (qlo, qhi) = (ev.map(_._2).min, ev.map(_._2).max)
+    val mid = (lo + hi) / 2
+    def bin(q: Long): Long = (q - qlo) * 10 / (qhi - qlo + 1)
+    def lq(x: Double): Long = math.floor(math.log(x) * 1.0e6).toLong
+    val byType = ev.groupBy(_._1)
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      assert(rs.length === 10, s"$et: full 10-bin spine")
+      val mine = byType(et)
+      val a0 = mine.filter(_._3 <= mid).groupBy(e => bin(e._2)).view.mapValues(_.length.toLong).toMap
+      val b0 = mine.filter(_._3 > mid).groupBy(e => bin(e._2)).view.mapValues(_.length.toLong).toMap
+      val a = (0L until 10L).map(k => k -> (a0.getOrElse(k, 0L) + 1)).toMap
+      val b = (0L until 10L).map(k => k -> (b0.getOrElse(k, 0L) + 1)).toMap
+      val na = a.values.sum; val nb = b.values.sum
+      def tq(k: Long): BigInt =
+        (BigInt(a(k)) * nb - BigInt(b(k)) * na) *
+          BigInt(lq(a(k).toDouble * nb) - lq(b(k).toDouble * na))
+      val psiQ = (0L until 10L).map(tq).sum
+      assert(psiQ >= 0, "floor∘ln monotonicity keeps PSI terms non-negative")
+      rs.foreach { r =>
+        val k = r.getLong(1)
+        assert(r.getLong(2) === a0.getOrElse(k, 0L), s"$et bin $k n_ref")
+        assert(r.getLong(3) === b0.getOrElse(k, 0L), s"$et bin $k n_cur")
+        val denom = na.toDouble * nb.toDouble * 1.0e6
+        assert(math.abs(r.getDouble(4) - tq(k).toDouble / denom) < 1e-9, s"$et bin $k psi_bin")
+        assert(math.abs(r.getDouble(5) - psiQ.toDouble / denom) < 1e-9, s"$et psi_total")
+      }
+    }
+  }
+
+  test("m11: patch sums and token ids recompute from the generator formulas") {
+    val rows = Multimodal.m11PatchGrid.run(spark, sf).collect()
+    val ids = graft.Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % 3 == 0)
+    def want(id: Long) = {
+      val (w, h) = (8 + (id % 16).toInt, 8 + (id % 8).toInt)
+      for (pr <- 0 until h / 4; pc <- 0 until w / 4) yield {
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        for (dy <- 0 until 4; dx <- 0 until 4) {
+          val x = 4 * pc + dx; val y = 4 * pr + dy
+          sr += (id + 7L * x + 13L * y) % 256
+          sg += (3L * id + 5L * x + 11L * y) % 256
+          sb += (id + x.toLong * y) % 256
+        }
+        (id, pr.toLong, pc.toLong, pr.toLong * (w / 4) + pc, sr, sg, sb)
+      }
+    }
+    val exp = ids.flatMap(want).sortBy(t => (t._1, t._2, t._3))
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === exp.toSeq, "patch grid differs from the generator model")
+    assert(exp.nonEmpty && exp.exists(_._4 > 5), "fixture exercises multi-row grids")
+  }
+
+  test("s17: greedy MMR replay in driver memory matches picks and scores") {
+    val rows = Similarity.s17MmrDiversify.run(spark, sf)
+      .select("probe_id", "pick", "neighbor_id", "relevance", "mmr_score").collect()
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(u: Array[Double], v: Array[Double]): Double = {
+      var d = 0.0; var nu = 0.0; var nv = 0.0; var i = 0
+      while (i < u.length) { d += u(i) * v(i); nu += u(i) * u(i); nv += v(i) * v(i); i += 1 }
+      d / (math.sqrt(nu) * math.sqrt(nv))
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (p, rs) =>
+      val pool = vecs.keys.filter(_ != p).toSeq
+        .map(id => (id, cos(vecs(p), vecs(id))))
+        .sortBy { case (id, rel) => (-rel, id) }.take(20)
+      var sel = Vector.empty[(Long, Double, Double)] // (id, rel, score)
+      for (k <- 1 to 5) {
+        val cands = pool.filterNot(c => sel.exists(_._1 == c._1))
+        val scored = cands.map { case (id, rel) =>
+          val score = if (sel.isEmpty) 0.7 * rel
+            else 0.7 * rel - 0.3 * sel.map(s => cos(vecs(id), vecs(s._1))).max
+          (id, rel, score)
+        }
+        sel = sel :+ scored.minBy { case (id, _, sc) => (-sc, id) }
+      }
+      val got = rs.sortBy(_.getLong(1))
+      assert(got.map(_.getLong(2)).toSeq === sel.map(_._1), s"MMR picks for probe $p")
+      got.zip(sel).foreach { case (r, (_, rel, sc)) =>
+        assert(math.abs(r.getDouble(3) - rel) < 1e-6, s"relevance, probe $p")
+        assert(math.abs(r.getDouble(4) - sc) < 1e-6, s"mmr_score, probe $p")
+      }
+      // diversity actually bites: the MMR order must differ from pure
+      // relevance order for at least one probe (checked globally below)
+    }
+    val reordered = rows.groupBy(_.getLong(0)).exists { case (p, rs) =>
+      val mmr = rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+      val byRel = rs.sortBy(r => (-r.getDouble(3), r.getLong(2))).map(_.getLong(2)).toSeq
+      mmr != byRel
+    }
+    assert(reordered, "fixture degenerate: MMR never reordered any probe's top-5")
   }
 
   test("d11: per-doc counts recompute from the in-memory paragraph model") {

@@ -159,6 +159,27 @@ class PlanSpec extends AnyFunSuite {
       s"pair generation degraded to a cross join:\n$p")
   }
 
+  test("g3: the hot-key degree cap sits BELOW the pair self-join") {
+    // the session caches hide the pair-mine subtree from g3's executed
+    // plan, so the pin inspects the uncached builder: every input of the
+    // pair self-join must carry the row_number cap window — i.e. no
+    // uncapped incidence row ever reaches the quadratic pair explode
+    val plan = Graph.pairMinePlan(spark, sf).queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, s"no join in pair-mine plan:\n$plan")
+    joins.foreach { j =>
+      j.children.foreach { side =>
+        val wins = side.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }
+        assert(wins.nonEmpty,
+          s"pair-join input lacks the degree-cap window:\n$side")
+      }
+    }
+  }
+
   test("t14: bigram stats shuffle on the bigram and the doc key only") {
     val p = plan(TextAnalysis.t14BigramStats)
     assert(!p.contains("CartesianProduct"), s"cross join in:\n$p")
@@ -567,6 +588,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffle-join in:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"no partial aggregation in:\n$p")
+  }
+
+  test("s16: search joins probes on the cell id against the PINNED index") {
+    val p = plan(Similarity.s16TrainedIvf)
+    // training + indexing happen behind localCheckpoints; the search plan
+    // must read the pinned index (no corpus re-scan via the codebook
+    // crossJoin) and meet candidates on a broadcast cell equi-join
+    assert(p.contains("BroadcastHashJoin"), s"probes not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"search degraded to a cross join:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"pinned index not read in:\n$p")
+  }
+
+  test("dp18: one fact scan to the cell grid; everything downstream on pinned frames") {
+    val p = plan(Relational.dp18PsiDrift)
+    // the (event_type, cohort, bin) cell frame is localCheckpoint-pinned;
+    // spine/smoothing/terms/totals must all run on ExistingRDD scans, and
+    // the per-bin PSI math must never re-touch the fact table
+    assert(!p.contains("Scan parquet"),
+      s"fact table re-scanned downstream of the cell pin:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"pinned cell frame not read in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"grid join shuffled in:\n$p")
+  }
+
+  test("m11: patchify is one mapPartitions pass — no shuffle before the gate sort") {
+    val p = plan(Multimodal.m11PatchGrid)
+    assert(p.contains("MapPartitions"), s"no mapPartitions decode stage in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"unexpected join in:\n$p")
+    // exactly one exchange: the range partitioning of the output ORDER BY
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"patchify shuffles more than the output sort:\n$p")
+  }
+
+  test("s17: greedy rounds run on the pinned pool; corpus is never re-scanned") {
+    val p = plan(Similarity.s17MmrDiversify)
+    assert(!p.contains("Scan parquet"),
+      s"corpus re-scanned downstream of the pool pin:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"pinned pool not read in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
   test("dp13: stats broadcast back onto the stream; no window anywhere") {
