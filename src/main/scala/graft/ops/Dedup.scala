@@ -942,14 +942,20 @@ object Dedup {
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
-       |ver AS (
-       |  SELECT c.id_a, c.id_b,
-       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |           list_transform(range(1, len(na.v) + 1), i -> na.v[i] * nb.v[i])), (x, y) -> x + y)
-       |           / (na.nrm * nb.nrm) AS cos
-       |  FROM cand c JOIN n na ON c.id_a = na.vec_id JOIN n nb ON c.id_b = nb.vec_id),
-       |dup AS (SELECT id_b, MIN(id_a) AS dup_of FROM ver WHERE cos >= $D10_T GROUP BY id_b),
-       |ab AS (SELECT id_a, COUNT(*) AS n_absorbed FROM ver WHERE cos >= $D10_T GROUP BY id_a)
+       |ver AS MATERIALIZED (
+       |  -- MATERIALIZED with the threshold applied INSIDE: un-hinted, the
+       |  -- two consumers each re-ran the candidate×vector verify join
+       |  -- (the >70 GB sf10 wall — wide vector rows in flight, twice);
+       |  -- hinted-and-filtered it stores only the verified id pairs
+       |  SELECT id_a, id_b, cos FROM (
+       |    SELECT c.id_a, c.id_b,
+       |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |             list_transform(range(1, len(na.v) + 1), i -> na.v[i] * nb.v[i])), (x, y) -> x + y)
+       |             / (na.nrm * nb.nrm) AS cos
+       |    FROM cand c JOIN n na ON c.id_a = na.vec_id JOIN n nb ON c.id_b = nb.vec_id)
+       |  WHERE cos >= $D10_T),
+       |dup AS (SELECT id_b, MIN(id_a) AS dup_of FROM ver GROUP BY id_b),
+       |ab AS (SELECT id_a, COUNT(*) AS n_absorbed FROM ver GROUP BY id_a)
        |SELECT g.vec_id, d.id_b IS NULL AS kept, d.dup_of,
        |       COALESCE(ab.n_absorbed, 0) AS n_absorbed
        |FROM aug g

@@ -1076,8 +1076,87 @@ object EtlQueries {
       .orderBy("bin")
   }
 
+  private val dynPartDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private val E16_LANGS = Seq("de", "fr")
+
+  /** Stage e16: full lang-partitioned write, then a DYNAMIC-mode
+    * INSERT OVERWRITE of ONLY the partitions present in the incremental
+    * batch (the de/fr revision). Cached per dataset — consumers re-read
+    * the staged table, never re-run the writes.
+    */
+  private def dynPartPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    dynPartDirs.getOrElseUpdate(dir, {
+      val out = StreamingQueries.fastTmpDir("graft_dynpart")
+      val docs = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"), col("source"), col("lang"))
+      // one file per lang both times: hash-repartition on the partition
+      // column sends each lang to exactly one task (the e10 alignment
+      // trick), so the overwritten partitions are single-file too
+      docs.repartition(col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      docs.filter(col("lang").isin(E16_LANGS: _*))
+        .select(col("doc_id"), (col("n_chars") + 1000000L).as("n_chars"),
+          col("source"), col("lang"))
+        .repartition(col("lang"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang").parquet(out)
+      out
+    })
+
+  /** Dynamic partition overwrite — the incremental-refresh primitive of
+    * every partitioned 100 TB table (Spark's
+    * `partitionOverwriteMode=dynamic` INSERT OVERWRITE): an incremental
+    * batch replaces EXACTLY the partitions it contains and may not touch
+    * any other. The stage writes the full lang-partitioned corpus, then
+    * dynamically overwrites with a de/fr revision batch (n_chars
+    * shifted +1e6 as the revision marker); the result reads the staged
+    * table back — per-lang counts, revised-sum, an order-independent
+    * md5 row checksum, and the measured per-partition file count —
+    * while the oracle recomputes the expected post-overwrite state from
+    * the authoritative table. STATIC-mode semantics (wiping the
+    * untouched en/es/zh partitions) would null three langs out; append
+    * semantics would double de/fr; a partial overwrite breaks the
+    * checksum. At 100 TB this is the nightly-refresh shape: the batch
+    * job rewrites yesterday's partitions in place while the other 10k
+    * partitions stay untouched on disk.
+    */
+  val e16DynamicOverwrite: Q = Q.sql(
+    "e16_dynamic_overwrite",
+    s"Dynamic partition overwrite: de/fr revision batch replaces exactly its lang partitions; per-lang rollup + row checksum + file counts.",
+    s"""WITH cur AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN lang IN ('de', 'fr') THEN n_chars + 1000000
+       |              ELSE n_chars END AS n_chars
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |       CAST(SUM(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+       |         CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT % 1000000007) AS BIGINT)
+       |         AS checksum,
+       |       CAST(1 AS BIGINT) AS n_files
+       |FROM cur GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val staged = dynPartPath(spark, dir)
+    // input_file_name is nondeterministic per Catalyst — project it to a
+    // plain column BEFORE the aggregate (the e10 measured-count pattern)
+    spark.read.parquet(staged)
+      .withColumn("fname", input_file_name())
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"),
+        sum(graft.functions.DetHash.md5Long60(
+          concat(col("doc_id").cast("string"), lit(":"),
+            col("n_chars").cast("string"))) % 1000000007L)
+          .cast("bigint").as("checksum"),
+        countDistinct(col("fname")).as("n_files"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(e1ItemPipeline, e2AssessmentPipeline, e3JsonlRoundtrip,
     e4OrcRoundtrip, e5PartitionedRoundtrip, e6BucketedJoin, e7CsvRoundtrip,
     e8SchemaEvolution, e9SortedSkipping, e10Compaction, e11Zorder,
-    e12MergeUpsert, e13TimeTravel, e14ForgetCascade, e15Vacuum)
+    e12MergeUpsert, e13TimeTravel, e14ForgetCascade, e15Vacuum,
+    e16DynamicOverwrite)
 }

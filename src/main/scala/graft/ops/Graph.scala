@@ -167,37 +167,51 @@ object Graph {
       dedges = (if (small) de0 else de0.repartition(col("a")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def rounds(): DataFrame = {
+        // Round fusion (dev A/B knob; result is IDENTICAL at any value —
+        // same 10 logical rounds): F rounds build as one lazy DAG between
+        // localCheckpoint barriers, halving (at F=2) the materialization
+        // jobs and convergence probes per run. Measured at sf0.1 and
+        // sf10 per the round-7 verdict item 3; see SURVEY §7.12 for the
+        // numbers and the chosen default.
+        val fuse = math.max(1, sys.env.getOrElse("SPARK_GRAFT_G1_FUSE", "1").toInt)
         var rank = deg.select(col("node"), lit(SCALE).as("r"))
           .localCheckpoint()
-        // Exact-fixpoint early exit: if a round leaves every rank
-        // unchanged, all further rounds are idempotent, so the
-        // ITERS-round oracle result equals the early frame — the exit is
-        // oracle-preserving by construction, no epsilon to mirror in SQL.
-        // A THRESHOLD exit cannot fire under this contract: the measured
-        // max |Δr| trajectory decays at exactly the damping factor
-        // (0.85×/round — 14.0M→3.19M fp units over rounds 1→10 at sf0.1,
-        // same curve at sf0.001/0.01), so quantizing to ±1 fp unit needs
-        // ~90 rounds; any epsilon loose enough to fire inside 10 rounds
-        // would just be a smaller ITERS wearing a convergence costume.
-        // The check itself is one broadcast join + isEmpty over two
-        // checkpointed node-frames (|V| rows, not |E|) — microseconds
-        // against the per-round edge aggregate.
+        // Exact-fixpoint early exit at each BARRIER: the frames compared
+        // are F rounds apart, so equality means rank is a fixpoint of f^F
+        // (f = one power iteration); the exit only fires when the
+        // remaining round count is a multiple of F, where the final
+        // frame provably equals the current one — oracle-preserving by
+        // construction at any F, no epsilon to mirror in SQL. At F=1
+        // this is exactly the per-round check. A THRESHOLD exit cannot
+        // fire under this contract: the measured max |Δr| trajectory
+        // decays at exactly the damping factor (0.85×/round — 14.0M→
+        // 3.19M fp units over rounds 1→10 at sf0.1, same curve at
+        // sf0.001/0.01), so quantizing to ±1 fp unit needs ~90 rounds;
+        // any epsilon loose enough to fire inside 10 rounds would just
+        // be a smaller ITERS wearing a convergence costume. The check
+        // itself is one broadcast join + isEmpty over two checkpointed
+        // node-frames (|V| rows, not |E|) — microseconds against the
+        // per-round edge aggregate.
         var converged = false
         var it = 0
         while (it < ITERS && !converged) {
-          it += 1
-          val rside = if (small) broadcast(rank) else rank.hint("shuffle_hash")
-          val contrib = dedges
-            .join(rside, col("a") === rank("node"))
-            .select(col("b"), expr("r div deg_a").as("c"))
-          // eager per-round checkpoints: lazy (single-DAG) was measured
-          // equivalent at best and showed rare pathological outliers; the
-          // eager job per round is predictable and truncates lineage the
-          // same way
-          val next = contrib.groupBy(col("b").as("node"))
-            .agg((lit(TELEPORT) + expr("(85 * sum(c)) div 100")).as("r"))
-            .localCheckpoint()
-          converged = next.as("n")
+          val steps = math.min(fuse, ITERS - it)
+          var cur = rank
+          for (_ <- 1 to steps) {
+            val rside = if (small) broadcast(cur) else cur.hint("shuffle_hash")
+            val contrib = dedges
+              .join(rside, col("a") === cur("node"))
+              .select(col("b"), expr("r div deg_a").as("c"))
+            cur = contrib.groupBy(col("b").as("node"))
+              .agg((lit(TELEPORT) + expr("(85 * sum(c)) div 100")).as("r"))
+          }
+          // eager per-barrier checkpoints: lazy (single-DAG across ALL
+          // rounds) was measured equivalent at best and showed rare
+          // pathological outliers; the eager job per barrier is
+          // predictable and truncates lineage the same way
+          val next = cur.localCheckpoint()
+          it += steps
+          converged = (ITERS - it) % steps == 0 && next.as("n")
             .join(broadcast(rank.as("p")), col("n.node") === col("p.node"))
             .where(col("n.r") =!= col("p.r"))
             .isEmpty

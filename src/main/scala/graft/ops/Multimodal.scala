@@ -618,13 +618,19 @@ object Multimodal {
        |  FROM dots d
        |  JOIN g ON d.p = g.p
        |  GROUP BY d.doc_id)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |       a.sig AS sig_a, b.sig AS sig_b,
-       |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-       |FROM sig a JOIN sig b
-       |  ON a.doc_id < b.doc_id
-       | AND (a.sig % 256 = b.sig % 256 OR a.sig // 256 = b.sig // 256)
-       |WHERE bit_count(xor(a.sig, b.sig)) <= $SIG_HAMMING_MAX
+       |SELECT doc_a, doc_b, sig_a, sig_b, hamming FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.sig AS sig_a, b.sig AS sig_b,
+       |         CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |  FROM sig a JOIN sig b
+       |    ON a.sig % 256 = b.sig % 256 AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT a.doc_id, b.doc_id, a.sig, b.sig,
+       |         CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT)
+       |  FROM sig a JOIN sig b
+       |    ON a.sig // 256 = b.sig // 256 AND a.doc_id < b.doc_id
+       |   AND a.sig % 256 <> b.sig % 256)
+       |WHERE hamming <= $SIG_HAMMING_MAX
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     // per-(doc, byte) counts off the one-pass histogram kernel: ≤256
     // narrow rows per doc, vs the hex-split explode this replaces (one

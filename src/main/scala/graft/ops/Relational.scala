@@ -2714,6 +2714,81 @@ object Relational {
       .orderBy("part_key")
   }
 
+  private val Q44_FANOUT = 4
+  /** Pointer-doubling rounds: after R rounds every pointer has advanced
+    * min(2^R, depth) steps, so R=6 flattens any hierarchy to depth 64 —
+    * i.e. key spaces to 4^64. Fixed (not data-derived) so the plan shape
+    * is scale-independent.
+    */
+  private val Q44_ROUNDS = 6
+
+  /** Hierarchy flatten by POINTER DOUBLING — the dimension-table
+    * operation SQL engines express as a recursive CTE (org charts,
+    * category trees, thread ancestry) and a distributed engine must NOT
+    * run as depth-many dependent joins: each doubling round joins the
+    * state against itself (j ← state[j].j, d ← d + state[j].d, path
+    * concat), so a depth-D tree flattens in ⌈log₂ D⌉ co-partitionable
+    * self equi-joins instead of D — d6's pointer-jumping applied to a
+    * hierarchy. The tree is synthetic but fully keyed to the part table:
+    * parent(k) = (k−1) div [[Q44_FANOUT]], root 0 — every parent exists
+    * by key contiguity at every scale.
+    *
+    * The oracle IS the textbook recursive CTE (DuckDB WITH RECURSIVE
+    * walking parents up to the root), so the compare pins the doubling
+    * algebra — root, exact depth, and the full ancestor PATH STRING
+    * (nearest parent → root; the concat order is where a doubling bug
+    * shows first) — against sequential semantics, plus a per-root
+    * subtree rollup.
+    *
+    * Scale shape: [[Q44_ROUNDS]] self-joins of one narrow row per node,
+    * both sides hash-partitioned on the join key, localCheckpoint per
+    * round (the g1 contract); the rollup is one tiny aggregate. At 1e9
+    * nodes the recursive-CTE formulation is 30+ dependent scans; this is
+    * 6.
+    */
+  val q44HierarchyFlatten: Q = Q.sql(
+    "q44_hierarchy_flatten",
+    s"Hierarchy flatten by pointer doubling ($Q44_ROUNDS rounds, fan-out $Q44_FANOUT tree over part keys): root, depth, ancestor path vs recursive-CTE oracle.",
+    s"""WITH RECURSIVE anc AS (
+       |  SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth,
+       |         CAST('' AS VARCHAR) AS path
+       |  FROM part
+       |  UNION ALL
+       |  SELECT node, (cur - 1) // $Q44_FANOUT AS cur, depth + 1,
+       |         CASE WHEN path = '' THEN CAST((cur - 1) // $Q44_FANOUT AS VARCHAR)
+       |              ELSE path || '/' || CAST((cur - 1) // $Q44_FANOUT AS VARCHAR) END
+       |  FROM anc WHERE cur >= 1),
+       |fin AS (SELECT node, cur AS root, depth, path FROM anc WHERE cur = 0),
+       |rs AS (SELECT root, COUNT(*) AS root_size FROM fin GROUP BY root)
+       |SELECT f.node, f.root, CAST(f.depth AS BIGINT) AS depth, f.path,
+       |       rs.root_size
+       |FROM fin f JOIN rs ON f.root = rs.root
+       |ORDER BY f.node""".stripMargin) { (spark, dir) =>
+    val base = Tables.part(spark, dir)
+      .select(col("p_partkey").as("node"))
+      .select(col("node"),
+        when(col("node") === 0, 0L).otherwise(expr(s"(node - 1) div $Q44_FANOUT")).as("j"),
+        when(col("node") === 0, 0L).otherwise(1L).as("d"),
+        when(col("node") === 0, lit(""))
+          .otherwise(expr(s"cast((node - 1) div $Q44_FANOUT as string)")).as("p"))
+      .localCheckpoint()
+    var st = base
+    for (_ <- 1 to Q44_ROUNDS) {
+      st = st.as("a")
+        .join(st.as("b").hint("shuffle_hash"), col("a.j") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.j").as("j"),
+          (col("a.d") + col("b.d")).as("d"),
+          when(col("b.d") === 0, col("a.p"))
+            .otherwise(concat(col("a.p"), lit("/"), col("b.p"))).as("p"))
+        .localCheckpoint()
+    }
+    val rs = st.groupBy(col("j").as("rroot")).agg(count(lit(1)).as("root_size"))
+    st.join(broadcast(rs), col("j") === col("rroot"))
+      .select(col("node"), col("j").as("root"), col("d").as("depth"),
+        col("p").as("path"), col("root_size"))
+      .orderBy("node")
+  }
+
   private val PSI_BINS = 10
 
   /** Population Stability Index between the first and second time half
@@ -2847,5 +2922,5 @@ object Relational {
     dp1Profile, dp3Histogram, dp4Correlation, dp5Outliers, dp6KsTest,
     dp7ChiSquare, dp8Benford, dp9Expectations, dp10SkewAudit, dp11KmvSketch,
     dp12BloomProfile, dp13Moments, dp14QuantileSketch, dp15MutualInfo,
-    dp16HllSketch, dp17CountMin, dp18PsiDrift)
+    dp16HllSketch, dp17CountMin, dp18PsiDrift, q44HierarchyFlatten)
 }

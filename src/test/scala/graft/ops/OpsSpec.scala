@@ -1225,6 +1225,29 @@ class OpsSpec extends AnyFunSuite {
     assert(wantMi > 0, "independence fixture degenerate: MI <= 0")
   }
 
+  test("q44: root, depth and ancestor path recompute by sequential parent walk") {
+    val rows = Relational.q44HierarchyFlatten.run(spark, sf)
+      .select("node", "root", "depth", "path", "root_size").collect()
+    val keys = graft.Tables.part(spark, sf).select("p_partkey").collect()
+      .map(_.getLong(0)).toSet
+    assert(rows.length === keys.size, "one row per node")
+    def walk(k: Long): (Long, Long, String) = {
+      var cur = k; var d = 0L; val p = Seq.newBuilder[Long]
+      while (cur >= 1) { cur = (cur - 1) / 4; d += 1; p += cur }
+      (cur, d, p.result().mkString("/"))
+    }
+    val want = keys.toSeq.map(k => k -> walk(k)).toMap
+    val rootSizes = want.values.groupBy(_._1).map { case (r, xs) => r -> xs.size.toLong }
+    rows.foreach { r =>
+      val (root, d, path) = want(r.getLong(0))
+      assert(r.getLong(1) === root, s"root(${r.getLong(0)})")
+      assert(r.getLong(2) === d, s"depth(${r.getLong(0)})")
+      assert(r.getString(3) === path, s"path(${r.getLong(0)})")
+      assert(r.getLong(4) === rootSizes(root), "root_size")
+    }
+    assert(rows.map(_.getLong(2)).max >= 3, "fixture reaches depth >= 3")
+  }
+
   test("dp18: smoothed PSI bins and totals recompute from raw events") {
     val rows = Relational.dp18PsiDrift.run(spark, sf).collect()
     val ev = graft.Tables.events(spark, sf)
@@ -1346,6 +1369,34 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getLong(2) === mine.count(p => nDocsByPara(p) > 1).toLong,
         s"n_dup_para recompute for doc ${r.getLong(0)}")
       assert(r.getDouble(3) === r.getLong(2).toDouble / r.getLong(1))
+    }
+  }
+
+  test("e16: dynamic overwrite replaces exactly the batch partitions") {
+    val rows = EtlQueries.e16DynamicOverwrite.run(spark, sf)
+      .select("lang", "n_docs", "sum_chars", "checksum", "n_files").collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def md5mod(id: Long, nc: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$nc".getBytes("UTF-8"))
+        .take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)) >>> 4
+      h % 1000000007L
+    }
+    val byLang = docs.groupBy(_._2)
+    assert(rows.length === byLang.size, "one row per lang partition survives")
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val revised = lang == "de" || lang == "fr"
+      val mine = byLang(lang).map { case (id, _, nc) =>
+        (id, if (revised) nc + 1000000L else nc)
+      }
+      assert(r.getLong(1) === mine.length.toLong, s"$lang count")
+      assert(r.getLong(2) === mine.map(_._2).sum, s"$lang sum_chars")
+      assert(r.getLong(3) === mine.map { case (id, nc) => md5mod(id, nc) }.sum,
+        s"$lang checksum")
+      assert(r.getLong(4) === 1L, s"$lang single-file partition")
     }
   }
 

@@ -631,6 +631,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("q44: doubling rounds are pinned; the final plan reads state, not the table") {
+    val p = plan(Relational.q44HierarchyFlatten)
+    // every doubling round ends in a localCheckpoint, so the output plan
+    // must read pinned state + the broadcast rollup — a parquet scan here
+    // would mean a round re-derived the tree from the table (depth-many
+    // dependent scans, the recursive-CTE shape this operator exists to avoid)
+    assert(!p.contains("Scan parquet"), s"table re-scanned in:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"pinned state not read in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"rollup not broadcast in:\n$p")
+  }
+
+  test("e16: post-overwrite read is one partitioned scan with partial aggregation") {
+    val p = plan(EtlQueries.e16DynamicOverwrite)
+    assert(p.contains("Scan parquet"), s"staged table not scanned in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"unexpected join in:\n$p")
+  }
+
   test("dp13: stats broadcast back onto the stream; no window anywhere") {
     val p = plan(Relational.dp13Moments)
     assert(p.contains("BroadcastHashJoin"), s"stats not broadcast in:\n$p")
