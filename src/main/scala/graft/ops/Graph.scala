@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph-centrality operators over the co-purchase graph — the iterative
@@ -817,6 +817,47 @@ object Graph {
 
   private val LPA_ROUNDS = 4
 
+  private val lpaCache = new SessionCache[String, DataFrame]()
+
+  /** Final (node, label) frame after [[LPA_ROUNDS]] synchronous LPA rounds
+    * over the mutual-top-[[MUTUAL_TOP]] partner graph — the loop g7
+    * reports and g9 audits, factored so both consumers (and both their
+    * oracles, which repeat the same CTE chain) share ONE propagation per
+    * (session, dataset). Each round: bidirectional edges ⋈ broadcast
+    * label frame → per-(node,label) count with map-side partials →
+    * plurality pick via a ≤deg(v) candidate window; localCheckpoint per
+    * round truncates lineage, AQE off for the micro-stage loop (g1's
+    * measured rationale).
+    */
+  private[ops] def lpaLabels(spark: SparkSession, dir: String): DataFrame =
+    lpaCache.getOrElseUpdate(spark, dir) {
+      val mut = mutualEdges(spark, dir)
+      val ed = mut
+        .select(explode(array(
+          struct(col("x").as("src"), col("y").as("dst")),
+          struct(col("y").as("src"), col("x").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .localCheckpoint()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dst")).orderBy(col("cnt").desc, col("label"))
+      def rounds(): DataFrame = {
+        var lab = ed.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("label"))
+          .localCheckpoint()
+        for (_ <- 1 to LPA_ROUNDS) {
+          lab = ed.join(broadcast(lab), col("src") === col("node"))
+            .groupBy(col("dst"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") === 1)
+            .select(col("dst").as("node"), col("label"))
+            .localCheckpoint()
+        }
+        lab
+      }
+      withoutAqe(spark)(rounds())
+    }
+
   /** Synchronous label propagation (community detection) over the
     * mutual-top-[[MUTUAL_TOP]] partner graph — the clustering move behind
     * topic/domain grouping of a crawled corpus (bucket similar sources,
@@ -839,77 +880,60 @@ object Graph {
     * [[MUTUAL_TOP]] by construction bounds each round at O(K·|V|) rows —
     * community detection on the sparsified graph stays linear at 100 TB.
     */
+  /** Oracle-side mirror of [[lpaLabels]]: the CTE chain from the raw
+    * incidence through the final label frame `l`[[LPA_ROUNDS]] — shared
+    * verbatim by g7 and g9 so the propagation rule cannot drift between
+    * their oracles (the egcSql discipline applied to the LPA loop).
+    */
+  private def lpaCtesSql: String = {
+    val iters = (0 until LPA_ROUNDS).map { i =>
+      s"""l${i + 1} AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, l.label,
+         |           ROW_NUMBER() OVER (PARTITION BY e.dst
+         |             ORDER BY COUNT(*) DESC, l.label) AS rnk
+         |    FROM ed e JOIN l$i l ON e.src = l.node
+         |    GROUP BY e.dst, l.label)
+         |  WHERE rnk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""eg AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |$egcSql,
+       |co AS MATERIALIZED (
+       |  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS co
+       |  FROM egc a JOIN egc b ON a.c = b.c AND a.s < b.s
+       |  GROUP BY 1, 2),
+       |bidir AS (
+       |  SELECT s1 AS s, s2 AS p, co FROM co
+       |  UNION ALL SELECT s2, s1, co FROM co),
+       |topk AS MATERIALIZED (
+       |  SELECT s, p FROM (
+       |    SELECT s, p,
+       |           ROW_NUMBER() OVER (PARTITION BY s ORDER BY co DESC, p) AS rnk
+       |    FROM bidir)
+       |  WHERE rnk <= $MUTUAL_TOP),
+       |mut AS MATERIALIZED (
+       |  SELECT a.s AS x, a.p AS y FROM topk a
+       |  JOIN topk b ON a.s = b.p AND a.p = b.s
+       |  WHERE a.s < a.p),
+       |ed AS MATERIALIZED (
+       |  SELECT x AS src, y AS dst FROM mut UNION ALL SELECT y, x FROM mut),
+       |l0 AS (
+       |  SELECT node, node AS label FROM (
+       |    SELECT x AS node FROM mut UNION SELECT y FROM mut)),
+       |$iters""".stripMargin
+  }
+
   val g7LabelPropagation: Q = Q.sql(
     "g7_label_propagation",
     s"Deterministic $LPA_ROUNDS-round label propagation communities over the mutual-top-$MUTUAL_TOP partner graph.",
-    {
-      val iters = (0 until LPA_ROUNDS).map { i =>
-        s"""l${i + 1} AS MATERIALIZED (
-           |  SELECT node, label FROM (
-           |    SELECT e.dst AS node, l.label,
-           |           ROW_NUMBER() OVER (PARTITION BY e.dst
-           |             ORDER BY COUNT(*) DESC, l.label) AS rnk
-           |    FROM ed e JOIN l$i l ON e.src = l.node
-           |    GROUP BY e.dst, l.label)
-           |  WHERE rnk = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH eg AS MATERIALIZED (
-         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |$egcSql,
-         |co AS MATERIALIZED (
-         |  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS co
-         |  FROM egc a JOIN egc b ON a.c = b.c AND a.s < b.s
-         |  GROUP BY 1, 2),
-         |bidir AS (
-         |  SELECT s1 AS s, s2 AS p, co FROM co
-         |  UNION ALL SELECT s2, s1, co FROM co),
-         |topk AS MATERIALIZED (
-         |  SELECT s, p FROM (
-         |    SELECT s, p,
-         |           ROW_NUMBER() OVER (PARTITION BY s ORDER BY co DESC, p) AS rnk
-         |    FROM bidir)
-         |  WHERE rnk <= $MUTUAL_TOP),
-         |mut AS MATERIALIZED (
-         |  SELECT a.s AS x, a.p AS y FROM topk a
-         |  JOIN topk b ON a.s = b.p AND a.p = b.s
-         |  WHERE a.s < a.p),
-         |ed AS MATERIALIZED (
-         |  SELECT x AS src, y AS dst FROM mut UNION ALL SELECT y, x FROM mut),
-         |l0 AS (
-         |  SELECT node, node AS label FROM (
-         |    SELECT x AS node FROM mut UNION SELECT y FROM mut)),
-         |$iters,
-         |cs AS (SELECT label, COUNT(*) AS comm_size FROM l$LPA_ROUNDS GROUP BY label)
-         |SELECT l.node AS supp_key, l.label AS community, c.comm_size
-         |FROM l$LPA_ROUNDS l JOIN cs c ON l.label = c.label
-         |ORDER BY supp_key""".stripMargin
-    }) { (spark, dir) =>
-    val mut = mutualEdges(spark, dir)
-    val ed = mut
-      .select(explode(array(
-        struct(col("x").as("src"), col("y").as("dst")),
-        struct(col("y").as("src"), col("x").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("dst")).orderBy(col("cnt").desc, col("label"))
-    def rounds(): DataFrame = {
-      var lab = ed.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
-        .localCheckpoint()
-      for (_ <- 1 to LPA_ROUNDS) {
-        lab = ed.join(broadcast(lab), col("src") === col("node"))
-          .groupBy(col("dst"), col("label"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") === 1)
-          .select(col("dst").as("node"), col("label"))
-          .localCheckpoint()
-      }
-      lab
-    }
-    val lab = withoutAqe(spark)(rounds())
+    s"""WITH $lpaCtesSql,
+       |cs AS (SELECT label, COUNT(*) AS comm_size FROM l$LPA_ROUNDS GROUP BY label)
+       |SELECT l.node AS supp_key, l.label AS community, c.comm_size
+       |FROM l$LPA_ROUNDS l JOIN cs c ON l.label = c.label
+       |ORDER BY supp_key""".stripMargin) { (spark, dir) =>
+    val lab = lpaLabels(spark, dir)
     val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("comm_size"))
     lab.join(broadcast(sizes), Seq("label"))
       .select(col("node").as("supp_key"), col("label").as("community"),
@@ -1022,7 +1046,87 @@ object Graph {
       .orderBy("start", "step")
   }
 
+  /** Newman modularity audit of g7's communities — the quality metric a
+    * clustering pipeline reports before trusting a partition (sampling
+    * per community, corpus mixing by community, etc.). Per community c:
+    * node count, intra-community edge count e_c, degree mass D_c, and
+    * the EXACT integer modularity-contribution numerator
+    * 4·m·e_c − D_c² over the shared denominator 4·m² (Q = Σ_c num_c /
+    * 4m² — the textbook Σ e_c/m − (D_c/2m)² cleared of fractions). No
+    * division happens anywhere, so there is no floor-vs-truncate seam on
+    * the NEGATIVE contributions sparse communities produce (the dp13
+    * lesson applied by construction); decimal(38,0)/HUGEINT carries
+    * 4m² past BIGINT at billion-node scale.
+    *
+    * Distributed shape: labels come from the SHARED [[lpaLabels]] frame
+    * (one propagation feeds g7 and g9); intra-edge counting is the edge
+    * list joined twice against the broadcast label frame (|V| rows —
+    * past the broadcast limit it becomes two co-partitioned shuffles on
+    * the endpoint key); degrees and community rollups are map-side
+    * partial aggregates; the global edge count rides a 1-row broadcast
+    * crossJoin. Everything downstream of the shared LPA loop is linear
+    * in |E| ≤ K·|V| — the audit costs one extra pass over the sparsified
+    * graph.
+    */
+  val g9Modularity: Q = Q.sql(
+    "g9_modularity",
+    s"Per-community Newman modularity contributions (exact integer numerators) over g7's $LPA_ROUNDS-round LPA partition.",
+    s"""WITH $lpaCtesSql,
+       |lab AS (SELECT node, label FROM l$LPA_ROUNDS),
+       |mtot AS (SELECT COUNT(*) AS m FROM mut),
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM ed GROUP BY src),
+       |intra AS (
+       |  SELECT la.label AS community, COUNT(*) AS intra_edges
+       |  FROM mut e
+       |  JOIN lab la ON e.x = la.node
+       |  JOIN lab lb ON e.y = lb.node
+       |  WHERE la.label = lb.label
+       |  GROUP BY 1),
+       |comm AS (
+       |  SELECT l.label AS community, COUNT(*) AS n_nodes,
+       |         SUM(d.d) AS deg_sum
+       |  FROM lab l JOIN deg d ON l.node = d.node
+       |  GROUP BY 1)
+       |SELECT c.community, CAST(c.n_nodes AS BIGINT) AS n_nodes,
+       |       CAST(c.deg_sum AS BIGINT) AS deg_sum,
+       |       CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+       |       CAST(m.m AS BIGINT) AS m_edges,
+       |       CAST(4::HUGEINT * m.m * COALESCE(i.intra_edges, 0)
+       |            - c.deg_sum::HUGEINT * c.deg_sum AS DECIMAL(38,0)) AS contrib_num,
+       |       CAST(4::HUGEINT * m.m * m.m AS DECIMAL(38,0)) AS denom
+       |FROM comm c
+       |LEFT JOIN intra i ON c.community = i.community
+       |CROSS JOIN mtot m
+       |ORDER BY c.community""".stripMargin) { (spark, dir) =>
+    val mut = mutualEdges(spark, dir)
+    val lab = lpaLabels(spark, dir)
+    val mTot = mut.agg(count(lit(1)).as("m"))
+    val deg = mut
+      .select(explode(array(col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val intra = mut
+      .join(broadcast(lab.select(col("node").as("x"), col("label").as("la"))), "x")
+      .join(broadcast(lab.select(col("node").as("y"), col("label").as("lb"))), "y")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    lab.join(broadcast(deg), "node")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("deg_sum"))
+      .join(broadcast(intra), Seq("community"), "left_outer")
+      .crossJoin(broadcast(mTot))
+      .select(col("community"), col("n_nodes"),
+        col("deg_sum").cast("long").as("deg_sum"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("m").as("m_edges"),
+        (d38(lit(4L)) * col("m") * coalesce(col("intra_edges"), lit(0L))
+          - d38(col("deg_sum")) * col("deg_sum")).cast("decimal(38,0)").as("contrib_num"),
+        (d38(lit(4L)) * col("m") * col("m")).cast("decimal(38,0)").as("denom"))
+      .orderBy("community")
+  }
+
   val all: Seq[Q] = Seq(g1PageRank, g2BfsHops, g3SupplierAffinity,
     g4TriangleCount, g5KCore, g6PersonalizedPageRank, g7LabelPropagation,
-    g8RandomWalk)
+    g8RandomWalk, g9Modularity)
 }

@@ -2910,6 +2910,87 @@ object Relational {
       .orderBy("event_type", "bin")
   }
 
+  /** Market-basket association rules over order baskets (basket = the
+    * DISTINCT part brands in one order): pair support, per-direction
+    * confidence, and lift for every brand pair above 1% relative
+    * support — the co-occurrence mining a corpus curator runs to find
+    * correlated sources/tags, and the classic frequent-itemset k=2 pass.
+    *
+    * Scale shape: the basket frame shuffles once on the order key, pairs
+    * are generated INSIDE the row from the sorted distinct-item array
+    * (flatten ∘ transform — no self-join, no explode-then-rejoin), so
+    * per-basket fan-out is bounded by the ITEM-UNIVERSE choose 2 (brands:
+    * ≤25·24/2=300 rows) — a hot order cannot go quadratic because the
+    * basket is distinct-capped by construction (contrast g3's DEGREE_CAP,
+    * which guards an unbounded key). Item counts broadcast to the pair
+    * aggregate; the basket total rides a 1-row broadcast crossJoin. All
+    * statistics are exact integers; lift/confidence are floor-divided
+    * parts-per-million (all-positive, so Spark `div` truncation ==
+    * DuckDB `//` floor — the dp13 seam does not arise). The support
+    * threshold is RELATIVE (100·n_ab ≥ n), so the query means the same
+    * thing at any scale factor. HUGEINT/decimal(38) carries the
+    * 1e6·n_ab·n product past BIGINT at 100 TB row counts.
+    */
+  val dp19AssocRules: Q = Q.sql(
+    "dp19_assoc_rules",
+    "Brand-pair association rules (support/confidence/lift, ppm) over order baskets at >=1% relative support.",
+    """WITH baskets AS (
+      |  SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM baskets),
+      |ic AS (SELECT item, COUNT(*) AS cnt FROM baskets GROUP BY item),
+      |pairs AS (
+      |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_ab
+      |  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.item < b.item
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT p.item_a, p.item_b, p.n_ab, ia.cnt AS n_a, ib.cnt AS n_b,
+      |         CAST((1000000::HUGEINT * p.n_ab * n.n_orders) // (ia.cnt::HUGEINT * ib.cnt) AS BIGINT) AS lift_ppm,
+      |         CAST((1000000::HUGEINT * p.n_ab) // ia.cnt AS BIGINT) AS conf_ab_ppm,
+      |         CAST((1000000::HUGEINT * p.n_ab) // ib.cnt AS BIGINT) AS conf_ba_ppm
+      |  FROM pairs p
+      |  JOIN ic ia ON p.item_a = ia.item
+      |  JOIN ic ib ON p.item_b = ib.item
+      |  CROSS JOIN n
+      |  WHERE 100 * p.n_ab >= n.n_orders)
+      |SELECT item_a, item_b, n_ab, n_a, n_b, lift_ppm, conf_ab_ppm, conf_ba_ppm
+      |FROM scored
+      |ORDER BY lift_ppm DESC, item_a, item_b LIMIT 50""".stripMargin) { (spark, dir) =>
+    // one fact scan: the basket frame feeds three consumers (total,
+    // item counts, pair mine) — pin it so they share a materialization
+    val baskets = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+      .distinct()
+      .localCheckpoint()
+    val nOrders = baskets.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemCounts = baskets.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    // pair-mine inside the row: sorted distinct items -> all a<b pairs
+    val pairs = baskets.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+      .select(explode(flatten(expr(
+        "transform(items, (x, i) -> transform(slice(items, i + 2, size(items)), y -> struct(x AS item_a, y AS item_b)))"
+      ))).as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(itemCounts.select(col("item").as("item_a"), col("cnt").as("n_a"))), "item_a")
+      .join(broadcast(itemCounts.select(col("item").as("item_b"), col("cnt").as("n_b"))), "item_b")
+      .crossJoin(broadcast(nOrders))
+      .filter(lit(100L) * col("n_ab") >= col("n_orders"))
+      // DIV = integral division (truncation); all operands positive, so it
+      // equals DuckDB's `//` floor — no rounded-decimal-divide seam
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_ab * n_orders) DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_ppm"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_ab) DIV n_a AS BIGINT)").as("conf_ab_ppm"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_ab) DIV n_b AS BIGINT)").as("conf_ba_ppm"))
+      .orderBy(col("lift_ppm").desc, col("item_a"), col("item_b"))
+      .limit(50)
+  }
+
   val all: Seq[Q] = Seq(q1Agg, q2Filter, q3Join, q4MultiJoin, q5TopK, q6Window,
     q7Distinct, q8SetOps, q9SemiAnti, q10Rollup, q11CaseAgg, q12DateAgg,
     q13ScalarSubquery, q14Strings, q15Funnel, q16ApproxDistinct, q17SaltedAgg,
@@ -2922,5 +3003,6 @@ object Relational {
     dp1Profile, dp3Histogram, dp4Correlation, dp5Outliers, dp6KsTest,
     dp7ChiSquare, dp8Benford, dp9Expectations, dp10SkewAudit, dp11KmvSketch,
     dp12BloomProfile, dp13Moments, dp14QuantileSketch, dp15MutualInfo,
-    dp16HllSketch, dp17CountMin, dp18PsiDrift, q44HierarchyFlatten)
+    dp16HllSketch, dp17CountMin, dp18PsiDrift, q44HierarchyFlatten,
+    dp19AssocRules)
 }

@@ -1614,8 +1614,135 @@ object Similarity {
       .orderBy("probe_id", "pick")
   }
 
+  private val S18_NPROBE = 2
+
+  /** Multi-probe IVF search — the recall knob every production IVF
+    * deployment turns: search the [[S18_NPROBE]] nearest TRAINED cells per
+    * probe instead of one, at [[S18_NPROBE]]× candidate cost and constant
+    * index. Each result row carries `in_exact` (membership in the
+    * brute-force exact top-[[IVF_K]], computed in the same query as the
+    * recall witness) — the per-row form of s11's recall curve, now over
+    * the trained quantizer, so the A/B against s16 (nprobe=1, same
+    * codebook) directly shows what the second probe recovers. At 100 TB
+    * nprobe is THE latency/recall dial: candidates scale as
+    * nprobe·corpus/K while the index and codebook are unchanged.
+    *
+    * Scale shape: probe→cell assignment is a ≤K-row broadcast
+    * cross-product per probe (top-[[S18_NPROBE]] window); candidates meet on
+    * a cell equi-join against the one-pass trained index; the exact
+    * witness is the s1 broadcast-probe corpus scan — fine for 10 probes,
+    * and exactly the evaluation job a real pipeline runs on a sampled
+    * probe set to calibrate nprobe. Corpus vectors live in exactly one
+    * cell (rn=1 index), so multi-probe candidates need no dedup.
+    */
+  val s18MultiProbe: Q = Q.sql(
+    "s18_multiprobe_ivf",
+    s"Multi-probe IVF (nprobe=$S18_NPROBE) over s14's trained cells: top-$IVF_K with per-row exact-recall witness.",
+    {
+      def cosSql(av: String, an: String, bv: String, bn: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |           list_transform(range(1, len($av) + 1), i -> $av[i] * $bv[i])), (x, y) -> x + y)
+           |           / ($an * $bn)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (
+         |  SELECT vec_id AS cell, u.p AS pos, u.x AS c
+         |  FROM (SELECT vec_id, UNNEST(list_transform(range(0, len(v)),
+         |          i -> struct_pack(p := i, x := v[i + 1]))) AS u
+         |        FROM e WHERE vec_id < $KM_K)),
+         |${(1 to KM_ROUNDS).map(kmRoundSql).mkString(",\n")},
+         |af AS (SELECT cell, list(c ORDER BY pos) AS cv FROM c$KM_ROUNDS GROUP BY cell),
+         |cells AS MATERIALIZED (
+         |${kmAssignSql("af")}),
+         |n AS MATERIALIZED (
+         |  SELECT vec_id, v,
+         |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
+         |  FROM e),
+         |pc AS (
+         |  SELECT probe_id, cell, rn AS probe_rank FROM (
+         |    SELECT e.vec_id AS probe_id, a.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |               list_transform(range(1, len(e.v) + 1),
+         |                 i -> (e.v[i] - a.cv[i]) * (e.v[i] - a.cv[i]))), (x, y) -> x + y),
+         |             a.cell) AS rn
+         |    FROM e CROSS JOIN af a WHERE e.vec_id < 10)
+         |  WHERE rn <= $S18_NPROBE),
+         |cand AS (
+         |  SELECT pc.probe_id, pc.cell, pc.probe_rank, c.vec_id AS neighbor_id,
+         |         ${cosSql("pn.v", "pn.nrm", "cn.v", "cn.nrm")} AS cos
+         |  FROM pc
+         |  JOIN cells c ON c.cell = pc.cell AND c.vec_id <> pc.probe_id
+         |  JOIN n pn ON pn.vec_id = pc.probe_id
+         |  JOIN n cn ON cn.vec_id = c.vec_id),
+         |ranked AS (
+         |  SELECT probe_id, cell, probe_rank, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM cand),
+         |exact AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |             ${cosSql("p.v", "p.nrm", "c.v", "c.nrm")} DESC, c.vec_id) AS rank
+         |    FROM n p JOIN n c ON p.vec_id < 10 AND c.vec_id <> p.vec_id)
+         |  WHERE rank <= $IVF_K)
+         |SELECT r.probe_id, r.rank, r.probe_rank, r.cell, r.neighbor_id,
+         |       ROUND(r.cos, 6) AS cosine,
+         |       CAST(CASE WHEN ex.neighbor_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_exact
+         |FROM ranked r
+         |LEFT JOIN exact ex ON ex.probe_id = r.probe_id AND ex.neighbor_id = r.neighbor_id
+         |WHERE r.rank <= $IVF_K
+         |ORDER BY r.probe_id, r.rank""".stripMargin
+    }) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cent = trainedCentroids(spark, dir)
+    val cells = kmAssign(spark, dir, cent)
+      .select(col("vec_id"), col("cell"))
+      .localCheckpoint()
+    val n = Dedup.normedVectors(spark, dir)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val probes = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    // probe → its S18_NPROBE nearest trained cells (broadcast K-row codebook)
+    val cellDist = aggregate(
+      zip_with(col("pv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, z) => acc + z)
+    val wp = Window.partitionBy(col("probe_id")).orderBy(col("cdist"), col("cell"))
+    val probeCells = probes
+      .crossJoin(broadcast(kmCentArr(cent)))
+      .withColumn("cdist", cellDist)
+      .withColumn("probe_rank", row_number().over(wp).cast("bigint"))
+      .filter(col("probe_rank") <= S18_NPROBE)
+      .select(col("probe_id"), col("pv"), col("pnrm"), col("cell"), col("probe_rank"))
+    val cos = Dedup.cosineCol(col("pv"), col("nv"), col("pnrm"), col("nnrm"))
+    val wr = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val approx = broadcast(probeCells)
+      .join(cells.withColumnRenamed("vec_id", "neighbor_id"), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .join(n.select(col("vec_id").as("neighbor_id"),
+        col("v").as("nv"), col("nrm").as("nnrm")), "neighbor_id")
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(wr).cast("bigint"))
+      .filter(col("rank") <= IVF_K)
+    // exact brute-force witness (s1 shape): same probes, full corpus
+    val we = Window.partitionBy(col("probe_id")).orderBy(col("ecos").desc, col("neighbor_id"))
+    val exact = broadcast(probes)
+      .join(n, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        Dedup.cosineCol(col("pv"), col("v"), col("pnrm"), col("nrm")).as("ecos"))
+      .withColumn("erank", row_number().over(we))
+      .filter(col("erank") <= IVF_K)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
+    approx
+      .join(broadcast(exact), Seq("probe_id", "neighbor_id"), "left_outer")
+      .select(col("probe_id"), col("rank"), col("probe_rank"), col("cell"),
+        col("neighbor_id"), round(col("cos"), 6).as("cosine"),
+        coalesce(col("hit"), lit(0L)).as("in_exact"))
+      .orderBy("probe_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4LabelCentroids,
     s5KnnJoin, s6Quantize, s7Mips, s8AnnRerank, s9RetrievalE2e, s10PqEncode,
     s11RecallCurve, s12IvfPq, s13HybridRrf, s14KmeansTrain, s15BinaryQuant,
-    s16TrainedIvf, s17MmrDiversify)
+    s16TrainedIvf, s17MmrDiversify, s18MultiProbe)
 }

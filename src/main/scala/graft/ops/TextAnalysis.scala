@@ -1024,9 +1024,79 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style rule-bundle quality gate (Rae et al. 2021's repetition/
+    * length/symbol filters, adapted to the fixture vocabulary): five
+    * named boolean rules — token-count window, mean-word-length window,
+    * distinct-token ratio, stopword presence, single-token dominance —
+    * each reported individually plus the conjunction, so a curation run
+    * can audit WHICH rule dropped a document (the practical difference
+    * from t2's scalar score). Every rule compares integers via
+    * cross-multiplication (`7·n ≤ 2·Σlen ≤ 9·n` instead of a double mean
+    * in [3.5,4.5]) — zero float arithmetic, so the verdicts are
+    * bit-identical in any engine. Per-row map stage over the corpus
+    * (array ops inside whole-stage codegen, no explode, no shuffle
+    * before the gate sort): at 100 TB this is embarrassingly parallel,
+    * the same shape as the reference's row-local parse/filter passes
+    * (`etl.js:50-79`). max_tf is O(distinct·n) per row on a ≤1k-token
+    * doc — bounded work per row, never a join.
+    */
+  val t20GopherRules: Q = Q.sql(
+    "t20_gopher_rules",
+    "Gopher-style 5-rule quality gate: per-rule booleans + conjunction, all-integer arithmetic.",
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    string_split(text, ' ') AS w
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) AS sum_len,
+       |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(w, t -> t IN ${inList(enStops)})) AS BIGINT) AS n_stop,
+       |    CAST(list_max(list_transform(list_distinct(w),
+       |      t -> len(list_filter(w, x -> x = t)))) AS BIGINT) AS max_tf
+       |  FROM m)
+       |SELECT doc_id, n_tokens, sum_len, n_distinct, n_stop, max_tf,
+       |  CAST(CASE WHEN n_tokens BETWEEN 30 AND 1000 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+       |  CAST(CASE WHEN 7 * n_tokens <= 2 * sum_len AND 2 * sum_len <= 9 * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS r_mean_len,
+       |  CAST(CASE WHEN 2 * n_distinct >= n_tokens THEN 1 ELSE 0 END AS BIGINT) AS r_distinct,
+       |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+       |  CAST(CASE WHEN 8 * max_tf <= n_tokens THEN 1 ELSE 0 END AS BIGINT) AS r_dominance,
+       |  CAST(CASE WHEN n_tokens BETWEEN 30 AND 1000
+       |         AND 7 * n_tokens <= 2 * sum_len AND 2 * sum_len <= 9 * n_tokens
+       |         AND 2 * n_distinct >= n_tokens
+       |         AND n_stop >= 2
+       |         AND 8 * max_tf <= n_tokens THEN 1 ELSE 0 END AS BIGINT) AS passes
+       |FROM s ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    val stats = Tables.documents(spark, dir)
+      // split once; all five rule inputs share the materialized array
+      .select(col("doc_id"), words.as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        aggregate(col("w"), lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        stopHits(col("w"), enStops).cast("long").as("n_stop"),
+        array_max(transform(array_distinct(col("w")),
+          t => size(filter(col("w"), x => x === t)))).cast("long").as("max_tf"))
+    val rLen = col("n_tokens").between(30L, 1000L)
+    val rMean = lit(7L) * col("n_tokens") <= lit(2L) * col("sum_len") &&
+      lit(2L) * col("sum_len") <= lit(9L) * col("n_tokens")
+    val rDistinct = lit(2L) * col("n_distinct") >= col("n_tokens")
+    val rStop = col("n_stop") >= 2L
+    val rDom = lit(8L) * col("max_tf") <= col("n_tokens")
+    stats.select(col("doc_id"), col("n_tokens"), col("sum_len"),
+        col("n_distinct"), col("n_stop"), col("max_tf"),
+        flag(rLen).as("r_len"), flag(rMean).as("r_mean_len"),
+        flag(rDistinct).as("r_distinct"), flag(rStop).as("r_stop"),
+        flag(rDom).as("r_dominance"),
+        flag(rLen && rMean && rDistinct && rStop && rDom).as("passes"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3TokenStats, t4Fingerprint,
     t5BpeTokens, t6HeavyHitters, t7Normalize, t8DistinctiveTerms,
     t9Repetition, t10Commonness, t11TfidfCosine, t12Chunk, t13PiiRedact,
     t14BigramStats, t15Zipf, t16Boilerplate, t17BpeApply, t18Perplexity,
-    dp2Drift, t19ClassifierScore)
+    dp2Drift, t19ClassifierScore, t20GopherRules)
 }

@@ -1607,6 +1607,123 @@ class OpsSpec extends AnyFunSuite {
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("t20: all five rule verdicts recompute from the raw text") {
+    val rows = TextAnalysis.t20GopherRules.run(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === docs.size)
+    val stops = Set("the", "a", "and", "of", "to", "in", "is")
+    rows.foreach { r =>
+      val w = docs(r.getLong(0)).split(" ", -1)
+      val n = w.length.toLong
+      val sumLen = w.map(_.length.toLong).sum
+      val nDistinct = w.distinct.length.toLong
+      val nStop = w.count(stops).toLong
+      val maxTf = w.groupBy(identity).values.map(_.length).max.toLong
+      assert(r.getAs[Long]("n_tokens") === n)
+      assert(r.getAs[Long]("sum_len") === sumLen)
+      assert(r.getAs[Long]("max_tf") === maxTf)
+      val rLen = n >= 30 && n <= 1000
+      val rMean = 7 * n <= 2 * sumLen && 2 * sumLen <= 9 * n
+      val rDis = 2 * nDistinct >= n
+      val rStop = nStop >= 2
+      val rDom = 8 * maxTf <= n
+      assert(r.getAs[Long]("r_len") === (if (rLen) 1L else 0L))
+      assert(r.getAs[Long]("r_mean_len") === (if (rMean) 1L else 0L))
+      assert(r.getAs[Long]("r_distinct") === (if (rDis) 1L else 0L))
+      assert(r.getAs[Long]("r_stop") === (if (rStop) 1L else 0L))
+      assert(r.getAs[Long]("r_dominance") === (if (rDom) 1L else 0L))
+      assert(r.getAs[Long]("passes") ===
+        (if (rLen && rMean && rDis && rStop && rDom) 1L else 0L))
+    }
+  }
+
+  test("dp19: supports, confidence and lift recompute from raw baskets") {
+    val rows = Relational.dp19AssocRules.run(spark, sf).collect()
+    val brand = graft.Tables.part(spark, sf).select("p_partkey", "p_brand")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val baskets = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .groupBy(_.getLong(0))
+      .map { case (ok, ls) => ok -> ls.map(r => brand(r.getLong(1))).toSet }
+    val n = baskets.size.toLong
+    val itemCnt = baskets.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val pairCnt = baskets.values.toSeq
+      .flatMap(items => items.toSeq.sorted.combinations(2))
+      .groupBy(identity).map { case (k, v) => (k.head, k(1)) -> v.size.toLong }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("item_a"), r.getAs[String]("item_b"))
+      val nab = pairCnt((a, b))
+      assert(r.getAs[Long]("n_ab") === nab)
+      assert(r.getAs[Long]("n_a") === itemCnt(a))
+      assert(r.getAs[Long]("n_b") === itemCnt(b))
+      assert(100 * nab >= n, "support threshold violated")
+      val lift = (BigInt(1000000) * nab * n) / (BigInt(itemCnt(a)) * itemCnt(b))
+      assert(r.getAs[Long]("lift_ppm") === lift.toLong)
+      assert(r.getAs[Long]("conf_ab_ppm") === (BigInt(1000000) * nab / itemCnt(a)).toLong)
+      assert(r.getAs[Long]("conf_ba_ppm") === (BigInt(1000000) * nab / itemCnt(b)).toLong)
+    }
+  }
+
+  test("g9: modularity pieces recompute from the shared graph and labels") {
+    val rows = Graph.g9Modularity.run(spark, sf).collect()
+    val edges = Graph.mutualEdges(spark, sf).collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")))
+    val lab = Graph.lpaLabels(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    val m = edges.length.toLong
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val byComm = lab.groupBy(_._2)
+    assert(rows.length === byComm.size, "one row per community")
+    val intra = edges.filter(e => lab(e._1) == lab(e._2))
+      .groupBy(e => lab(e._1)).map { case (k, v) => k -> v.size.toLong }
+    rows.foreach { r =>
+      val c = r.getAs[Long]("community")
+      val members = byComm(c).keys.toSeq
+      val degSum = members.map(deg).sum
+      val ic = intra.getOrElse(c, 0L)
+      assert(r.getAs[Long]("n_nodes") === members.size.toLong)
+      assert(r.getAs[Long]("deg_sum") === degSum)
+      assert(r.getAs[Long]("intra_edges") === ic)
+      assert(r.getAs[Long]("m_edges") === m)
+      assert(r.getAs[java.math.BigDecimal]("contrib_num").longValueExact ===
+        4 * m * ic - degSum * degSum)
+      assert(r.getAs[java.math.BigDecimal]("denom").longValueExact === 4 * m * m)
+    }
+    // the audit identity: sum of contributions over 4m^2 is Newman Q;
+    // every piece is exact, so the total is too
+    val q = rows.map(_.getAs[java.math.BigDecimal]("contrib_num").longValueExact).sum
+    assert(q <= 4 * m * m, "Q must be <= 1")
+  }
+
+  test("s18: the second probe only widens the candidate set; hits match exact replay") {
+    val rows = Similarity.s18MultiProbe.run(spark, sf).collect()
+    // exact top-5 replay per probe (fixed-order fold, same as the engine)
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dotp(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = vecs.map { case (k, v) => k -> math.sqrt(dotp(v, v)) }
+    for (p <- 0L until 10L) {
+      val exact = vecs.keys.filter(_ != p).toSeq
+        .map(c => c -> dotp(vecs(p), vecs(c)) / (nrm(p) * nrm(c)))
+        .sortBy { case (id, cos) => (-cos, id) }.take(5).map(_._1).toSet
+      val got = rows.filter(_.getAs[Long]("probe_id") == p)
+      assert(got.length === 5, s"probe $p should emit 5 rows")
+      got.foreach { r =>
+        assert(r.getAs[Long]("in_exact") ===
+          (if (exact(r.getAs[Long]("neighbor_id"))) 1L else 0L))
+      }
+      // ranks are 1..5 and cosines non-increasing
+      assert(got.map(_.getAs[Long]("rank")).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    }
+  }
 }
 
 /** tiny accessor kept out of the test bodies for reuse */

@@ -759,4 +759,55 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast in:\n$p")
     assert(!p.contains("SortMergeJoin"), s"probe join shuffled the cell grid:\n$p")
   }
+
+  test("t20: rule bundle is one scan, pure codegen — no join, one output sort") {
+    val p = plan(TextAnalysis.t20GopherRules)
+    // AQE plans repeat the tree under "== Initial Plan =="; audit the final
+    val fp = p.split("== Initial Plan ==").head
+    assert(!fp.contains("Join") && !fp.contains("CartesianProduct"),
+      s"per-row rule bundle grew a join:\n$p")
+    assert("Scan parquet".r.findAllIn(fp).size == 1,
+      s"expected exactly one documents scan in:\n$p")
+    assert(fp.contains("*("), s"no codegen span in:\n$p")
+  }
+
+  test("dp19: pair mine runs on the pinned basket frame; stats broadcast") {
+    val p = plan(Relational.dp19AssocRules)
+    // baskets are localCheckpoint-pinned (three consumers share one fact
+    // scan); pairs come from in-row array expansion, never a self-join,
+    // and item counts + the 1-row total are broadcast
+    assert(!p.contains("Scan parquet"),
+      s"fact table re-scanned downstream of the basket pin:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"pinned baskets not read in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"item counts not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"pair mine degraded to a shuffle/cross join:\n$p")
+  }
+
+  test("g9: modularity audit reads the pinned graph + labels, one linear pass") {
+    val p = plan(Graph.g9Modularity)
+    // mutual edges and the LPA label frame are localCheckpoint-pinned
+    // (shared with g7); the audit must never re-derive either from the
+    // fact tables, and the label/size joins are broadcast. AQE repeats
+    // the tree under "== Initial Plan ==" — audit the final plan only.
+    val fp = p.split("== Initial Plan ==").head
+    assert(!fp.contains("Scan parquet"),
+      s"fact tables re-scanned downstream of the graph/label pins:\n$p")
+    assert(fp.contains("Scan ExistingRDD"), s"pinned frames not read in:\n$p")
+    assert(fp.contains("BroadcastHashJoin"), s"label join not broadcast in:\n$p")
+    assert(!fp.contains("SortMergeJoin"), s"audit shuffled a broadcastable join:\n$p")
+  }
+
+  test("s18: multi-probe search joins the pinned index on the cell id") {
+    val p = plan(Similarity.s18MultiProbe)
+    // the trained index is localCheckpoint-pinned; candidates meet it on
+    // a broadcast cell equi-join (probes x NPROBE rows), and the exact
+    // witness joins back by (probe, neighbor) broadcast — nothing sorts
+    // or crosses at corpus scale
+    assert(p.contains("Scan ExistingRDD"), s"pinned index not read in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cell join not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"search degraded to a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"cell join shuffled in:\n$p")
+  }
 }
