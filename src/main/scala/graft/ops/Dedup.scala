@@ -1065,7 +1065,88 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  private val SUB_W = 8
+  private val SUB_HOT = 16
+
+  /** Exact duplicated-substring mining (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): every doc pair sharing
+    * at least one exact [[SUB_W]]-token window, with the shared-window
+    * count and a containment fraction (ppm of the smaller doc's windows)
+    * — the suffix-array dedup signal, re-expressed as the
+    * sliding-window inverted index that distributes (a suffix array is a
+    * single-machine structure; windowed hashing is what MapReduce-scale
+    * dedup actually runs).
+    *
+    * Scale shape: per-doc fan-out is exactly n_tokens − W + 1 windows
+    * (linear in corpus tokens, generated INSIDE the row — no join);
+    * windows meet on an md5 equi-join. The pair mine runs only over
+    * windows shared by 2..[[SUB_HOT]] docs — the hot side is dropped
+    * BEFORE the self-join (boilerplate windows shared by thousands of
+    * docs would otherwise go quadratic: the g3/d2 hot-key lesson applied
+    * at birth), so per-window pair fan-out is capped at C(16,2) = 120.
+    * The cap is semantic, mirrored in the oracle: ubiquitous substrings
+    * are stop-phrases, not duplication evidence. Containment is a
+    * floor-divided ppm of all-positive integers (Spark `DIV` == DuckDB
+    * `//`).
+    */
+  val d12SubstringDedup: Q = Q.sql(
+    "d12_dedup_substring",
+    s"Exact duplicated $SUB_W-token substring mining: pairs sharing non-hot windows, shared count + containment ppm.",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |w AS (
+       |  SELECT DISTINCT doc_id,
+       |         md5(array_to_string(list_slice(ws, i.i, i.i + $SUB_W - 1), ' ')) AS h
+       |  FROM d, UNNEST(range(1, len(ws) - $SUB_W + 2)) AS i(i)),
+       |nw AS (SELECT doc_id, COUNT(*) AS n_win FROM w GROUP BY doc_id),
+       |ok AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) BETWEEN 2 AND $SUB_HOT),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM (SELECT w.* FROM w JOIN ok USING (h)) a
+       |  JOIN (SELECT w.* FROM w JOIN ok USING (h)) b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, p.n_shared,
+       |       na.n_win AS n_win_a, nb.n_win AS n_win_b,
+       |       CAST((1000000 * p.n_shared) // LEAST(na.n_win, nb.n_win) AS BIGINT)
+       |         AS contain_ppm
+       |FROM pairs p
+       |JOIN nw na ON p.doc_a = na.doc_id
+       |JOIN nw nb ON p.doc_b = nb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    // windows generated inside the row; DISTINCT dedups a window repeating
+    // within one doc. The sequence guard matters: Spark's sequence(1, 0)
+    // is DESCENDING [1, 0], not empty — a short doc would fabricate
+    // windows without it.
+    val wins = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(ws) >= $SUB_W THEN transform(sequence(1, size(ws) - $SUB_W + 1), " +
+          s"i -> md5(concat_ws(' ', slice(ws, i, $SUB_W)))) " +
+          "ELSE array() END")).as("h"))
+      .distinct()
+      .localCheckpoint() // feeds n_win, the hot filter, and both join probes
+    val nWin = wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_win"))
+    val ok = wins.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd").between(2, SUB_HOT)).select(col("h"))
+    // hot windows leave BEFORE the pair self-join (see scaladoc)
+    val cand = wins.join(ok, Seq("h"), "left_semi")
+    val pairs = cand.select(col("h"), col("doc_id").as("doc_a"))
+      .join(cand.select(col("h"), col("doc_id").as("doc_b")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(nWin.select(col("doc_id").as("doc_a"), col("n_win").as("n_win_a")), "doc_a")
+      .join(nWin.select(col("doc_id").as("doc_b"), col("n_win").as("n_win_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_win_a"), col("n_win_b"),
+        expr("CAST((1000000 * n_shared) DIV least(n_win_a, n_win_b) AS BIGINT)")
+          .as("contain_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d5EmbeddingCosine, d6DedupClusters, d7DedupApply, d8Containment,
-    d9SemanticDedup, d10EmbeddingNearDup, d11ParagraphDedup)
+    d9SemanticDedup, d10EmbeddingNearDup, d11ParagraphDedup,
+    d12SubstringDedup)
 }

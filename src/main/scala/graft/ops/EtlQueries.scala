@@ -799,10 +799,12 @@ object EtlQueries {
     * status) rollup catches lost deletes, missed updates, leaked future
     * ops, and any cross-version double-application.
     */
-  val e13TimeTravel: Q = Q.sql(
-    "e13_time_travel",
-    "Snapshot-as-of-version reads over a 3-version CDC changelog (last-writer-wins per key); per-(snapshot, status) rollup.",
-    s"""WITH b AS (
+  /** Oracle CTE chain for the derived 3-version changelog — ONE Scala
+    * fragment shared by e13 (snapshot reads) and e17 (change data feed)
+    * so the version rule cannot drift between their oracles.
+    */
+  private def cdcLogCtesSql: String =
+    s"""b AS (
        |  SELECT o.*, $cdcBucketSql AS b FROM orders o),
        |log AS (
        |  SELECT 0 AS ver, o_orderkey AS k, 'I' AS op, o_orderstatus AS status,
@@ -824,18 +826,15 @@ object EtlQueries {
        |  FROM b WHERE b IN (5, 6)
        |  UNION ALL
        |  SELECT 2, -(o_orderkey + 1), 'I', 'M', CAST(o_totalprice AS DECIMAL(18,2))
-       |  FROM b WHERE b = 7),
-       |snapped AS (
-       |  SELECT s.snap, l.* FROM log l
-       |  JOIN (SELECT UNNEST([0, 1, 2]) AS snap) s ON l.ver <= s.snap),
-       |latest AS (
-       |  SELECT * FROM snapped
-       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY snap, k ORDER BY ver DESC) = 1)
-       |SELECT snap, status, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       |       CAST(SUM(price) AS DOUBLE) AS sum_price,
-       |       MIN(k) AS min_key, MAX(k) AS max_key
-       |FROM latest WHERE op <> 'D'
-       |GROUP BY snap, status ORDER BY snap, status""".stripMargin) { (spark, dir) =>
+       |  FROM b WHERE b = 7)""".stripMargin
+
+  /** Spark twin of [[cdcLogCtesSql]]: the one-fact-scan changelog builder
+    * (every row emits its v0 insert plus bucket-gated v1/v2 entries —
+    * `when` without `otherwise` yields null slots the post-explode filter
+    * drops; the 7-way UNION the oracle runs would re-scan orders 7×).
+    */
+  private def cdcLogFrame(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val base = Tables.orders(spark, dir).withColumn("b", cdcBucketCol)
     val dec = col("o_totalprice").cast("decimal(19,2)")
     def entry(ver: Int, k: org.apache.spark.sql.Column, op: String,
@@ -844,11 +843,7 @@ object EtlQueries {
         status.as("status"), price.cast("decimal(19,2)").as("price"))
     val nullS = lit(null).cast("string")
     val nullP = lit(null).cast("decimal(19,2)")
-    // ONE fact scan: every row emits its v0 insert plus (bucket-gated)
-    // its v1/v2 change entries — `when` without `otherwise` yields null
-    // slots that the post-explode filter drops. The 7-way UNION the
-    // oracle runs would re-scan orders 7 times here.
-    val log = base.select(explode(array(
+    base.select(explode(array(
         entry(0, col("o_orderkey"), "I", col("o_orderstatus"), dec),
         when(col("b") === 0, entry(1, col("o_orderkey"), "D", nullS, nullP)),
         when(col("b").isin(1, 2), entry(1, col("o_orderkey"), "U", lit("X"),
@@ -862,6 +857,24 @@ object EtlQueries {
       .filter(col("e").isNotNull)
       .select(col("e.ver").as("ver"), col("e.k").as("k"), col("e.op").as("op"),
         col("e.status").as("status"), col("e.price").as("price"))
+  }
+
+  val e13TimeTravel: Q = Q.sql(
+    "e13_time_travel",
+    "Snapshot-as-of-version reads over a 3-version CDC changelog (last-writer-wins per key); per-(snapshot, status) rollup.",
+    s"""WITH $cdcLogCtesSql,
+       |snapped AS (
+       |  SELECT s.snap, l.* FROM log l
+       |  JOIN (SELECT UNNEST([0, 1, 2]) AS snap) s ON l.ver <= s.snap),
+       |latest AS (
+       |  SELECT * FROM snapped
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY snap, k ORDER BY ver DESC) = 1)
+       |SELECT snap, status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |       CAST(SUM(price) AS DOUBLE) AS sum_price,
+       |       MIN(k) AS min_key, MAX(k) AS max_key
+       |FROM latest WHERE op <> 'D'
+       |GROUP BY snap, status ORDER BY snap, status""".stripMargin) { (spark, dir) =>
+    val log = cdcLogFrame(spark, dir)
     val snaps = spark.range(3).select(col("id").cast("int").as("snap"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("snap"), col("k")).orderBy(col("ver").desc)
@@ -1154,9 +1167,96 @@ object EtlQueries {
       .orderBy("lang")
   }
 
+  /** Change data feed — Delta's `table_changes(v)` / Iceberg's
+    * changelog read: the row-level diff a downstream incremental consumer
+    * pulls instead of re-reading the table. Derived generically as the
+    * SNAPSHOT DIFF between v1 and v2 of e13's changelog (the
+    * CDF-backfill recipe for tables that never recorded one): keys only
+    * in v2 → `insert`, keys only in v1 → `delete` (pre-image), keys in
+    * both with a changed (status, price) image → `update_preimage` +
+    * `update_postimage` — Delta's four `_change_type` values exactly.
+    *
+    * Scale shape: both snapshots reconstruct from ONE changelog scan
+    * (the e13 last-writer-wins window over ver ≤ snap, shuffled once on
+    * (snap, key)); the diff is a self-partitioned full-outer join on the
+    * key — co-partitioned with the window's output, no extra shuffle at
+    * 100 TB where the log arrives key-bucketed. Update rows fan out 2×
+    * inside the row (explode), never a second pass. Decimal(18,2)
+    * images cast to double only at emission (exact — 2-dp decimals are
+    * dyadic-representable under 2^53).
+    */
+  val e17ChangeFeed: Q = Q.sql(
+    "e17_change_feed",
+    "Change data feed v1->v2 as a snapshot diff: insert/delete/update_pre/update_post rows per changed key.",
+    s"""WITH $cdcLogCtesSql,
+       |s1 AS (
+       |  SELECT k, status, price FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+       |    FROM log WHERE ver <= 1)
+       |  WHERE rn = 1 AND op <> 'D'),
+       |s2 AS (
+       |  SELECT k, status, price FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+       |    FROM log WHERE ver <= 2)
+       |  WHERE rn = 1 AND op <> 'D'),
+       |d AS (
+       |  SELECT COALESCE(a.k, b.k) AS k,
+       |         a.status AS status_pre, a.price AS price_pre,
+       |         b.status AS status_post, b.price AS price_post
+       |  FROM s1 a FULL OUTER JOIN s2 b ON a.k = b.k
+       |  WHERE a.k IS NULL OR b.k IS NULL
+       |     OR a.status <> b.status OR a.price <> b.price),
+       |feed AS (
+       |  SELECT k, 'insert' AS change_type, status_post AS status,
+       |         price_post AS price FROM d WHERE status_pre IS NULL
+       |  UNION ALL
+       |  SELECT k, 'delete', status_pre, price_pre FROM d WHERE status_post IS NULL
+       |  UNION ALL
+       |  SELECT k, 'update_preimage', status_pre, price_pre
+       |  FROM d WHERE status_pre IS NOT NULL AND status_post IS NOT NULL
+       |  UNION ALL
+       |  SELECT k, 'update_postimage', status_post, price_post
+       |  FROM d WHERE status_pre IS NOT NULL AND status_post IS NOT NULL)
+       |SELECT k, change_type, status, CAST(price AS DOUBLE) AS price
+       |FROM feed ORDER BY k, change_type""".stripMargin) { (spark, dir) =>
+    val log = cdcLogFrame(spark, dir).localCheckpoint() // feeds both snapshots
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("ver").desc)
+    def stateAt(v: Int) = log.filter(col("ver") <= v)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("k"), col("status"), col("price"))
+    val d = stateAt(1).select(col("k"),
+        col("status").as("status_pre"), col("price").as("price_pre"))
+      .join(stateAt(2).select(col("k"),
+        col("status").as("status_post"), col("price").as("price_post")),
+        Seq("k"), "full_outer")
+      .filter(col("status_pre").isNull || col("status_post").isNull ||
+        col("status_pre") =!= col("status_post") ||
+        col("price_pre") =!= col("price_post"))
+    val isIns = col("status_pre").isNull
+    val isDel = col("status_post").isNull
+    def fr(ct: String, s: org.apache.spark.sql.Column,
+        p: org.apache.spark.sql.Column) =
+      struct(lit(ct).as("change_type"), s.as("status"), p.as("price"))
+    d.select(col("k"), explode(array(
+        when(isIns, fr("insert", col("status_post"), col("price_post"))),
+        when(isDel, fr("delete", col("status_pre"), col("price_pre"))),
+        when(!isIns && !isDel,
+          fr("update_preimage", col("status_pre"), col("price_pre"))),
+        when(!isIns && !isDel,
+          fr("update_postimage", col("status_post"), col("price_post")))
+      )).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("k"), col("e.change_type").as("change_type"),
+        col("e.status").as("status"),
+        col("e.price").cast("double").as("price"))
+      .orderBy("k", "change_type")
+  }
+
   val all: Seq[Q] = Seq(e1ItemPipeline, e2AssessmentPipeline, e3JsonlRoundtrip,
     e4OrcRoundtrip, e5PartitionedRoundtrip, e6BucketedJoin, e7CsvRoundtrip,
     e8SchemaEvolution, e9SortedSkipping, e10Compaction, e11Zorder,
     e12MergeUpsert, e13TimeTravel, e14ForgetCascade, e15Vacuum,
-    e16DynamicOverwrite)
+    e16DynamicOverwrite, e17ChangeFeed)
 }

@@ -885,17 +885,12 @@ object Graph {
     * verbatim by g7 and g9 so the propagation rule cannot drift between
     * their oracles (the egcSql discipline applied to the LPA loop).
     */
-  private def lpaCtesSql: String = {
-    val iters = (0 until LPA_ROUNDS).map { i =>
-      s"""l${i + 1} AS MATERIALIZED (
-         |  SELECT node, label FROM (
-         |    SELECT e.dst AS node, l.label,
-         |           ROW_NUMBER() OVER (PARTITION BY e.dst
-         |             ORDER BY COUNT(*) DESC, l.label) AS rnk
-         |    FROM ed e JOIN l$i l ON e.src = l.node
-         |    GROUP BY e.dst, l.label)
-         |  WHERE rnk = 1)""".stripMargin
-    }.mkString(",\n")
+  /** Oracle CTE chain from the raw incidence through the mutual graph's
+    * bidirectional edge list `ed` — shared by every oracle that consumes
+    * the mutual-top-[[MUTUAL_TOP]] graph so the construction rule cannot
+    * drift between them (the egcSql discipline, one level up).
+    */
+  private def mutCtesSql: String =
     s"""eg AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -918,7 +913,20 @@ object Graph {
        |  JOIN topk b ON a.s = b.p AND a.p = b.s
        |  WHERE a.s < a.p),
        |ed AS MATERIALIZED (
-       |  SELECT x AS src, y AS dst FROM mut UNION ALL SELECT y, x FROM mut),
+       |  SELECT x AS src, y AS dst FROM mut UNION ALL SELECT y, x FROM mut)""".stripMargin
+
+  private def lpaCtesSql: String = {
+    val iters = (0 until LPA_ROUNDS).map { i =>
+      s"""l${i + 1} AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, l.label,
+         |           ROW_NUMBER() OVER (PARTITION BY e.dst
+         |             ORDER BY COUNT(*) DESC, l.label) AS rnk
+         |    FROM ed e JOIN l$i l ON e.src = l.node
+         |    GROUP BY e.dst, l.label)
+         |  WHERE rnk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$mutCtesSql,
        |l0 AS (
        |  SELECT node, node AS label FROM (
        |    SELECT x AS node FROM mut UNION SELECT y FROM mut)),
@@ -1126,7 +1134,76 @@ object Graph {
       .orderBy("community")
   }
 
+  private val LP_MIN_CN = 2
+  private val LP_TOPN = 100
+
+  /** Link prediction over the mutual-top-[[MUTUAL_TOP]] partner graph:
+    * for every NON-edge pair at distance 2, the common-neighbor count
+    * and Jaccard neighborhood overlap (the classic Liben-Nowell/Kleinberg
+    * scores) — the "suppliers that should partner but don't" /
+    * "sources that should be crawled together" recommendation a graph
+    * curation pass emits. Top-[[LP_TOPN]] by (jaccard, keys) with the
+    * [[LP_MIN_CN]]-common-neighbor floor.
+    *
+    * Scale shape: candidate pairs are WEDGES — the ed⋈ed self-join on
+    * the shared endpoint — and the mutual graph caps degree at
+    * [[MUTUAL_TOP]] by construction, so per-node wedge fan-out is
+    * ≤ K²/2 = 32 rows: the mine is linear in |V| at any corpus scale
+    * (same bound g4's triangle count rides). Existing edges leave via a
+    * broadcast-able anti-join against the edge list; degrees join from a
+    * map-side-partial count. Jaccard is a floor-divided ppm of
+    * all-positive integers (|N(u)∩N(v)| / |N(u)∪N(v)| with the union by
+    * inclusion-exclusion) — bit-identical across engines; the LIMIT
+    * rides a total order.
+    */
+  val g10LinkPrediction: Q = Q.sql(
+    "g10_link_prediction",
+    s"Common-neighbor/Jaccard link prediction over the mutual graph: top-$LP_TOPN distance-2 non-edges (cn >= $LP_MIN_CN).",
+    s"""WITH $mutCtesSql,
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM ed GROUP BY 1),
+       |cn AS (
+       |  SELECT a.dst AS u, b.dst AS v, COUNT(*) AS cn
+       |  FROM ed a JOIN ed b ON a.src = b.src AND a.dst < b.dst
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT c.u, c.v, c.cn, du.d AS deg_u, dv.d AS deg_v,
+       |         CAST((1000000 * c.cn) // (du.d + dv.d - c.cn) AS BIGINT) AS jaccard_ppm
+       |  FROM cn c
+       |  JOIN deg du ON c.u = du.node
+       |  JOIN deg dv ON c.v = dv.node
+       |  LEFT JOIN mut e ON c.u = e.x AND c.v = e.y
+       |  WHERE e.x IS NULL AND c.cn >= $LP_MIN_CN)
+       |SELECT u AS supp_u, v AS supp_v, cn AS common_neighbors,
+       |       deg_u, deg_v, jaccard_ppm
+       |FROM pred
+       |ORDER BY jaccard_ppm DESC, supp_u, supp_v LIMIT $LP_TOPN""".stripMargin) { (spark, dir) =>
+    val mut = mutualEdges(spark, dir)
+    val ed = mut
+      .select(explode(array(
+        struct(col("x").as("src"), col("y").as("dst")),
+        struct(col("y").as("src"), col("x").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint() // feeds deg and BOTH wedge sides
+    val deg = ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val wedges = ed.select(col("src"), col("dst").as("u"))
+      .join(ed.select(col("src"), col("dst").as("v")), "src")
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= LP_MIN_CN)
+    wedges
+      .join(mut.select(col("x").as("u"), col("y").as("v")), Seq("u", "v"), "left_anti")
+      .join(deg.select(col("node").as("u"), col("d").as("deg_u")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("deg_v")), "v")
+      .select(col("u").as("supp_u"), col("v").as("supp_v"),
+        col("cn").as("common_neighbors"), col("deg_u"), col("deg_v"),
+        expr("CAST((1000000 * cn) DIV (deg_u + deg_v - cn) AS BIGINT)")
+          .as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("supp_u"), col("supp_v"))
+      .limit(LP_TOPN)
+  }
+
   val all: Seq[Q] = Seq(g1PageRank, g2BfsHops, g3SupplierAffinity,
     g4TriangleCount, g5KCore, g6PersonalizedPageRank, g7LabelPropagation,
-    g8RandomWalk, g9Modularity)
+    g8RandomWalk, g9Modularity, g10LinkPrediction)
 }

@@ -1741,8 +1741,129 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  private val SQ_K = 5
+
+  /** SQ8 search — top-[[SQ_K]] by EXACT INTEGER dot product over globally
+    * scalar-quantized codes: the quantizer is per-DIMENSION min/max over
+    * the corpus (a trained, [[DIMS]]-pair artifact — unlike s6's
+    * per-vector codes, global dims make code dot products comparable
+    * ACROSS vectors, which is what an SQ8 index actually scans), codes
+    * are the s6 affine rule, and the scan score Σ qᵖ·qᶜ is a BIGINT —
+    * so the candidate ranking is bit-exact in any engine, the property
+    * float ANN scores never have. Each row carries the exact-cosine
+    * recompute and the `in_exact` top-[[SQ_K]] witness (s18's recall
+    * contract), measuring what 8-bit scoring loses.
+    *
+    * Scale shape: the quantizer trains in one pass (per-dim min/max are
+    * order-independent map-side partials), broadcasts as one row, and
+    * encoding is a map stage — codes are 64 B/vector vs 256 B float32,
+    * the 4× scan-bandwidth win SQ8 deployments buy. Probes broadcast
+    * against one linear code scan (the s1 shape at 1/4 bandwidth);
+    * integer MACs beat float FMAs on SIMD scan throughput.
+    */
+  val s19Sq8Search: Q = Q.sql(
+    "s19_sq8_search",
+    s"SQ8 integer-dot top-$SQ_K per probe over per-dimension min-max codes, with exact-cosine recall witness.",
+    {
+      def cosSql(av: String, an: String, bv: String, bn: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |           list_transform(range(1, len($av) + 1), i -> $av[i] * $bv[i])), (x, y) -> x + y)
+           |           / ($an * $bn)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |st AS (
+         |  SELECT i.i AS pos, MIN(v[i.i]) AS lo, MAX(v[i.i]) AS hi
+         |  FROM e, UNNEST(range(1, $DIMS + 1)) AS i(i) GROUP BY 1),
+         |sa AS (SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi FROM st),
+         |codes AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(range(1, $DIMS + 1), i ->
+         |    CASE WHEN sa.hi[i] = sa.lo[i] THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(LEAST(255.0, FLOOR((v[i] - sa.lo[i]) / (sa.hi[i] - sa.lo[i]) * 255.0 + 0.5)) AS BIGINT)
+         |    END) AS q
+         |  FROM e, sa),
+         |n AS MATERIALIZED (
+         |  SELECT vec_id, v,
+         |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
+         |  FROM e),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, $DIMS + 1), i -> p.q[i] * c.q[i])), (x, y) -> x + y) AS dotq
+         |  FROM codes p JOIN codes c ON p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, dotq,
+         |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dotq DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |exact AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |             ${cosSql("p.v", "p.nrm", "c.v", "c.nrm")} DESC, c.vec_id) AS rank
+         |    FROM n p JOIN n c ON p.vec_id < 10 AND c.vec_id <> p.vec_id)
+         |  WHERE rank <= $SQ_K)
+         |SELECT r.probe_id, r.rank, r.neighbor_id, r.dotq,
+         |       ROUND(${cosSql("pn.v", "pn.nrm", "cn.v", "cn.nrm")}, 6) AS cosine,
+         |       CAST(CASE WHEN ex.neighbor_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_exact
+         |FROM ranked r
+         |JOIN n pn ON pn.vec_id = r.probe_id
+         |JOIN n cn ON cn.vec_id = r.neighbor_id
+         |LEFT JOIN exact ex ON ex.probe_id = r.probe_id AND ex.neighbor_id = r.neighbor_id
+         |WHERE r.rank <= $SQ_K
+         |ORDER BY r.probe_id, r.rank""".stripMargin
+    }) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // trained quantizer: global per-dimension lo/hi, one pass, one row
+    val statsArr = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("mn")))).as("los"),
+        sort_array(collect_list(struct(col("pos"), col("mx")))).as("his"))
+      .select(transform(col("los"), s => s("mn")).as("lo"),
+        transform(col("his"), s => s("mx")).as("hi"))
+    // s6's affine rule against the GLOBAL dims (Spark subscripts are
+    // 0-based where DuckDB's are 1-based — the transform index i aligns)
+    val codes = e.crossJoin(broadcast(statsArr))
+      .select(col("vec_id"), expr(
+        "transform(v, (x, i) -> CASE WHEN hi[i] = lo[i] THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(least(CAST(255.0 AS DOUBLE), floor((x - lo[i]) / (hi[i] - lo[i]) * 255.0 + 0.5)) AS BIGINT) END)")
+        .as("q"))
+      .localCheckpoint() // probe side and scan side share one encode
+    val pq = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+    val dotq = aggregate(zip_with(col("pq"), col("q"), (a, b) => a * b),
+      lit(0L), (acc, z) => acc + z)
+    val wr = Window.partitionBy(col("probe_id")).orderBy(col("dotq").desc, col("neighbor_id"))
+    val n = Dedup.normedVectors(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val probesN = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val we = Window.partitionBy(col("probe_id")).orderBy(col("ecos").desc, col("neighbor_id"))
+    val exact = broadcast(probesN)
+      .join(n, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        Dedup.cosineCol(col("pv"), col("v"), col("pnrm"), col("nrm")).as("ecos"))
+      .withColumn("erank", row_number().over(we))
+      .filter(col("erank") <= SQ_K)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
+    broadcast(pq)
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+        col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"), dotq.as("dotq"))
+      .withColumn("rank", row_number().over(wr).cast("bigint"))
+      .filter(col("rank") <= SQ_K)
+      .join(broadcast(probesN), "probe_id")
+      .join(n.select(col("vec_id").as("neighbor_id"),
+        col("v").as("nv"), col("nrm").as("nnrm")), "neighbor_id")
+      .join(broadcast(exact), Seq("probe_id", "neighbor_id"), "left_outer")
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("dotq"),
+        round(Dedup.cosineCol(col("pv"), col("nv"), col("pnrm"), col("nnrm")), 6)
+          .as("cosine"),
+        coalesce(col("hit"), lit(0L)).as("in_exact"))
+      .orderBy("probe_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4LabelCentroids,
     s5KnnJoin, s6Quantize, s7Mips, s8AnnRerank, s9RetrievalE2e, s10PqEncode,
     s11RecallCurve, s12IvfPq, s13HybridRrf, s14KmeansTrain, s15BinaryQuant,
-    s16TrainedIvf, s17MmrDiversify, s18MultiProbe)
+    s16TrainedIvf, s17MmrDiversify, s18MultiProbe, s19Sq8Search)
 }

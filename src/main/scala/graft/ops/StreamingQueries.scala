@@ -1103,9 +1103,62 @@ object StreamingQueries {
         col("p_ts").as("purchase_ts"), col("purchase_value"))
   }
 
+  /** CHAINED stateful aggregations — the multiple-stateful-operator
+    * capability (Spark 3.4+) a production metrics rollup relies on:
+    * 15-minute tumbling counts per event_type re-aggregated into 1-hour
+    * rollups inside ONE streaming query (one checkpoint, two state
+    * stores), Append sink. No pre-3.4 workaround (two queries + an
+    * intermediate sink) matches this consistency: the rollup here is
+    * transactionally downstream of the bucket agg within each
+    * micro-batch.
+    *
+    * Append emission means only hours whose END the FINAL watermark
+    * passed reach the sink; the oracle mirrors exactly that rule —
+    * watermark = ms-truncated max event time (Spark tracks event-time
+    * stats in milliseconds) minus 10 minutes, hours kept iff
+    * hour_end ≤ watermark. The tail hour is therefore withheld BY
+    * DESIGN on both sides; a dropped inner bucket, a double-emitted
+    * finalized row, or an eviction off-by-one all break the compare.
+    *
+    * Scale shape: state is two window-keyed stores, both
+    * watermark-bounded (≤ 4 buckets + 1 hour per event_type live at any
+    * moment); the inner agg's shuffle carries 15-min partials
+    * (map-side-combined), the outer's carries 4-row-per-hour rollups —
+    * at 100 TB the chain is the same two-exchange plan as the batch
+    * twin, plus state-store IO.
+    */
+  val w20ChainedAgg: Q = Q.sql(
+    "w20_stream_chained_agg",
+    "Chained stateful aggs (15-min buckets -> 1-hour rollup) in one streaming query; final-watermark emission mirrored.",
+    """WITH wm AS (
+      |  SELECT make_timestamp((epoch_us(MAX(ts)) // 1000) * 1000)
+      |         - INTERVAL 10 MINUTE AS w
+      |  FROM events),
+      |b AS (
+      |  SELECT time_bucket(INTERVAL '15 minutes', ts) AS bs, event_type,
+      |         COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |h AS (
+      |  SELECT date_trunc('hour', bs) AS window_start, event_type,
+      |         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |         CAST(SUM(n) AS BIGINT) AS n_events
+      |  FROM b GROUP BY 1, 2)
+      |SELECT h.window_start, h.event_type, h.n_buckets, h.n_events
+      |FROM h, wm WHERE h.window_start + INTERVAL 1 HOUR <= wm.w
+      |ORDER BY window_start, event_type""".stripMargin) { (spark, dir) =>
+    runStream(spark, "w20_stream_chained_agg", w20Chained(spark, dir),
+        OutputMode.Append())
+      .orderBy("window_start", "event_type")
+  }
+
+  /** w20's chained frame pre-sink — exposed for the PlanSpec pin. */
+  private[graft] def w20Chained(spark: SparkSession, dir: String): DataFrame =
+    EventsStream.chainedWindowCounts(
+      EventsStream.read(spark, eventsPath(spark, dir)))
+
   val all: Seq[Q] = Seq(w3StreamTumbling, w4StreamSession, w5StreamDedup,
     w6CustomSessionizer, w7StreamJoin, w10StreamStatic, w11StreamUpsert,
     w12StreamHopping, w13StreamOuterJoin, w14StreamFullOuter,
     w15StreamTimeoutSessions, w16StreamRestart, w17StreamLateDrop,
-    w18StreamStateRestart, w19StreamSemiJoin)
+    w18StreamStateRestart, w19StreamSemiJoin, w20ChainedAgg)
 }

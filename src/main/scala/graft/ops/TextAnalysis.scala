@@ -686,6 +686,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(transform(
         slice(col("w"), lit(1), size(col("w")) - 1),
         (x, i) => concat(x, lit(" "), element_at(col("w"), i + 2)))).as("bg"))
+      .localCheckpoint() // count build and join probe share ONE explode pass
     val cnt = ex.groupBy(col("bg")).agg(count(lit(1)).as("c"))
     ex.join(cnt, "bg")
       .groupBy(col("doc_id"))
@@ -1094,9 +1095,76 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Pseudo-sentence length for readability when the corpus has no
+    * sentence punctuation (the fixture is period-free): a fixed 16-token
+    * segmentation, the convention a token-stream readability pass uses.
+    */
+  private val SENT_LEN = 16
+
+  /** Readability scoring (Flesch–Kincaid grade, Gunning-fog inputs) with
+    * engine-exact integer arithmetic — the document-difficulty feature a
+    * curriculum/quality pipeline computes per doc (t2 scores surface
+    * quality; this scores LINGUISTIC complexity). Syllables are
+    * approximated as maximal vowel runs (`[aeiou]+` non-overlapping
+    * matches, min 1/word — the standard heuristic); complex words have
+    * ≥3 runs; sentences are fixed [[SENT_LEN]]-token segments (corpus
+    * has no punctuation — documented convention, identical both sides).
+    * Every reported ratio is a floor-divided ppm of all-positive
+    * integers and the FK grade is a sum of two floor-divided micro-unit
+    * terms minus an integer constant — no float division anywhere, so
+    * the scores are bit-identical in any engine (the dp13 rule).
+    *
+    * Scale shape: pure per-row map stage (regexp + array fold inside
+    * whole-stage codegen), no shuffle before the gate sort —
+    * embarrassingly parallel at 100 TB like the reference's row-local
+    * passes.
+    */
+  val t21Readability: Q = Q.sql(
+    "t21_readability",
+    "Flesch-Kincaid readability per doc: vowel-run syllables, 16-token pseudo-sentences, all-integer ppm/micro scores.",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_tokens,
+       |    CAST((len(ws) + ${SENT_LEN - 1}) // $SENT_LEN AS BIGINT) AS n_sent,
+       |    CAST(list_sum(list_transform(ws,
+       |      t -> GREATEST(1, len(regexp_extract_all(t, '[aeiou]+'))))) AS BIGINT) AS n_syll,
+       |    CAST(len(list_filter(ws,
+       |      t -> len(regexp_extract_all(t, '[aeiou]+')) >= 3)) AS BIGINT) AS n_complex
+       |  FROM d)
+       |SELECT doc_id, n_tokens, n_sent, n_syll, n_complex,
+       |  CAST((1000000 * n_tokens) // n_sent AS BIGINT) AS asl_ppm,
+       |  CAST((1000000 * n_syll) // n_tokens AS BIGINT) AS spw_ppm,
+       |  CAST((1000000 * n_complex) // n_tokens AS BIGINT) AS complex_ppm,
+       |  CAST((390000 * n_tokens) // n_sent
+       |       + (11800000 * n_syll) // n_tokens - 15590000 AS BIGINT) AS fk_micro
+       |FROM s ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val syl = (t: Column) =>
+      greatest(lit(1), size(regexp_extract_all(t, lit("[aeiou]+"), lit(0))))
+    val stats = Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        aggregate(col("ws"), lit(0L), (acc, t) => acc + syl(t)).as("n_syll"),
+        size(filter(col("ws"),
+          t => size(regexp_extract_all(t, lit("[aeiou]+"), lit(0))) >= 3))
+          .cast("long").as("n_complex"))
+      // ceil via (n + L - 1) DIV L on integers — a double division would
+      // round, not floor, at the cast
+      .withColumn("n_sent", expr(s"(n_tokens + ${SENT_LEN - 1}) DIV $SENT_LEN"))
+    stats.select(col("doc_id"), col("n_tokens"), col("n_sent"),
+        col("n_syll"), col("n_complex"),
+        expr("(1000000 * n_tokens) DIV n_sent").as("asl_ppm"),
+        expr("(1000000 * n_syll) DIV n_tokens").as("spw_ppm"),
+        expr("(1000000 * n_complex) DIV n_tokens").as("complex_ppm"),
+        expr("(390000 * n_tokens) DIV n_sent" +
+          " + (11800000 * n_syll) DIV n_tokens - 15590000").as("fk_micro"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3TokenStats, t4Fingerprint,
     t5BpeTokens, t6HeavyHitters, t7Normalize, t8DistinctiveTerms,
     t9Repetition, t10Commonness, t11TfidfCosine, t12Chunk, t13PiiRedact,
     t14BigramStats, t15Zipf, t16Boilerplate, t17BpeApply, t18Perplexity,
-    dp2Drift, t19ClassifierScore, t20GopherRules)
+    dp2Drift, t19ClassifierScore, t20GopherRules, t21Readability)
 }

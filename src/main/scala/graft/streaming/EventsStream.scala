@@ -89,6 +89,28 @@ object EventsStream {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** TWO chained stateful windowed aggregations in one streaming query —
+    * Spark's multiple-stateful-operator support (3.4+): 15-minute
+    * tumbling counts per event_type, re-aggregated into 1-hour rollups
+    * (active-bucket count + event sum) keyed on `window_time` of the
+    * inner window. The inner aggregation finalizes a bucket when the
+    * watermark passes its end; the finalized row flows to the outer
+    * aggregation IN THE SAME micro-batch, which emits the hour once the
+    * same watermark passes the hour end — so only hours ending at or
+    * behind the FINAL watermark reach an Append sink (the oracle mirrors
+    * that emission rule). State is two window-keyed stores, both
+    * watermark-bounded.
+    */
+  def chainedWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time(col("window")), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_buckets"), col("n_events"))
+
   /** Native session windows (30-minute gap) per user with watermark. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

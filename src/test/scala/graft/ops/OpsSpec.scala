@@ -1724,6 +1724,202 @@ class OpsSpec extends AnyFunSuite {
       assert(got.map(_.getAs[Long]("rank")).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
     }
   }
+
+  test("d12: shared windows, hot cap and containment recompute from raw text") {
+    val rows = Dedup.d12SubstringDedup.run(spark, sf).collect()
+    val wins = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val w = r.getString(1).split(" ", -1)
+        r.getLong(0) -> (if (w.length >= 8)
+          (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" ")).toSet
+        else Set.empty[String])
+      }.toMap
+    val freq = wins.values.flatten.groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    val ok = freq.filter { case (_, n) => n >= 2 && n <= 16 }.keySet
+    val expected = (for {
+      (a, wa) <- wins.toSeq
+      (b, wb) <- wins.toSeq
+      if a < b
+      s = (wa & wb & ok).size
+      if s > 0
+    } yield (a, b) -> s.toLong).toMap
+    assert(rows.length === expected.size, "pair set drifted")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("n_shared") === expected((a, b)))
+      assert(r.getAs[Long]("n_win_a") === wins(a).size.toLong)
+      assert(r.getAs[Long]("n_win_b") === wins(b).size.toLong)
+      assert(r.getAs[Long]("contain_ppm") ===
+        1000000L * expected((a, b)) / math.min(wins(a).size, wins(b).size))
+    }
+  }
+
+  test("t21: syllable, sentence and FK arithmetic recompute per document") {
+    val rows = TextAnalysis.t21Readability.run(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    assert(rows.length === docs.size)
+    val vowels = "[aeiou]+".r
+    rows.foreach { r =>
+      val w = docs(r.getAs[Long]("doc_id"))
+      val n = w.length.toLong
+      val sent = (n + 15) / 16
+      val syl = w.map(t => math.max(1, vowels.findAllIn(t).size).toLong).sum
+      val cplx = w.count(t => vowels.findAllIn(t).size >= 3).toLong
+      assert(r.getAs[Long]("n_tokens") === n)
+      assert(r.getAs[Long]("n_sent") === sent)
+      assert(r.getAs[Long]("n_syll") === syl)
+      assert(r.getAs[Long]("n_complex") === cplx)
+      assert(r.getAs[Long]("asl_ppm") === 1000000L * n / sent)
+      assert(r.getAs[Long]("spw_ppm") === 1000000L * syl / n)
+      assert(r.getAs[Long]("complex_ppm") === 1000000L * cplx / n)
+      assert(r.getAs[Long]("fk_micro") ===
+        390000L * n / sent + 11800000L * syl / n - 15590000L)
+    }
+  }
+
+  test("g10: wedge scores replay against the driver adjacency (sf0.01 — graph too sparse at smoke scale)") {
+    val big = "/root/testdata/sf0.01"
+    val rows = Graph.g10LinkPrediction.run(spark, big).collect()
+    val mut = Graph.mutualEdges(spark, big).collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")))
+    val edges = mut.toSet
+    val adj = (mut ++ mut.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val cand = (for {
+      (m, ns) <- adj.toSeq
+      u <- ns; v <- ns
+      if u < v && !edges((u, v))
+    } yield (u, v)).distinct
+    val scored = cand.map { case (u, v) =>
+      val cn = (adj(u) & adj(v)).size.toLong
+      (u, v, cn, adj(u).size.toLong, adj(v).size.toLong,
+        1000000L * cn / (adj(u).size + adj(v).size - cn))
+    }.filter(_._3 >= 2)
+      .sortBy { case (u, v, _, _, _, j) => (-j, u, v) }
+      .take(100)
+    assert(rows.length === scored.length)
+    rows.zip(scored).foreach { case (r, (u, v, cn, du, dv, j)) =>
+      assert(r.getAs[Long]("supp_u") === u)
+      assert(r.getAs[Long]("supp_v") === v)
+      assert(r.getAs[Long]("common_neighbors") === cn)
+      assert(r.getAs[Long]("deg_u") === du)
+      assert(r.getAs[Long]("deg_v") === dv)
+      assert(r.getAs[Long]("jaccard_ppm") === j)
+    }
+  }
+
+  test("s19: integer-dot ranking replays from driver-side SQ8 codes") {
+    val rows = Similarity.s19Sq8Search.run(spark, sf).collect()
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dims = vecs.values.head.length
+    val lo = (0 until dims).map(d => vecs.values.map(_(d)).min).toArray
+    val hi = (0 until dims).map(d => vecs.values.map(_(d)).max).toArray
+    def code(v: Array[Double]): Array[Long] =
+      (0 until dims).map { d =>
+        if (hi(d) == lo(d)) 0L
+        else math.min(255.0,
+          math.floor((v(d) - lo(d)) / (hi(d) - lo(d)) * 255.0 + 0.5)).toLong
+      }.toArray
+    val codes = vecs.map { case (k, v) => k -> code(v) }
+    def dotq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = vecs.map { case (k, v) => k -> math.sqrt(dotd(v, v)) }
+    for (p <- 0L until 10L) {
+      val want = codes.keys.filter(_ != p).toSeq
+        .map(c => c -> dotq(codes(p), codes(c)))
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+      val exact = vecs.keys.filter(_ != p).toSeq
+        .map(c => c -> (dotd(vecs(p), vecs(c)) / (nrm(p) * nrm(c))))
+        .sortBy { case (id, cos) => (-cos, id) }.take(5).map(_._1).toSet
+      val got = rows.filter(_.getAs[Long]("probe_id") == p).sortBy(_.getAs[Long]("rank"))
+      assert(got.map(_.getAs[Long]("neighbor_id")).toSeq === want.map(_._1))
+      assert(got.map(_.getAs[Long]("dotq")).toSeq === want.map(_._2))
+      got.foreach(r => assert(r.getAs[Long]("in_exact") ===
+        (if (exact(r.getAs[Long]("neighbor_id"))) 1L else 0L)))
+    }
+  }
+
+  test("e17: the feed is exactly the v1->v2 snapshot diff, four change types") {
+    val rows = EtlQueries.e17ChangeFeed.run(spark, sf).collect()
+    val orders = graft.Tables.orders(spark, sf)
+      .withColumn("b", pmod(graft.functions.DetHash.md5Long28(
+        col("o_orderkey").cast("string")), lit(20)))
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "b").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+        r.getLong(3).toInt))
+    // state@1: v1 deleted b=0, moved b in {1,2} to (X, +10), inserted b=3
+    // negatives; state@2 applies the v2 batch on top (b=4 del, b in {5,6}
+    // -> (Y, +5), b=7 negatives inserted)
+    def state(v: Int): Map[Long, (String, BigDecimal)] = {
+      val base = orders.collect {
+        case (k, st, pr, b) if !(v >= 1 && b == 0) && !(v >= 2 && b == 4) =>
+          k -> (if (v >= 1 && (b == 1 || b == 2)) ("X", pr + 10)
+          else if (v >= 2 && (b == 5 || b == 6)) ("Y", pr + 5)
+          else (st, pr))
+      }.toMap
+      val ins1 = orders.collect { case (k, _, pr, 3) => (-(k + 1)) -> ("N", pr) }.toMap
+      val ins2 = orders.collect { case (k, _, pr, 7) if v >= 2 => (-(k + 1)) -> ("M", pr) }.toMap
+      base ++ (if (v >= 1) ins1 else Map.empty) ++ ins2
+    }
+    val (s1, s2) = (state(1), state(2))
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Double)]
+    (s1.keySet ++ s2.keySet).foreach { k =>
+      (s1.get(k), s2.get(k)) match {
+        case (None, Some((st, pr))) =>
+          expected += ((k, "insert", st, pr.toDouble))
+        case (Some((st, pr)), None) =>
+          expected += ((k, "delete", st, pr.toDouble))
+        case (Some((st1, pr1)), Some((st2, pr2))) if st1 != st2 || pr1 != pr2 =>
+          expected += ((k, "update_preimage", st1, pr1.toDouble))
+          expected += ((k, "update_postimage", st2, pr2.toDouble))
+        case _ =>
+      }
+    }
+    val got = rows.map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"),
+      r.getAs[String]("status"), r.getAs[Double]("price"))).toSet
+    assert(rows.length === expected.size, "feed row count drifted")
+    assert(got === expected.toSet, "feed content != snapshot diff")
+    // b=4 keys existed untouched at v1 -> deletes; b in {5,6} -> updates
+    val byType = rows.groupBy(_.getAs[String]("change_type")).view.mapValues(_.length).toMap
+    val nB = orders.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(byType("delete") === nB(4))
+    assert(byType("insert") === nB(7))
+    assert(byType("update_preimage") === nB(5) + nB(6))
+    assert(byType("update_postimage") === nB(5) + nB(6))
+  }
+
+  test("w20: chained rollup equals the driver two-level rollup behind the watermark") {
+    val rows = StreamingQueries.w20ChainedAgg.run(spark, sf).collect()
+    val ev = graft.Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("us"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wmUs = (ev.map(_._1).max / 1000L) * 1000L - 600L * 1000000L
+    val q = 15L * 60 * 1000000L
+    val buckets = ev.groupBy { case (us, et) => (us / q * q, et) }
+      .map { case (k, v) => k -> v.size.toLong }
+    val hours = buckets.toSeq
+      .groupBy { case ((bs, et), _) => (bs / (4 * q) * (4 * q), et) }
+      .map { case (k, v) => k -> (v.size.toLong, v.map(_._2).sum) }
+      .filter { case ((hs, _), _) => hs + 4 * q <= wmUs }
+    assert(rows.length === hours.size, "emitted hour set drifted")
+    rows.foreach { r =>
+      val hs = r.getAs[java.sql.Timestamp]("window_start").getTime * 1000L
+      val (nb, ne) = hours((hs, r.getAs[String]("event_type")))
+      assert(r.getAs[Long]("n_buckets") === nb)
+      assert(r.getAs[Long]("n_events") === ne)
+    }
+  }
 }
 
 /** tiny accessor kept out of the test bodies for reuse */

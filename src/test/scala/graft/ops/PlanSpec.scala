@@ -810,4 +810,82 @@ class PlanSpec extends AnyFunSuite {
       s"search degraded to a cartesian:\n$p")
     assert(!p.contains("SortMergeJoin"), s"cell join shuffled in:\n$p")
   }
+
+  test("d12: pair mine reads the pinned window frame; hot cap sits below the self-join") {
+    val p = plan(Dedup.d12SubstringDedup)
+    val fp = p.split("== Initial Plan ==").head
+    // windows are localCheckpoint-pinned (n_win, the hot filter and both
+    // self-join probes share ONE shingling pass); a parquet scan below
+    // means documents were re-windowed per consumer
+    assert(!fp.contains("Scan parquet"),
+      s"documents re-scanned downstream of the window pin:\n$p")
+    assert(fp.contains("Scan ExistingRDD"), s"pinned windows not read in:\n$p")
+    // the hot-window cap is a semi-join BELOW the pair join — the pair
+    // space must never see uncapped windows
+    assert(fp.contains("LeftSemi"), s"hot-window cap semi-join missing:\n$p")
+    assert(!fp.contains("CartesianProduct"),
+      s"pair mine degraded to a cross join:\n$p")
+  }
+
+  test("t21: readability is one scan, no join, codegen over the fold") {
+    val p = plan(TextAnalysis.t21Readability)
+    val fp = p.split("== Initial Plan ==").head
+    assert(!fp.contains("Join") && !fp.contains("CartesianProduct"),
+      s"per-row readability grew a join:\n$p")
+    assert("Scan parquet".r.findAllIn(fp).size == 1,
+      s"expected exactly one documents scan in:\n$p")
+    assert(fp.contains("*("), s"no codegen span in:\n$p")
+  }
+
+  test("g10: wedge mine reads the pinned edge frame; top-N never sorts globally") {
+    val p = plan(Graph.g10LinkPrediction)
+    val fp = p.split("== Initial Plan ==").head
+    // ed is localCheckpoint-pinned (degrees + both wedge sides share it);
+    // the K-bounded mutual graph keeps the wedge join an equi-join
+    assert(!fp.contains("Scan parquet"),
+      s"fact tables re-scanned downstream of the edge pin:\n$p")
+    assert(fp.contains("Scan ExistingRDD"), s"pinned edges not read in:\n$p")
+    assert(fp.contains("TakeOrderedAndProject"),
+      s"top-N fell back to a global sort in:\n$p")
+    assert(!fp.contains("CartesianProduct"))
+  }
+
+  test("s19: probes broadcast against the pinned code scan") {
+    val p = plan(Similarity.s19Sq8Search)
+    val fp = p.split("== Initial Plan ==").head
+    // codes are localCheckpoint-pinned (one encode feeds probe + scan
+    // sides); the 10-probe side broadcasts against one linear code scan
+    assert(fp.contains("Scan ExistingRDD"), s"pinned codes not read in:\n$p")
+    assert(fp.contains("BroadcastNestedLoopJoin"),
+      s"probe scan not a broadcast in:\n$p")
+    assert(!fp.contains("CartesianProduct"),
+      s"code scan degraded to a cartesian:\n$p")
+  }
+
+  test("e17: feed derives from ONE pinned changelog; rank sort is group-limited") {
+    val p = plan(EtlQueries.e17ChangeFeed)
+    val fp = p.split("== Initial Plan ==").head
+    // the changelog is localCheckpoint-pinned (both snapshots replay it);
+    // a parquet scan below the pin means orders was re-read per snapshot
+    assert(!fp.contains("Scan parquet"),
+      s"orders re-scanned downstream of the changelog pin:\n$p")
+    assert(fp.contains("Scan ExistingRDD"), s"pinned changelog not read in:\n$p")
+    // last-writer-wins prunes to the top version per key BEFORE the
+    // exchange — full version history never sorts at scale
+    assert(fp.contains("WindowGroupLimit"), s"no rank pushdown in:\n$p")
+    assert(!fp.contains("CartesianProduct"))
+  }
+
+  test("w20: ONE streaming query carries TWO stateful aggregations on one watermark") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, EventTimeWatermark}
+    val plan = optimizedStreaming(StreamingQueries.w20Chained(spark, sf))
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.size == 2,
+      s"expected exactly 2 chained aggregates, got ${aggs.size} in:\n$plan")
+    val wms = plan.collect { case w: EventTimeWatermark => w }
+    assert(wms.size == 1, s"expected one watermark in:\n$plan")
+    // the outer agg keys on the inner agg's window (window_time chain)
+    assert(plan.toString.contains("window_time") || plan.toString.contains("window#"),
+      s"outer agg lost the window_time chain in:\n$plan")
+  }
 }
