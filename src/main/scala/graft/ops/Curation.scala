@@ -610,8 +610,68 @@ object Curation {
       .orderBy("rnk")
   }
 
+  private val MIX_MAX_REPEAT = 4L
+
+  /** Epoch repeat-factor planning — the token-budget mixing step a
+    * pretraining run executes ABOVE row-level sampling (p8 resamples
+    * rows WITHIN a batch; this plans how many EPOCHS of each source to
+    * take, the "small high-quality sources repeat up to 4×" recipe):
+    * per source, natural token mass, its ppm share, the uniform target
+    * (total // n_sources), the integer repeat factor
+    * clamp(target // natural, 1, [[MIX_MAX_REPEAT]]), and the effective
+    * post-repeat mass + ppm share. Every number is an all-positive
+    * integer floor division (Spark `DIV` == DuckDB `//`), so the plan is
+    * bit-identical in any engine and — because shares are RELATIVE —
+    * means the same thing at any corpus scale.
+    *
+    * Scale shape: one corpus scan with map-side token-count partials
+    * into a #sources-row frame; the two global totals ride 1-row
+    * broadcast crossJoins. At 100 TB this is the cheapest query in the
+    * family — the plan artifact (a dozen rows) then drives the reader.
+    */
+  val p13EpochMix: Q = Q.sql(
+    "p13_epoch_mix",
+    s"Epoch repeat-factor plan per source: natural/target token mass, clamped integer repeat (<= $MIX_MAX_REPEAT), effective ppm.",
+    s"""WITH nat AS (
+       |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS natural_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT SUM(natural_tokens) AS t, COUNT(*) AS ns FROM nat),
+       |plan AS (
+       |  SELECT source, natural_tokens,
+       |         CAST((1000000 * natural_tokens) // t AS BIGINT) AS natural_ppm,
+       |         CAST(t // ns AS BIGINT) AS target_tokens,
+       |         CAST(LEAST($MIX_MAX_REPEAT, GREATEST(1, (t // ns) // natural_tokens)) AS BIGINT) AS repeat_factor,
+       |         CAST(natural_tokens * LEAST($MIX_MAX_REPEAT, GREATEST(1, (t // ns) // natural_tokens)) AS BIGINT) AS effective_tokens
+       |  FROM nat, tot),
+       |eft AS (SELECT SUM(effective_tokens) AS et FROM plan)
+       |SELECT p.source, p.natural_tokens, p.natural_ppm, p.target_tokens,
+       |       p.repeat_factor, p.effective_tokens,
+       |       CAST((1000000 * p.effective_tokens) // e.et AS BIGINT) AS effective_ppm
+       |FROM plan p, eft e ORDER BY p.source""".stripMargin) { (spark, dir) =>
+    val nat = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("natural_tokens"))
+    val tot = nat.agg(sum(col("natural_tokens")).as("t"),
+      count(lit(1)).as("ns"))
+    val plan = nat.crossJoin(broadcast(tot))
+      .select(col("source"), col("natural_tokens"),
+        expr("CAST((1000000 * natural_tokens) DIV t AS BIGINT)").as("natural_ppm"),
+        expr("CAST(t DIV ns AS BIGINT)").as("target_tokens"),
+        expr(s"CAST(least($MIX_MAX_REPEAT, greatest(1, (t DIV ns) DIV natural_tokens)) AS BIGINT)")
+          .as("repeat_factor"))
+      .withColumn("effective_tokens",
+        (col("natural_tokens") * col("repeat_factor")).as("effective_tokens"))
+      .localCheckpoint() // the effective total re-reads the plan frame
+    val eft = plan.agg(sum(col("effective_tokens")).as("et"))
+    plan.crossJoin(broadcast(eft))
+      .select(col("source"), col("natural_tokens"), col("natural_ppm"),
+        col("target_tokens"), col("repeat_factor"), col("effective_tokens"),
+        expr("CAST((1000000 * effective_tokens) DIV et AS BIGINT)").as("effective_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(p1Curation, p2HashSplit, p3IncrementalDedup,
     p4Decontamination, p5DomainQuota, p6SequencePack, p7StratifiedSample,
     p8MixtureResample, p9RejectFunnel, p10DatasetCard, p11Curriculum,
-    p12BpeMerges)
+    p12BpeMerges, p13EpochMix)
 }

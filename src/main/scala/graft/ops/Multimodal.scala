@@ -878,10 +878,12 @@ object Multimodal {
     * `2·Σ|Δ| > 5·3·side²` keeps the verdict engine-exact — a float mean
     * would put near-threshold frames on the seam.
     */
-  val m10SceneCut: Q = Q.sql(
-    "m10_scene_cut",
-    "Scene-cut detection: per consecutive decoded frame pair, exact abs-delta sum + integer-threshold cut verdict.",
-    s"""WITH d AS (
+  /** Oracle CTE chain for the closed-form frame-delta model — ONE Scala
+    * fragment shared by m10 (raw report) and m12 (scene rollup) so the
+    * generator model cannot drift between their oracles.
+    */
+  private def frameDiffCtesSql: String =
+    s"""d AS (
        |  SELECT doc_id, n_chars % 24 + 1 AS nf FROM documents WHERE doc_id % 3 = 2),
        |diff AS (
        |  SELECT d.doc_id, f.f AS frame_idx,
@@ -895,41 +897,60 @@ object Multimodal {
        |       UNNEST(range(1, nf)) AS f(f),
        |       UNNEST(range(0, $VF_SIDE)) AS x(x),
        |       UNNEST(range(0, $VF_SIDE)) AS y(y)
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val m10SceneCut: Q = Q.sql(
+    "m10_scene_cut",
+    "Scene-cut detection: per consecutive decoded frame pair, exact abs-delta sum + integer-threshold cut verdict.",
+    s"""WITH $frameDiffCtesSql
        |SELECT doc_id, frame_idx, CAST(diff_sum AS BIGINT) AS diff_sum,
        |       CAST(CASE WHEN 2 * diff_sum > $SC_NUM THEN 1 ELSE 0 END AS BIGINT) AS is_cut
        |FROM diff ORDER BY doc_id, frame_idx""".stripMargin) { (spark, dir) =>
-    import spark.implicits._
-    assets(spark, dir)
-      .filter(_.meta.mediaType == "video")
-      .mapPartitions { batch =>
-        batch.flatMap { a =>
-          val frames = frameOffsets(a.content).map { case (off, len) =>
-            decodeBmp(a.content, off, len)
-          }
-          frames.sliding(2).zipWithIndex.collect {
-            case (Seq(prev, cur), i) =>
-              var s = 0L
-              var y = 0
-              while (y < cur.getHeight) {
-                var x = 0
-                while (x < cur.getWidth) {
-                  val p = prev.getRGB(x, y); val c = cur.getRGB(x, y)
-                  s += math.abs(((c >> 16) & 0xff) - ((p >> 16) & 0xff))
-                  s += math.abs(((c >> 8) & 0xff) - ((p >> 8) & 0xff))
-                  s += math.abs((c & 0xff) - (p & 0xff))
-                  x += 1
+    frameDiffs(spark, dir).orderBy("doc_id", "frame_idx")
+  }
+
+  private val frameDiffCache = new SessionCache[String, DataFrame]()
+
+  /** m10's per-consecutive-frame delta frame, DECODED ONCE per (session,
+    * dataset): the real ImageIO per-frame decode dominates this family's
+    * cost, so the raw report (m10) and the scene segmentation (m12)
+    * share one decode pass through a localCheckpoint pin. Single-frame
+    * videos produce no diff row on either engine (no consecutive pair),
+    * mirrored by the oracle's `range(1, nf)`.
+    */
+  private[ops] def frameDiffs(spark: SparkSession, dir: String): DataFrame =
+    frameDiffCache.getOrElseUpdate(spark, dir) {
+      import spark.implicits._
+      assets(spark, dir)
+        .filter(_.meta.mediaType == "video")
+        .mapPartitions { batch =>
+          batch.flatMap { a =>
+            val frames = frameOffsets(a.content).map { case (off, len) =>
+              decodeBmp(a.content, off, len)
+            }
+            frames.sliding(2).zipWithIndex.collect {
+              case (Seq(prev, cur), i) =>
+                var s = 0L
+                var y = 0
+                while (y < cur.getHeight) {
+                  var x = 0
+                  while (x < cur.getWidth) {
+                    val p = prev.getRGB(x, y); val c = cur.getRGB(x, y)
+                    s += math.abs(((c >> 16) & 0xff) - ((p >> 16) & 0xff))
+                    s += math.abs(((c >> 8) & 0xff) - ((p >> 8) & 0xff))
+                    s += math.abs((c & 0xff) - (p & 0xff))
+                    x += 1
+                  }
+                  y += 1
                 }
-                y += 1
-              }
-              FrameDiff(a.doc_id, (i + 1).toLong, s,
-                if (2 * s > SC_NUM) 1L else 0L)
+                FrameDiff(a.doc_id, (i + 1).toLong, s,
+                  if (2 * s > SC_NUM) 1L else 0L)
+            }
           }
         }
-      }
-      .toDF()
-      .orderBy("doc_id", "frame_idx")
-  }
+        .toDF()
+        .localCheckpoint()
+    }
 
   private val PATCH = 4
 
@@ -1006,7 +1027,53 @@ object Multimodal {
       .orderBy("doc_id", "patch_row", "patch_col")
   }
 
+  /** Scene segmentation — m10's cut verdicts rolled into per-scene
+    * statistics (frame count, summed intra-scene delta, frame span): the
+    * shot table a video-training pipeline samples clips from (one clip
+    * per scene, PySceneDetect's `detect`→`split` composition). Scene id
+    * is the running count of cuts at-or-before each frame (a cut frame
+    * STARTS its scene, so its entry delta belongs to the new scene);
+    * frame 0 has no delta row and is folded into scene 0's count/span
+    * closed-form. Single-frame videos have no frame pair and thus no
+    * scene row on either engine (the m10 contract).
+    *
+    * Scale shape: reads the SHARED decoded delta frame ([[frameDiffs]] —
+    * one ImageIO pass feeds m10 and m12), then one per-video running-sum
+    * window and one (video, scene) aggregate: frames-per-video is
+    * bounded (≤24), so the window partition is tiny and the rollup is
+    * map-side-combinable — linear in corpus frames at 100 TB.
+    */
+  val m12SceneStats: Q = Q.sql(
+    "m12_scene_stats",
+    "Per-scene rollup over m10's cut verdicts: frame count, summed delta, frame span per (video, scene).",
+    s"""WITH $frameDiffCtesSql,
+       |sc AS (
+       |  SELECT doc_id, frame_idx, diff_sum,
+       |         SUM(CASE WHEN 2 * diff_sum > $SC_NUM THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY frame_idx) AS scene_id
+       |  FROM diff)
+       |SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+       |       CAST(COUNT(*) + CASE WHEN scene_id = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_frames,
+       |       CAST(SUM(diff_sum) AS BIGINT) AS sum_diff,
+       |       CAST(CASE WHEN scene_id = 0 THEN 0 ELSE MIN(frame_idx) END AS BIGINT) AS first_frame,
+       |       CAST(MAX(frame_idx) AS BIGINT) AS last_frame
+       |FROM sc GROUP BY doc_id, scene_id
+       |ORDER BY doc_id, scene_id""".stripMargin) { (spark, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    frameDiffs(spark, dir)
+      .withColumn("scene_id", sum(col("is_cut")).over(w))
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(
+        (count(lit(1)) + when(col("scene_id") === 0, 1L).otherwise(0L)).as("n_frames"),
+        sum(col("diff_sum")).as("sum_diff"),
+        when(col("scene_id") === 0, 0L).otherwise(min(col("frame_idx"))).as("first_frame"),
+        max(col("frame_idx")).as("last_frame"))
+      .orderBy("doc_id", "scene_id")
+  }
+
   val all: Seq[Q] = Seq(m1Meta, m2PayloadStats, m3FrameSample, m4TypedRollup,
     m5ShardPack, m6PayloadSig, m7ImageDecode, m8ImageAHash, m9AudioEnergy,
-    m10SceneCut, m11PatchGrid)
+    m10SceneCut, m11PatchGrid, m12SceneStats)
 }

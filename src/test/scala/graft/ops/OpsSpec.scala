@@ -1899,6 +1899,59 @@ class OpsSpec extends AnyFunSuite {
     assert(byType("update_postimage") === nB(5) + nB(6))
   }
 
+  test("m12: scene rollups replay from m10's cut verdicts") {
+    val diffs = Multimodal.m10SceneCut.run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"),
+        r.getAs[Long]("diff_sum"), r.getAs[Long]("is_cut")))
+    val rows = Multimodal.m12SceneStats.run(spark, sf).collect()
+    val expected = diffs.groupBy(_._1).flatMap { case (doc, fs) =>
+      var scene = 0L
+      val tagged = fs.sortBy(_._2).map { case (_, idx, diff, cut) =>
+        scene += cut; (scene, idx, diff)
+      }
+      tagged.groupBy(_._1).map { case (sc, xs) =>
+        (doc, sc) -> (xs.length.toLong + (if (sc == 0) 1L else 0L),
+          xs.map(_._3).sum,
+          if (sc == 0) 0L else xs.map(_._2).min,
+          xs.map(_._2).max)
+      }
+    }
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val (nf, sd, ff, lf) = expected(
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("scene_id")))
+      assert(r.getAs[Long]("n_frames") === nf)
+      assert(r.getAs[Long]("sum_diff") === sd)
+      assert(r.getAs[Long]("first_frame") === ff)
+      assert(r.getAs[Long]("last_frame") === lf)
+    }
+  }
+
+  test("p13: repeat plan replays from raw per-source token counts") {
+    val rows = Curation.p13EpochMix.run(spark, sf).collect()
+    val nat = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rs) =>
+        s -> rs.map(_.getString(1).split(" ", -1).length.toLong).sum }
+    val t = nat.values.sum
+    val ns = nat.size.toLong
+    assert(rows.length === nat.size)
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      val n = nat(s)
+      val rep = math.min(4L, math.max(1L, (t / ns) / n))
+      assert(r.getAs[Long]("natural_tokens") === n)
+      assert(r.getAs[Long]("natural_ppm") === 1000000L * n / t)
+      assert(r.getAs[Long]("target_tokens") === t / ns)
+      assert(r.getAs[Long]("repeat_factor") === rep)
+      assert(r.getAs[Long]("effective_tokens") === n * rep)
+    }
+    val et = rows.map(_.getAs[Long]("effective_tokens")).sum
+    rows.foreach(r => assert(r.getAs[Long]("effective_ppm") ===
+      1000000L * r.getAs[Long]("effective_tokens") / et))
+  }
+
   test("w20: chained rollup equals the driver two-level rollup behind the watermark") {
     val rows = StreamingQueries.w20ChainedAgg.run(spark, sf).collect()
     val ev = graft.Tables.events(spark, sf)

@@ -498,10 +498,15 @@ class PlanSpec extends AnyFunSuite {
       s"no partial aggregation in:\n$p")
   }
 
-  test("m10: pure decode map — no join, no pre-aggregate shuffle") {
+  test("m10: reads the pinned decode-diff frame; no join, only the gate sort") {
     val p = plan(Multimodal.m10SceneCut)
-    assert(p.contains("MapPartitions"), s"no mapPartitions decode in:\n$p")
-    assert(!p.contains("Join"), s"join crept into the decode map:\n$p")
+    val fp = p.split("== Initial Plan ==").head
+    // the mapPartitions decode ran ONCE into the shared localCheckpoint
+    // pin (frameDiffs — m12 reuses it); the visible plan is pin + sort
+    assert(fp.contains("Scan ExistingRDD"), s"pinned diff frame not read in:\n$p")
+    assert(!fp.contains("Scan parquet"),
+      s"assets re-decoded downstream of the diff pin:\n$p")
+    assert(!fp.contains("Join"), s"join crept into the decode map:\n$p")
   }
 
   test("g8: walk steps are equi-joins on the node key; no pair space forms") {
@@ -874,6 +879,28 @@ class PlanSpec extends AnyFunSuite {
     // exchange — full version history never sorts at scale
     assert(fp.contains("WindowGroupLimit"), s"no rank pushdown in:\n$p")
     assert(!fp.contains("CartesianProduct"))
+  }
+
+  test("m12: scene rollup reads the SHARED pinned diff frame — no second decode") {
+    val p = plan(Multimodal.m12SceneStats)
+    val fp = p.split("== Initial Plan ==").head
+    // the decoded frame-delta frame is localCheckpoint-pinned and shared
+    // with m10 — m12 must never re-run the ImageIO decode pass
+    assert(fp.contains("Scan ExistingRDD"), s"pinned diff frame not read in:\n$p")
+    assert(!fp.contains("Scan parquet"),
+      s"assets re-decoded downstream of the diff pin:\n$p")
+    assert(!fp.contains("Join"), s"join crept into the scene rollup:\n$p")
+  }
+
+  test("p13: plan frame is a #sources-row rollup; totals ride broadcasts") {
+    val p = plan(Curation.p13EpochMix)
+    val fp = p.split("== Initial Plan ==").head
+    assert("HashAggregate".r.findAllIn(fp).size >= 2 ||
+      "SortAggregate".r.findAllIn(fp).size >= 2,
+      s"token rollup lost its map-side partial phase in:\n$p")
+    assert(fp.contains("BroadcastNestedLoopJoin"),
+      s"1-row totals not broadcast in:\n$p")
+    assert(!fp.contains("SortMergeJoin") && !fp.contains("CartesianProduct"))
   }
 
   test("w20: ONE streaming query carries TWO stateful aggregations on one watermark") {
