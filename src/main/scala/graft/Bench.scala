@@ -28,6 +28,15 @@ object Bench {
       // executor-local NVMe.
       .config("spark.local.dir",
         ops.StreamingQueries.fastTmpDir("graft_local_bench"))
+      // single-use localCheckpoint pins (d12 windows, e17 changelog, t14
+      // bigrams…) become garbage the moment their query's count() ends,
+      // but ContextCleaner only reaps them after a DRIVER GC — and the
+      // default periodic GC (30 min) never fires inside one bench run.
+      // Measured at sf10: the accumulated dead pins crowded the storage
+      // pool until m4 (alphabetically late, memory-hungry) ran 3× slower
+      // in the full run than solo (164.7s vs 54.8s). A 45s periodic GC
+      // keeps dead pins reaped at negligible cost.
+      .config("spark.cleaner.periodicGC.interval", "45s")
       ) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -25,6 +25,9 @@ object Verify {
       // still writes results wherever outDir points
       .config("spark.local.dir",
         ops.StreamingQueries.fastTmpDir("graft_local_verify"))
+      // reap dead single-use localCheckpoint pins between queries (see
+      // Bench.scala — the full-dump session accumulates them the same way)
+      .config("spark.cleaner.periodicGC.interval", "45s")
       ) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

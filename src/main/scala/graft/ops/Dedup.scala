@@ -1095,7 +1095,7 @@ object Dedup {
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |w AS (
        |  SELECT DISTINCT doc_id,
-       |         md5(array_to_string(list_slice(ws, i.i, i.i + $SUB_W - 1), ' ')) AS h
+       |         ('0x' || substring(md5(array_to_string(list_slice(ws, i.i, i.i + $SUB_W - 1), ' ')), 1, 15))::BIGINT AS h
        |  FROM d, UNNEST(range(1, len(ws) - $SUB_W + 2)) AS i(i)),
        |nw AS (SELECT doc_id, COUNT(*) AS n_win FROM w GROUP BY doc_id),
        |ok AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) BETWEEN 2 AND $SUB_HOT),
@@ -1114,15 +1114,19 @@ object Dedup {
        |JOIN nw nb ON p.doc_b = nb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     // windows generated inside the row; DISTINCT dedups a window repeating
-    // within one doc. The sequence guard matters: Spark's sequence(1, 0)
+    // within one doc. Keys are 60-bit md5 longs (DetHash contract), not
+    // hex strings: the pinned frame and the self-join shuffle carry 8
+    // bytes per window instead of 32 — at sf10 this pin is ~25M rows and
+    // single-use pins accumulating across a session was measurable (m4,
+    // SURVEY §7.12). The sequence guard matters: Spark's sequence(1, 0)
     // is DESCENDING [1, 0], not empty — a short doc would fabricate
     // windows without it.
     val wins = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), explode(expr(
         s"CASE WHEN size(ws) >= $SUB_W THEN transform(sequence(1, size(ws) - $SUB_W + 1), " +
-          s"i -> md5(concat_ws(' ', slice(ws, i, $SUB_W)))) " +
-          "ELSE array() END")).as("h"))
+          s"i -> CAST(conv(substring(md5(concat_ws(' ', slice(ws, i, $SUB_W))), 1, 15), 16, 10) AS BIGINT)) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END")).as("h"))
       .distinct()
       .localCheckpoint() // feeds n_win, the hot filter, and both join probes
     val nWin = wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_win"))
