@@ -76,6 +76,57 @@ object GraftExpressions {
     override def prettyName: String = "graft_dot"
   }
 
+  /** Σ a[i]·b[i] over array<bigint> columns — [[DotProductD]]'s exact
+    * integer twin, the SQ8/quantized-scan inner loop (s19): the
+    * higher-order `aggregate(zip_with(a, b, *), 0L, +)` formulation
+    * interprets per element; this is a tight primitive loop inside
+    * whole-stage codegen. Long addition is associative and exact, so the
+    * result is bit-identical to any fold order and to the SQL oracle.
+    * Same null contract as DotProductD (null arrays / ragged pair → null).
+    */
+  case class DotProductL(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (y.numElements() != n) null
+      else {
+        var s = 0L
+        var i = 0
+        while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+        s
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val sum = ctx.freshName("sum")
+        s"""
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  long $sum = 0L;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $sum += $a.getLong($i) * $b.getLong($i);
+           |  }
+           |  ${ev.value} = $sum;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+
+    override def prettyName: String = "graft_dotl"
+  }
+
   /** Distinct space-joined word n-grams of a text column. Tokenization is
     * a literal single-space split with empty tokens preserved — identical
     * to `split(text, ' ')` / DuckDB `string_split` — so oracle SQL can
@@ -366,6 +417,8 @@ object GraftExpressions {
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", "graft_dot(a, b) - left-to-right dot product of two double arrays",
       exprs => DotProductD(exprs(0), exprs(1))),
+    ("graft_dotl", "graft_dotl(a, b) - exact integer dot product of two bigint arrays",
+      exprs => DotProductL(exprs(0), exprs(1))),
     ("graft_shingles", "graft_shingles(text, n) - distinct word n-gram shingles",
       exprs => WordShingles(exprs(0), intLit(exprs(1), "graft_shingles size"))),
     ("graft_minhash", "graft_minhash(shingles, k) - Carter-Wegman MinHash signature",
@@ -398,6 +451,9 @@ object GraftExpressions {
 
   /** Σ a[i]·b[i] as a Column (arrays of double). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Exact integer dot product of two array<bigint> columns. */
+  def dotl(a: Column, b: Column): Column = call_function("graft_dotl", a, b)
 
   /** Exact top-k (score DESC, id ASC) pairs — an aggregate Column. */
   def topk(score: Column, id: Column, k: Int): Column =

@@ -1812,6 +1812,7 @@ object Similarity {
          |ORDER BY r.probe_id, r.rank""".stripMargin
     }) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftExpressions.register(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // trained quantizer: global per-dimension lo/hi, one pass, one row
@@ -1831,8 +1832,10 @@ object Similarity {
       .localCheckpoint() // probe side and scan side share one encode
     val pq = codes.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("q").as("pq"))
-    val dotq = aggregate(zip_with(col("pq"), col("q"), (a, b) => a * b),
-      lit(0L), (acc, z) => acc + z)
+    // codegen'd integer-dot kernel (GraftExpressions.DotProductL) — the
+    // interpreted aggregate∘zip_with HOF chain costs per-element
+    // expression dispatch on the scan's hot loop
+    val dotq = graft.functions.GraftExpressions.dotl(col("pq"), col("q"))
     val wr = Window.partitionBy(col("probe_id")).orderBy(col("dotq").desc, col("neighbor_id"))
     val n = Dedup.normedVectors(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
     val probesN = n.filter(col("vec_id") < 10)
@@ -1862,8 +1865,141 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  // PQ_M / PQ_SUB are s10's subspace geometry — s20 trains codebooks for
+  // exactly the layout s10/s12 encode against
+  private val PQ_KC = 16    // centroids per subspace (4-bit codes)
+  private val PQ_ROUNDS = 2 // Lloyd iterations per subspace (driver-unrolled)
+
+  /** One Lloyd assignment round over SUBVECTORS in DuckDB SQL: every
+    * (vector, subspace) to its min-squared-L2 cell from the array'd
+    * per-subspace codebook CTE `arr`, ties to the lower cell id —
+    * [[kmAssignSql]] with the subspace as an extra key.
+    */
+  private def pqAssignSql(arr: String): String =
+    s"""  SELECT vec_id, sub, sv, cell, dist FROM (
+       |    SELECT vec_id, sub, sv, cell, dist,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn
+       |    FROM (SELECT x.vec_id, x.sub, x.sv, a.cell,
+       |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |              list_transform(range(1, len(x.sv) + 1),
+       |                i -> (x.sv[i] - a.cv[i]) * (x.sv[i] - a.cv[i]))), (x, y) -> x + y) AS dist
+       |          FROM sv x JOIN $arr a ON x.sub = a.sub))
+       |  WHERE rn = 1""".stripMargin
+
+  /** One per-subspace Lloyd round r in DuckDB SQL — [[kmRoundSql]] keyed
+    * by (sub, cell, pos); empty cells keep their previous centroid.
+    */
+  private def pqRoundSql(r: Int): String =
+    s"""a$r AS (SELECT sub, cell, list(c ORDER BY pos) AS cv FROM p${r - 1} GROUP BY sub, cell),
+       |g$r AS (
+       |${pqAssignSql(s"a$r")}),
+       |s$r AS (
+       |  SELECT sub, cell, u.p AS pos,
+       |         SUM(CAST(FLOOR(u.x * 10000000.0) AS BIGINT)) AS sq, COUNT(*) AS cnt
+       |  FROM (SELECT sub, cell, UNNEST(list_transform(range(0, len(sv)),
+       |          i -> struct_pack(p := i, x := sv[i + 1]))) AS u
+       |        FROM g$r)
+       |  GROUP BY 1, 2, 3),
+       |p$r AS (
+       |  SELECT p.sub, p.cell, p.pos,
+       |         COALESCE(CAST(s.sq AS DOUBLE) / 10000000.0 / s.cnt, p.c) AS c
+       |  FROM p${r - 1} p LEFT JOIN s$r s
+       |    ON p.sub = s.sub AND p.cell = s.cell AND p.pos = s.pos)""".stripMargin
+
+  /** PQ codebook TRAINING — the step s10/s12 presuppose (their codebooks
+    * derive from raw vectors), closing product quantization's train leg
+    * the way s16 closed IVF's: [[PQ_ROUNDS]] bit-reproducible Lloyd
+    * rounds run INDEPENDENTLY in each of the [[PQ_M]] 8-dim subspaces
+    * (one dataflow — the subspace is just a key column, so all M
+    * trainings ride the same shuffles), k=[[PQ_KC]] centroids per
+    * subspace = 4-bit codes, init = the first [[PQ_KC]] vectors'
+    * subvectors (the s3/s14 seeding convention). Output: the flat
+    * (sub, cell, pos) codebook plus per-(sub, cell) membership and
+    * quantized inertia — the artifact + the training-quality witness
+    * (sub-quantizer balance) an index build logs.
+    *
+    * Determinism: the s14 contract per subspace — fixed-order fold
+    * distances, tie-to-lower-cell argmin, quantized-exact mean updates
+    * (Σ floor(x·1e7) longs / count), empty cells hold. At 100 TB each
+    * round is one linear pass with a (M·K·[[PQ_SUB]])-group map-side
+    * partial aggregate — codebook training costs the same as M=1 coarse
+    * training because the subspace rides the existing shuffle key.
+    */
+  val s20PqTrain: Q = Q.sql(
+    "s20_pq_train",
+    s"PQ codebook training: $PQ_M-subspace × $PQ_KC-centroid Lloyd ($PQ_ROUNDS rounds, quantized-exact), codebook + membership + inertia.",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sv AS MATERIALIZED (
+       |  SELECT vec_id, s.s AS sub, v[s.s * $PQ_SUB + 1 : s.s * $PQ_SUB + $PQ_SUB] AS sv
+       |  FROM e, UNNEST(range(0, $PQ_M)) AS s(s)),
+       |p0 AS (
+       |  SELECT sub, vec_id AS cell, u.p AS pos, u.x AS c
+       |  FROM (SELECT vec_id, sub, UNNEST(list_transform(range(0, len(sv)),
+       |          i -> struct_pack(p := i, x := sv[i + 1]))) AS u
+       |        FROM sv WHERE vec_id < $PQ_KC)),
+       |${(1 to PQ_ROUNDS).map(pqRoundSql).mkString(",\n")},
+       |af AS (SELECT sub, cell, list(c ORDER BY pos) AS cv FROM p$PQ_ROUNDS GROUP BY sub, cell),
+       |gf AS (
+       |${pqAssignSql("af")}),
+       |st AS (
+       |  SELECT sub, cell, COUNT(*) AS n_members,
+       |         SUM(CAST(FLOOR(dist * 1000000.0) AS BIGINT)) AS inertia_q
+       |  FROM gf GROUP BY 1, 2)
+       |SELECT p.sub, p.cell, p.pos, p.c AS centroid,
+       |       COALESCE(st.n_members, 0) AS n_members,
+       |       CAST(COALESCE(st.inertia_q, 0) AS BIGINT) AS inertia_q
+       |FROM p$PQ_ROUNDS p LEFT JOIN st ON p.sub = st.sub AND p.cell = st.cell
+       |ORDER BY p.sub, p.cell, p.pos""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val sv = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PQ_M - 1}), " +
+          s"s -> struct(CAST(s AS BIGINT) AS sub, slice(v, s * $PQ_SUB + 1, $PQ_SUB) AS sv))")).as("u"))
+      .select(col("vec_id"), col("u.sub").as("sub"), col("u.sv").as("sv"))
+      .localCheckpoint() // every round re-reads the subvector frame
+    def centArr(c: DataFrame): DataFrame =
+      c.groupBy(col("sub"), col("cell"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("cv"))
+    val dist = aggregate(
+      zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, z) => acc + z)
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist"), col("cell"))
+    def assign(c: DataFrame): DataFrame = sv
+      .join(broadcast(centArr(c)), "sub")
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("sv"), col("cell"), col("dist"))
+    var cent: DataFrame = sv.filter(col("vec_id") < PQ_KC)
+      .select(col("sub"), col("vec_id").as("cell"),
+        posexplode(col("sv")).as(Seq("pos", "c")))
+      .localCheckpoint()
+    for (_ <- 1 to PQ_ROUNDS) {
+      val s = assign(cent)
+        .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(sum(floor(col("x") * lit(1.0e7))).as("sq"), count(lit(1)).as("cnt"))
+      cent = cent.join(s, Seq("sub", "cell", "pos"), "left")
+        .select(col("sub"), col("cell"), col("pos"),
+          coalesce(col("sq").cast("double") / 1.0e7 / col("cnt"), col("c")).as("c"))
+        .localCheckpoint()
+    }
+    val stats = assign(cent)
+      .groupBy(col("sub"), col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(floor(col("dist") * lit(1.0e6))).as("inertia_q"))
+    cent.join(broadcast(stats), Seq("sub", "cell"), "left")
+      .select(col("sub"), col("cell"), col("pos"), col("c").as("centroid"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("inertia_q"), lit(0L)).as("inertia_q"))
+      .orderBy("sub", "cell", "pos")
+  }
+
   val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4LabelCentroids,
     s5KnnJoin, s6Quantize, s7Mips, s8AnnRerank, s9RetrievalE2e, s10PqEncode,
     s11RecallCurve, s12IvfPq, s13HybridRrf, s14KmeansTrain, s15BinaryQuant,
-    s16TrainedIvf, s17MmrDiversify, s18MultiProbe, s19Sq8Search)
+    s16TrainedIvf, s17MmrDiversify, s18MultiProbe, s19Sq8Search, s20PqTrain)
 }

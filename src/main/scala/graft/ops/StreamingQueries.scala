@@ -1156,9 +1156,79 @@ object StreamingQueries {
     EventsStream.chainedWindowCounts(
       EventsStream.read(spark, eventsPath(spark, dir)))
 
+  /** Stream-stream JOIN chained into a windowed AGGREGATION — the second
+    * multiple-stateful-operator composition (w20 chains agg→agg; this is
+    * join→agg, the attribution-rollup shape: purchases joined to their
+    * prior-10-minute clicks, rolled into 1-hour conversion-pair totals)
+    * inside ONE streaming query: join state + agg state, one checkpoint,
+    * one global watermark. The global watermark is the MIN over both
+    * sides' event-time stats (each ms-truncated max − 10 min); Append
+    * emits hours whose end the FINAL global watermark passed — mirrored
+    * exactly in the oracle via LEAST over the per-side maxima. Nothing is
+    * late under the in-order staging, so every joined pair lands before
+    * its hour finalizes and the stream equals the batch rollup behind
+    * the watermark.
+    *
+    * Scale shape: the join state is watermark-bounded on both sides (the
+    * range condition bounds clicks kept to 10 minutes), the rollup state
+    * to open hours; the join's shuffle is on user_id, the agg's on the
+    * hour window — the same two-exchange plan as the batch twin plus
+    * state-store IO.
+    */
+  val w21JoinThenAgg: Q = Q.sql(
+    "w21_stream_join_agg",
+    "Stream-stream join chained into a 1-hour windowed rollup in one streaming query; min-watermark emission mirrored.",
+    """WITH wm AS (
+      |  SELECT LEAST(
+      |    (SELECT make_timestamp((epoch_us(MAX(ts)) // 1000) * 1000)
+      |     FROM events WHERE event_type = 'purchase'),
+      |    (SELECT make_timestamp((epoch_us(MAX(ts)) // 1000) * 1000)
+      |     FROM events WHERE event_type = 'click')
+      |  ) - INTERVAL 10 MINUTE AS w),
+      |pairs AS (
+      |  SELECT p.ts AS pts, CAST(p.value AS DECIMAL(14,2)) AS pv
+      |  FROM events p JOIN events c
+      |    ON c.user_id = p.user_id
+      |   AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |   AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts),
+      |h AS (
+      |  SELECT date_trunc('hour', pts) AS window_start,
+      |         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |         CAST(SUM(pv) AS DOUBLE) AS sum_value
+      |  FROM pairs GROUP BY 1)
+      |SELECT h.window_start, h.n_pairs, h.sum_value
+      |FROM h, wm WHERE h.window_start + INTERVAL 1 HOUR <= wm.w
+      |ORDER BY window_start""".stripMargin) { (spark, dir) =>
+    runStream(spark, "w21_stream_join_agg", w21Chained(spark, dir),
+        OutputMode.Append())
+      .orderBy("window_start")
+  }
+
+  /** w21's chained frame pre-sink — exposed for the PlanSpec pin. */
+  private[graft] def w21Chained(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = EventsStream.read(spark, eventsPath(spark, dir))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").cast("decimal(14,2)").as("pv"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = EventsStream.read(spark, eventsPath(spark, dir))
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") < col("p_ts"))
+      .groupBy(window(col("p_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("pv")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n_pairs"),
+        col("sum_value"))
+  }
+
   val all: Seq[Q] = Seq(w3StreamTumbling, w4StreamSession, w5StreamDedup,
     w6CustomSessionizer, w7StreamJoin, w10StreamStatic, w11StreamUpsert,
     w12StreamHopping, w13StreamOuterJoin, w14StreamFullOuter,
     w15StreamTimeoutSessions, w16StreamRestart, w17StreamLateDrop,
-    w18StreamStateRestart, w19StreamSemiJoin, w20ChainedAgg)
+    w18StreamStateRestart, w19StreamSemiJoin, w20ChainedAgg, w21JoinThenAgg)
 }

@@ -1899,6 +1899,84 @@ class OpsSpec extends AnyFunSuite {
     assert(byType("update_postimage") === nB(5) + nB(6))
   }
 
+  test("s20: per-subspace Lloyd training replays bit-exactly in the driver") {
+    val rows = Similarity.s20PqTrain.run(spark, sf).collect()
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val M = 8; val S = 8; val K = 16; val R = 2
+    def subv(v: Array[Double], s: Int) = v.slice(s * S, s * S + S)
+    // cent(sub)(cell) = centroid array
+    var cent = Array.tabulate(M, K)((s, k) => subv(vecs(k.toLong), s))
+    def assignAll(c: Array[Array[Array[Double]]]) =
+      vecs.toSeq.flatMap { case (id, v) =>
+        (0 until M).map { s =>
+          val sv = subv(v, s)
+          val scored = (0 until K).map { k =>
+            var d = 0.0; var i = 0
+            while (i < S) { val t = sv(i) - c(s)(k)(i); d += t * t; i += 1 }
+            (d, k)
+          }
+          val (d, k) = scored.minBy(identity)
+          (id, s, sv, k, d)
+        }
+      }
+    for (_ <- 1 to R) {
+      val g = assignAll(cent)
+      val next = Array.tabulate(M, K)((s, k) => cent(s)(k).clone())
+      g.groupBy(a => (a._2, a._4)).foreach { case ((s, k), xs) =>
+        for (p <- 0 until S) {
+          val sq = xs.map(x => math.floor(x._3(p) * 1.0e7).toLong).sum
+          next(s)(k)(p) = sq.toDouble / 1.0e7 / xs.size
+        }
+      }
+      cent = next
+    }
+    val stats = assignAll(cent).groupBy(a => (a._2, a._4)).map { case (key, xs) =>
+      key -> (xs.size.toLong, xs.map(x => math.floor(x._5 * 1.0e6).toLong).sum)
+    }
+    assert(rows.length === M * K * S)
+    rows.foreach { r =>
+      val (s, k, p) = (r.getAs[Long]("sub").toInt, r.getAs[Long]("cell").toInt,
+        r.getAs[Number]("pos").intValue)
+      assert(r.getAs[Double]("centroid") === cent(s)(k)(p),
+        s"centroid drifted at sub=$s cell=$k pos=$p")
+      val (n, iq) = stats.getOrElse((s, k), (0L, 0L))
+      assert(r.getAs[Long]("n_members") === n)
+      assert(r.getAs[Long]("inertia_q") === iq)
+    }
+  }
+
+  test("w21: join-then-agg stream equals the driver pair rollup behind the min watermark") {
+    val rows = StreamingQueries.w21JoinThenAgg.run(spark, sf).collect()
+    val ev = graft.Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("us"), col("user_id"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val clicks = ev.filter(_._3 == "click")
+    val tenMin = 600L * 1000000L
+    val pairs = for {
+      (pus, pu, _, pv) <- ev.filter(_._3 == "purchase")
+      (cus, cu, _, _) <- clicks
+      if cu == pu && cus >= pus - tenMin && cus < pus
+    } yield (pus, BigDecimal(pv).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    val maxP = ev.filter(_._3 == "purchase").map(_._1).max
+    val maxC = clicks.map(_._1).max
+    val wm = math.min(maxP / 1000L * 1000L, maxC / 1000L * 1000L) - tenMin
+    val hourUs = 3600L * 1000000L
+    val expected = pairs.groupBy(p => p._1 / hourUs * hourUs)
+      .filter { case (hs, _) => hs + hourUs <= wm }
+      .map { case (hs, ps) =>
+        hs -> (ps.size.toLong, ps.map(_._2).sum.toDouble) }
+    assert(rows.length === expected.size, "emitted hour set drifted")
+    rows.foreach { r =>
+      val hs = r.getAs[java.sql.Timestamp]("window_start").getTime * 1000L
+      val (n, sv) = expected(hs)
+      assert(r.getAs[Long]("n_pairs") === n)
+      assert(r.getAs[Double]("sum_value") === sv)
+    }
+  }
+
   test("m12: scene rollups replay from m10's cut verdicts") {
     val diffs = Multimodal.m10SceneCut.run(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"),

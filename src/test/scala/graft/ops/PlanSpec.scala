@@ -915,4 +915,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.toString.contains("window_time") || plan.toString.contains("window#"),
       s"outer agg lost the window_time chain in:\n$plan")
   }
+
+  test("s20: each Lloyd round reads the pinned subvector frame; codebooks broadcast") {
+    val p = plan(Similarity.s20PqTrain)
+    val fp = p.split("== Initial Plan ==").head
+    // the subvector frame and the per-round centroid state are
+    // localCheckpoint-pinned; the final plan reads pins, broadcasts the
+    // (M·K)-row codebook, and never re-scans embeddings
+    assert(fp.contains("Scan ExistingRDD"), s"pinned frames not read in:\n$p")
+    assert(!fp.contains("Scan parquet"),
+      s"embeddings re-scanned downstream of the subvector pin:\n$p")
+    assert(fp.contains("BroadcastHashJoin"), s"codebook join not broadcast in:\n$p")
+    assert(!fp.contains("CartesianProduct"))
+  }
+
+  test("w21: the optimized stream chains a watermarked join INTO an aggregation") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, EventTimeWatermark, Join}
+    val plan = optimizedStreaming(StreamingQueries.w21Chained(spark, sf))
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.size == 1, s"expected one stream-stream join in:\n$plan")
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.size == 1, s"expected one windowed aggregate in:\n$plan")
+    val wms = plan.collect { case w: EventTimeWatermark => w }
+    assert(wms.size == 2, s"expected a watermark per join side in:\n$plan")
+    // the agg must sit ABOVE the join (join output feeds the rollup)
+    val aggHasJoinBelow = aggs.head.collect { case j: Join => j }.nonEmpty
+    assert(aggHasJoinBelow, s"aggregate does not consume the join in:\n$plan")
+  }
 }
