@@ -929,6 +929,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!fp.contains("CartesianProduct"))
   }
 
+  test("registry sweep: NO batch query's physical plan contains a CartesianProduct") {
+    // the wholesale guard for the #1 scale-killer class: a cartesian that
+    // slips into any of the ~180 batch queries (a dropped join key, an
+    // accidentally non-equi condition) fails the build, not the sf10
+    // soak. Streaming queries are excluded (building their plan requires
+    // executing the stream; their shapes are pinned individually above) —
+    // plans are compiled, not executed, so the sweep stays cheap.
+    val streaming = StreamingQueries.all.map(_.name).toSet
+    val offenders = graft.SparkEntry.registry
+      .filterNot(q => streaming(q.name))
+      .flatMap { q =>
+        val p = q.run(spark, sf).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct")) Some(q.name) else None
+      }
+    assert(offenders.isEmpty,
+      s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
   test("w21: the optimized stream chains a watermarked join INTO an aggregation") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, EventTimeWatermark, Join}
     val plan = optimizedStreaming(StreamingQueries.w21Chained(spark, sf))
