@@ -670,8 +670,75 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Leakage-safe splitting — p2's deterministic split made DUP-CLUSTER
+    * AWARE: near-duplicate documents (d6's connected components over
+    * jaccard ≥ 0.8) must never straddle train/val/test, or the eval set
+    * silently contains paraphrases of training data (the
+    * contamination-by-near-dup failure Lee et al. 2021 measure). The
+    * split key is the cluster REPRESENTATIVE (cluster_id for clustered
+    * docs, own id otherwise) pushed through p2's exact md5-mod-100
+    * 80/10/10 rule, so every member of a cluster inherits one split by
+    * construction — and the output PROVES it: `cross_split_groups`
+    * recomputes, from the assignment itself, how many groups span >1
+    * split (a rep-derivation bug would surface as a nonzero witness and
+    * a hash mismatch, not silence).
+    *
+    * Scale shape: the cluster table is the (tiny) dedup artifact joined
+    * LEFT onto the corpus on doc_id — the d7 shape; the rollup is one
+    * map-side-combined aggregate per split plus a groups-by-rep
+    * aggregate for the witness. At 100 TB this replaces p2 as the split
+    * step of record wherever a dedup pass ran.
+    */
+  val p14LeakSafeSplit: Q = Q.sql(
+    "p14_leak_safe_split",
+    "Cluster-aware 80/10/10 split on the dup-cluster representative; per-split mass + zero cross-split-group witness.",
+    s"""WITH RECURSIVE ${Dedup.clusterCteSql},
+       |rep AS (
+       |  SELECT d.doc_id, d.n_chars, COALESCE(l.cluster_id, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc),
+       |asg AS (
+       |  SELECT doc_id, n_chars, rep,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT rep.*,
+       |          ('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 7))::BIGINT % 100 AS b
+       |        FROM rep)),
+       |leak AS (
+       |  SELECT CAST(COUNT(*) FILTER (ns > 1) AS BIGINT) AS leaky
+       |  FROM (SELECT rep, COUNT(DISTINCT split) AS ns FROM asg GROUP BY rep))
+       |SELECT a.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(a.n_chars) AS BIGINT) AS sum_chars,
+       |       CAST(COUNT(DISTINCT a.rep) AS BIGINT) AS n_groups,
+       |       l.leaky AS cross_split_groups
+       |FROM asg a CROSS JOIN leak l
+       |GROUP BY a.split, l.leaky ORDER BY a.split""".stripMargin) { (spark, dir) =>
+    val labels = Dedup.clusterTable(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val asg = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+      .withColumn("b",
+        pmod(graft.functions.DetHash.md5Long28(col("rep").cast("string")), lit(100)))
+      .select(col("doc_id"), col("n_chars"), col("rep"),
+        when(col("b") < 80, "train").when(col("b") < 90, "val")
+          .otherwise("test").as("split"))
+      .localCheckpoint() // the rollup and the leak witness share it
+    val leak = asg.groupBy(col("rep"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("leaky"))
+    asg.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("rep")).as("n_groups"))
+      .crossJoin(broadcast(leak))
+      .select(col("split"), col("n_docs"), col("sum_chars"),
+        col("n_groups"), col("leaky").as("cross_split_groups"))
+      .orderBy("split")
+  }
+
   val all: Seq[Q] = Seq(p1Curation, p2HashSplit, p3IncrementalDedup,
     p4Decontamination, p5DomainQuota, p6SequencePack, p7StratifiedSample,
     p8MixtureResample, p9RejectFunnel, p10DatasetCard, p11Curriculum,
-    p12BpeMerges, p13EpochMix)
+    p12BpeMerges, p13EpochMix, p14LeakSafeSplit)
 }

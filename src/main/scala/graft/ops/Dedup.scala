@@ -542,7 +542,7 @@ object Dedup {
     * sizes) — d6 emits the clusters, d7 applies them to the corpus; ONE
     * definition so the two oracles cannot drift.
     */
-  private val clusterCteSql: String =
+  private[ops] val clusterCteSql: String =
     s"""$shinglesSqlCte,
        |cnt AS (SELECT doc_id, len(s) AS nsh FROM sh WHERE len(s) > 0),
        |ex AS (SELECT doc_id, UNNEST(s) AS s FROM sh WHERE len(s) > 0),
@@ -574,7 +574,7 @@ object Dedup {
     * At 100 TB this is the cluster assignment table a dedup run writes to
     * storage once and every downstream consumer reads.
     */
-  private def clusterTable(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def clusterTable(spark: SparkSession, dir: String): DataFrame =
     clusterCache.getOrElseUpdate(spark, dir) {
       val t = computeClusters(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1073,7 +1073,95 @@ object Multimodal {
       .orderBy("doc_id", "scene_id")
   }
 
+  /** Silence trim — the audio preprocessing step between decode and
+    * feature extraction (sox/ffmpeg `silenceremove`, VAD's crude
+    * cousin): per asset, the longest quiet run at each END (frame
+    * energy ≤ [[AE_LOUD]], m9's exact integer energies) and the kept
+    * span's frame count + summed energy. Assets that never get loud
+    * trim to zero. Everything derives from the decoded PCM inside one
+    * row — frames are collected in index order and the runs computed
+    * with array folds, so the verdicts are exact integers both engines
+    * reproduce from the closed-form sample model.
+    *
+    * Scale shape: the per-frame fan-out happens in the m9 flatMap pass;
+    * the per-asset rollup is one groupBy(doc_id) carrying ≤ 8 frames per
+    * asset (sort_array reassembles order after the shuffle) — linear,
+    * and the array arithmetic is per-row bounded.
+    */
+  val m13SilenceTrim: Q = Q.sql(
+    "m13_silence_trim",
+    s"Leading/trailing quiet-run trim per audio asset (frame energy <= $AE_LOUD): spans + kept-frame energy.",
+    s"""WITH au AS (
+       |  SELECT doc_id, 64 + n_chars % 64 AS n FROM documents
+       |  WHERE doc_id % 3 = 1),
+       |fe AS (
+       |  SELECT doc_id, w.w,
+       |         SUM(((doc_id * 31 + (w.w * $AE_WIN + i.i) * 17) % 256 - 128)
+       |           * ((doc_id * 31 + (w.w * $AE_WIN + i.i) * 17) % 256 - 128)) AS e
+       |  FROM au,
+       |       UNNEST(range(0, n // $AE_WIN)) AS w(w),
+       |       UNNEST(range(0, $AE_WIN)) AS i(i)
+       |  GROUP BY doc_id, w.w),
+       |arr AS (SELECT doc_id, list(e ORDER BY w) AS es FROM fe GROUP BY doc_id),
+       |calc AS (
+       |  SELECT doc_id, CAST(len(es) AS BIGINT) AS n_frames,
+       |    CAST(COALESCE(NULLIF(list_position(list_transform(es, x -> x > $AE_LOUD), true), 0),
+       |                  len(es) + 1) - 1 AS BIGINT) AS lead_quiet,
+       |    CAST(COALESCE(NULLIF(list_position(list_transform(list_reverse(es), x -> x > $AE_LOUD), true), 0),
+       |                  len(es) + 1) - 1 AS BIGINT) AS trail_quiet,
+       |    es
+       |  FROM arr)
+       |SELECT doc_id, n_frames, lead_quiet, trail_quiet,
+       |  CASE WHEN lead_quiet >= n_frames THEN 0
+       |       ELSE n_frames - lead_quiet - trail_quiet END AS kept_frames,
+       |  CASE WHEN lead_quiet >= n_frames THEN 0
+       |       ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |              es[lead_quiet + 1 : n_frames - trail_quiet]), (x, y) -> x + y)
+       |  END AS kept_energy
+       |FROM calc ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val frames = assetsFrom(Tables.documents(spark, dir).filter(col("doc_id") % 3 === 1))
+      .flatMap { a =>
+        val n = a.content.length
+        (0 until n / AE_WIN).map { w =>
+          var e = 0L
+          var i = 0
+          while (i < AE_WIN) {
+            val s = (a.content(w * AE_WIN + i) & 0xff) - 128
+            e += s.toLong * s
+            i += 1
+          }
+          (a.doc_id, w.toLong, e)
+        }
+      }
+      .toDF("doc_id", "w", "e")
+    val arr = frames.groupBy(col("doc_id"))
+      .agg(transform(sort_array(collect_list(struct(col("w"), col("e")))),
+        s => s.getField("e")).as("es"))
+    // array_position returns 0 when absent (DuckDB returns NULL) — both
+    // normalize to n+1 so "never loud" trims the whole asset
+    def firstLoud(es: org.apache.spark.sql.Column) = {
+      val p = array_position(transform(es, x => x > AE_LOUD), true)
+      when(p === 0, size(es) + 1).otherwise(p)
+    }
+    val calc = arr.select(col("doc_id"),
+        size(col("es")).cast("long").as("n_frames"),
+        (firstLoud(col("es")) - 1).cast("long").as("lead_quiet"),
+        (firstLoud(reverse(col("es"))) - 1).cast("long").as("trail_quiet"),
+        col("es"))
+    calc.select(col("doc_id"), col("n_frames"), col("lead_quiet"), col("trail_quiet"),
+        when(col("lead_quiet") >= col("n_frames"), 0L)
+          .otherwise(col("n_frames") - col("lead_quiet") - col("trail_quiet"))
+          .as("kept_frames"),
+        when(col("lead_quiet") >= col("n_frames"), 0L)
+          .otherwise(aggregate(
+            expr("slice(es, CAST(lead_quiet + 1 AS INT), CAST(n_frames - lead_quiet - trail_quiet AS INT))"),
+            lit(0L), (acc, x) => acc + x))
+          .as("kept_energy"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(m1Meta, m2PayloadStats, m3FrameSample, m4TypedRollup,
     m5ShardPack, m6PayloadSig, m7ImageDecode, m8ImageAHash, m9AudioEnergy,
-    m10SceneCut, m11PatchGrid, m12SceneStats)
+    m10SceneCut, m11PatchGrid, m12SceneStats, m13SilenceTrim)
 }

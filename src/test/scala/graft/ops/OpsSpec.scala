@@ -1899,6 +1899,73 @@ class OpsSpec extends AnyFunSuite {
     assert(byType("update_postimage") === nB(5) + nB(6))
   }
 
+  test("p14: no dup cluster straddles splits; masses replay from d6 + the hash rule") {
+    val rows = Curation.p14LeakSafeSplit.run(spark, sf).collect()
+    val clusters = Dedup.d6DedupClusters.run(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h28(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16)
+    }
+    def splitOf(rep: Long): String = {
+      val b = h28(rep.toString) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val asg = docs.map { case (id, nc) =>
+      val rep = clusters.getOrElse(id, id); (id, nc, rep, splitOf(rep))
+    }
+    // the invariant itself: every cluster lands in exactly one split
+    asg.groupBy(_._3).foreach { case (rep, xs) =>
+      assert(xs.map(_._4).distinct.length === 1, s"cluster $rep straddles splits")
+    }
+    val bySplit = asg.groupBy(_._4)
+    assert(rows.length === bySplit.size)
+    rows.foreach { r =>
+      val xs = bySplit(r.getAs[String]("split"))
+      assert(r.getAs[Long]("n_docs") === xs.length.toLong)
+      assert(r.getAs[Long]("sum_chars") === xs.map(_._2).sum)
+      assert(r.getAs[Long]("n_groups") === xs.map(_._3).distinct.length.toLong)
+      assert(r.getAs[Long]("cross_split_groups") === 0L)
+    }
+  }
+
+  test("m13: trim spans replay from the closed-form sample model") {
+    val rows = Multimodal.m13SilenceTrim.run(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 % 3 == 1)
+    assert(rows.length === docs.count(d => (64 + d._2 % 64) / 16 > 0))
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.foreach { case (id, nc) =>
+      val n = (64 + nc % 64).toInt
+      val es = (0 until n / 16).map { w =>
+        (0 until 16).map { i =>
+          val s = (id * 31 + (w * 16 + i) * 17) % 256 - 128
+          s * s
+        }.sum
+      }
+      val r = byId(id)
+      val lead = es.indexWhere(_ > 90000L) match { case -1 => es.length; case i => i }
+      val trail = es.reverse.indexWhere(_ > 90000L) match { case -1 => es.length; case i => i }
+      assert(r.getAs[Long]("n_frames") === es.length.toLong)
+      assert(r.getAs[Long]("lead_quiet") === lead.toLong)
+      assert(r.getAs[Long]("trail_quiet") === trail.toLong)
+      if (lead >= es.length) {
+        assert(r.getAs[Long]("kept_frames") === 0L)
+        assert(r.getAs[Long]("kept_energy") === 0L)
+      } else {
+        assert(r.getAs[Long]("kept_frames") === (es.length - lead - trail).toLong)
+        assert(r.getAs[Long]("kept_energy") ===
+          es.slice(lead, es.length - trail).map(_.toLong).sum)
+      }
+    }
+  }
+
   test("s20: per-subspace Lloyd training replays bit-exactly in the driver") {
     val rows = Similarity.s20PqTrain.run(spark, sf).collect()
     val vecs = graft.Tables.embeddings(spark, sf)

@@ -929,6 +929,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!fp.contains("CartesianProduct"))
   }
 
+  test("p14: split derives from the persisted cluster table; rollup and witness share the pinned assignment") {
+    val p = plan(Curation.p14LeakSafeSplit)
+    val fp = p.split("== Initial Plan ==").head
+    // the cluster table is the session-persisted d6 artifact; the split
+    // assignment is localCheckpoint-pinned so the per-split rollup and
+    // the leak witness never re-derive it; the 1-row witness broadcasts
+    assert(fp.contains("Scan ExistingRDD"), s"pinned assignment not read in:\n$p")
+    assert(fp.contains("BroadcastNestedLoopJoin"),
+      s"leak witness not a 1-row broadcast in:\n$p")
+    assert(!fp.contains("CartesianProduct"))
+  }
+
+  test("m13: per-asset trim is one decode fan-out + one doc-keyed rollup, no join") {
+    val p = plan(Multimodal.m13SilenceTrim)
+    val fp = p.split("== Initial Plan ==").head
+    assert(!fp.contains("Join"), s"join crept into the trim rollup:\n$p")
+    assert(!fp.contains("CartesianProduct"))
+    assert(fp.contains("HashAggregate") || fp.contains("ObjectHashAggregate") ||
+      fp.contains("SortAggregate"), s"no per-asset rollup in:\n$p")
+  }
+
   test("registry sweep: NO batch query's physical plan contains a CartesianProduct") {
     // the wholesale guard for the #1 scale-killer class: a cartesian that
     // slips into any of the ~180 batch queries (a dropped join key, an
