@@ -1100,8 +1100,8 @@ object Graph {
        |       CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
        |       CAST(m.m AS BIGINT) AS m_edges,
        |       CAST(4::HUGEINT * m.m * COALESCE(i.intra_edges, 0)
-       |            - c.deg_sum::HUGEINT * c.deg_sum AS DECIMAL(38,0)) AS contrib_num,
-       |       CAST(4::HUGEINT * m.m * m.m AS DECIMAL(38,0)) AS denom
+       |            - c.deg_sum::HUGEINT * c.deg_sum AS BIGINT) AS contrib_num,
+       |       CAST(4::HUGEINT * m.m * m.m AS BIGINT) AS denom
        |FROM comm c
        |LEFT JOIN intra i ON c.community = i.community
        |CROSS JOIN mtot m
@@ -1128,9 +1128,14 @@ object Graph {
         col("deg_sum").cast("long").as("deg_sum"),
         coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
         col("m").as("m_edges"),
+        // arithmetic stays decimal(38,0) internally; EMISSION is BIGINT —
+        // decimal128/int128 outputs sit outside the driver hasher's
+        // canonicalization (round-8 red row). |contrib_num| ≤ 4m² and
+        // denom = 4m² fit 2^63 up to m ≈ 1.5e9 mutual edges — orders of
+        // magnitude past sf10's graph.
         (d38(lit(4L)) * col("m") * coalesce(col("intra_edges"), lit(0L))
-          - d38(col("deg_sum")) * col("deg_sum")).cast("decimal(38,0)").as("contrib_num"),
-        (d38(lit(4L)) * col("m") * col("m")).cast("decimal(38,0)").as("denom"))
+          - d38(col("deg_sum")) * col("deg_sum")).cast("long").as("contrib_num"),
+        (d38(lit(4L)) * col("m") * col("m")).cast("long").as("denom"))
       .orderBy("community")
   }
 

@@ -1114,10 +1114,10 @@ object Multimodal {
        |SELECT doc_id, n_frames, lead_quiet, trail_quiet,
        |  CASE WHEN lead_quiet >= n_frames THEN 0
        |       ELSE n_frames - lead_quiet - trail_quiet END AS kept_frames,
-       |  CASE WHEN lead_quiet >= n_frames THEN 0
+       |  CAST(CASE WHEN lead_quiet >= n_frames THEN 0
        |       ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
        |              es[lead_quiet + 1 : n_frames - trail_quiet]), (x, y) -> x + y)
-       |  END AS kept_energy
+       |  END AS BIGINT) AS kept_energy
        |FROM calc ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val frames = assetsFrom(Tables.documents(spark, dir).filter(col("doc_id") % 3 === 1))

@@ -1689,13 +1689,12 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("deg_sum") === degSum)
       assert(r.getAs[Long]("intra_edges") === ic)
       assert(r.getAs[Long]("m_edges") === m)
-      assert(r.getAs[java.math.BigDecimal]("contrib_num").longValueExact ===
-        4 * m * ic - degSum * degSum)
-      assert(r.getAs[java.math.BigDecimal]("denom").longValueExact === 4 * m * m)
+      assert(r.getAs[Long]("contrib_num") === 4 * m * ic - degSum * degSum)
+      assert(r.getAs[Long]("denom") === 4 * m * m)
     }
     // the audit identity: sum of contributions over 4m^2 is Newman Q;
     // every piece is exact, so the total is too
-    val q = rows.map(_.getAs[java.math.BigDecimal]("contrib_num").longValueExact).sum
+    val q = rows.map(_.getAs[Long]("contrib_num")).sum
     assert(q <= 4 * m * m, "Q must be <= 1")
   }
 

@@ -968,6 +968,43 @@ class PlanSpec extends AnyFunSuite {
       s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("registry sweep: every batch query EMITS only hash-canonical column types") {
+    // round-8 lesson: the driver's result hasher canonicalizes int/float
+    // widths and timestamp precisions but NOT 128-bit values — a
+    // DECIMAL(38,0) or int128 output column hashes differently from an
+    // equal-valued BIGINT (the g9/m13 red rows), and neither the python
+    // repr compare nor a 5-scale ladder can see it. House rule, now
+    // pinned: wide arithmetic stays INTERNAL; the emission boundary
+    // carries only {long-or-narrower ints, double/float, string, boolean,
+    // date, timestamp, binary-free arrays/structs thereof}. Mirrors the
+    // ROUND-at-emission rule in the oracle-determinism scaladoc.
+    // Streaming queries are excluded here for the same reason as the
+    // cartesian sweep (their run() executes the stream); their emitted
+    // parquet types are enforced by tools/check_oracle.py at verify time.
+    import org.apache.spark.sql.types._
+    def canonical(dt: DataType): Boolean = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+      case _: FloatType | _: DoubleType => true
+      case _: StringType | _: BooleanType => true
+      // NTZ included: parquet stores it as isAdjustedToUTC=false, DuckDB
+      // DESCRIBEs both as TIMESTAMP, and q35 is green at the driver gate
+      case _: DateType | _: TimestampType | _: TimestampNTZType => true
+      case ArrayType(e, _) => canonical(e)
+      case StructType(fs) => fs.forall(f => canonical(f.dataType))
+      case _ => false // DecimalType, BinaryType, MapType, ...
+    }
+    val streaming = StreamingQueries.all.map(_.name).toSet
+    val offenders = graft.SparkEntry.registry
+      .filterNot(q => streaming(q.name))
+      .flatMap { q =>
+        q.run(spark, sf).schema.fields.collect {
+          case f if !canonical(f.dataType) => s"${q.name}.${f.name}: ${f.dataType.sql}"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"non-hash-canonical emission types: ${offenders.mkString(", ")}")
+  }
+
   test("w21: the optimized stream chains a watermarked join INTO an aggregation") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, EventTimeWatermark, Join}
     val plan = optimizedStreaming(StreamingQueries.w21Chained(spark, sf))

@@ -13,7 +13,7 @@ import sys, os, glob, pickle
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import duckdb
-from check_oracle import load_rows
+from check_oracle import load_rows, declared_types, canon_type, type_fail
 from oracle_cache import digest
 
 
@@ -36,11 +36,30 @@ def main():
             o = pickle.load(f)
         try:
             sub = f"(SELECT * FROM '{spark_dir}/*.parquet') graft_spark_sub"
-            scols, sn, sh = digest(con, sub)
+            scols, stypes, sn, sh = digest(con, sub)
         except Exception as e:
             print(f"[FAIL] {name}: SPARK READ ERROR: {e}", flush=True); n_bad += 1
             continue
-        if scols != o["cols"]:
+        # round-8 emitted-type contract: the value digest canonicalizes
+        # int/float widths away, which is exactly the seam the driver's
+        # hasher does NOT tolerate — so declared types are checked here,
+        # independently of the values. Whitelist both sides, then require
+        # canonical-class equality column-for-column.
+        tf = type_fail("SPARK", stypes)
+        otf = type_fail("ORACLE", o["types"]) if o.get("types") else None
+        tdiff = ([(a, st, ot) for (a, st), (_, ot) in zip(stypes, o["types"])
+                  if canon_type(st) != canon_type(ot)]
+                 if o.get("types") and scols == o["cols"] else [])
+        if tf or otf:
+            print(f"[FAIL] {name}: {tf or otf}", flush=True)
+            n_bad += 1
+        elif tdiff:
+            print(f"[FAIL] {name}: TYPE MISMATCH (equal values would "
+                  "still hash-differ): " +
+                  "; ".join(f"{a}: spark {st} vs oracle {ot}"
+                            for a, st, ot in tdiff), flush=True)
+            n_bad += 1
+        elif scols != o["cols"]:
             print(f"[FAIL] {name}: SCHEMA spark={scols} oracle={o['cols']}")
             n_bad += 1
         elif sn != o["n"]:
@@ -53,11 +72,16 @@ def main():
                 bad = next((i for i, (a, b) in enumerate(zip(srows, orows))
                             if a != b), None)
                 if bad is None:
-                    # digest seam with cell-identical rows: type-level
-                    # difference the python compare tolerates — report it
-                    print(f"[WARN] {name}: digest differs but {sn} canonical "
-                          f"rows are cell-identical (type seam)", flush=True)
-                    n_ok += 1
+                    # digest seam with cell-identical rows: a type-level
+                    # difference the python compare tolerates but the
+                    # driver's hasher does NOT — this branch passed as a
+                    # [WARN] in round 8 and let g9/m13 through a 5-scale
+                    # ladder into two red driver rows. It is a FAIL.
+                    print(f"[FAIL] {name}: TYPE SEAM — digest differs but "
+                          f"{sn} canonical rows are cell-identical; the "
+                          "emitted types hash differently at equal value",
+                          flush=True)
+                    n_bad += 1
                     continue
                 print(f"[FAIL] {name}: VALUE at sorted-row {bad}:\n"
                       f"    spark : {srows[bad]}\n    oracle: {orows[bad]}\n"

@@ -19,7 +19,7 @@ import sys, json, os, pickle, time, glob
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import duckdb
-from check_oracle import load_rows
+from check_oracle import load_rows, canon_type, type_fail
 
 FULL_LIMIT = 300_000
 
@@ -28,7 +28,12 @@ INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
 
 
 def canonical_cols(con, from_clause):
-    """Name-sorted (quoted_expr, name) with type canonicalization."""
+    """Name-sorted (name, quoted_expr, declared_type) with type
+    canonicalization for the digest exprs. The declared types ride along
+    so compare_cached can enforce the round-8 emitted-type contract
+    (canonical-class equality + whitelist) on BOTH sides of a digest
+    compare — the seam the value digest alone cannot see is exactly the
+    one it normalizes away."""
     desc = con.execute(f"DESCRIBE SELECT * FROM {from_clause} LIMIT 0").fetchall()
     cols = []
     for name, typ, *_ in desc:
@@ -46,18 +51,18 @@ def canonical_cols(con, from_clause):
             expr = f"CAST(epoch_us({q}) AS BIGINT)"
         else:
             expr = q
-        cols.append((name, expr))
+        cols.append((name, expr, typ))
     cols.sort(key=lambda c: c[0])
     return cols
 
 
 def digest(con, from_clause):
     cols = canonical_cols(con, from_clause)
-    exprs = ", ".join(e for _, e in cols)
+    exprs = ", ".join(e for _, e, _ in cols)
     n, h = con.execute(
         f"SELECT count(*), sum(CAST(hash(ROW({exprs})) AS HUGEINT)) "
         f"FROM {from_clause}").fetchone()
-    return [c for c, _ in cols], n, h
+    return [c for c, _, _ in cols], [(c, t) for c, _, t in cols], n, h
 
 
 def main():
@@ -105,13 +110,20 @@ def main():
         con = fresh_con()
         try:
             sub = f"(\n{oracles[name]}\n) graft_oracle_sub"
-            cols, n, h = digest(con, sub)
+            # fail BEFORE the (possibly hours-long) digest scan: a
+            # non-canonical oracle output type is a gate failure however
+            # the values land, so don't pay for them
+            tf = type_fail("ORACLE", [(c, t) for c, _, t
+                                      in canonical_cols(con, sub)])
+            if tf:
+                raise RuntimeError(tf)
+            cols, types, n, h = digest(con, sub)
             full = None
             if n < FULL_LIMIT:
                 full = load_rows(con, oracles[name])
             with open(out, "wb") as f:
-                pickle.dump({"cols": cols, "n": n, "digest": h,
-                             "full": full}, f)
+                pickle.dump({"cols": cols, "types": types, "n": n,
+                             "digest": h, "full": full}, f)
             kind = "full" if full else "digest"
             print(f"[ok] {name}: {n} rows ({kind}) in {time.time()-t0:.1f}s",
                   flush=True)
