@@ -273,6 +273,53 @@ object Dedup {
   private val BANDS = 8 // bands of 4 rows each
   private val R = K / BANDS
 
+  /** Shared oracle CTE chain `sh → sig → bands`: MinHash signatures and
+    * LSH band hashes over the shingled corpus, mirroring
+    * [[GraftExpressions.MinHashSig]] bit-for-bit. Used by d3 (full
+    * corpus self-join dedup) and d13 (incremental batch-vs-index apply)
+    * so the two oracles can never drift from each other.
+    */
+  private val bandsSqlCtes: String =
+    s"""$shinglesSqlCte,
+       |ex AS (SELECT doc_id, UNNEST(s) AS s FROM sh WHERE len(s) > 0),
+       |hi AS (
+       |  SELECT doc_id, i.i AS i,
+       |         MIN((('0x' || substring(md5(s), 1, 7))::BIGINT
+       |              + i.i * ('0x' || substring(md5(s), 8, 7))::BIGINT) % ${GraftExpressions.MinHashSig.M}) AS mh
+       |  FROM ex CROSS JOIN (SELECT UNNEST(range($K)) AS i) i
+       |  GROUP BY doc_id, i.i),
+       |sig AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hi GROUP BY doc_id),
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id, b.b AS band,
+       |         md5(array_to_string(list_transform(sig[b.b*$R+1 : b.b*$R+$R], x -> CAST(x AS VARCHAR)), ',')) AS bh
+       |  FROM sig CROSS JOIN (SELECT UNNEST(range($BANDS)) AS b) b)""".stripMargin
+
+  private val bandCache = new SessionCache[String, DataFrame](df => { df.unpersist(false); () })
+
+  /** Session-persisted LSH band index over the whole corpus:
+    * `(doc_id, band, bh)` — one MinHash-signature pass ([[K]] hashes per
+    * shingle set) fanned into [[BANDS]] band hashes. d3's self-join
+    * references it twice and d13's incremental apply probes it per
+    * batch; persisting it once per (session, dataset) is the
+    * materialized LSH index a 100 TB corpus would keep on storage and
+    * refresh per ingest epoch. Eager count() barrier for the same
+    * AQE-zombie reason as [[shingledDocs]].
+    */
+  private[ops] def bandIndex(spark: SparkSession, dir: String): DataFrame =
+    bandCache.getOrElseUpdate(spark, dir) {
+      val sig = shingledDocs(spark, dir)
+        .select(col("doc_id"), minhash(col("s"), K).as("sig"))
+      val bands = sig
+        .select(col("doc_id"), explode(transform(sequence(lit(0), lit(BANDS - 1)), b =>
+          struct(b.as("band"),
+            md5(concat_ws(",", transform(slice(col("sig"), b * R + 1, lit(R)),
+              x => x.cast("string")))).as("bh")))).as("x"))
+        .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bands.count()
+      bands
+    }
+
   /** MinHash + LSH banding. Signature = one-pass Carter-Wegman kernel
     * (1 md5 per shingle → 32 hashes); 8 bands of 4 → candidate pairs
     * share a (band, band-hash) shuffle key. Candidates are then verified
@@ -286,20 +333,8 @@ object Dedup {
   val d3MinHashLsh: Q = Q.sql(
     "d3_dedup_minhash_lsh",
     s"MinHash($K) + LSH($BANDS bands × $R) candidates, exact-Jaccard verified.",
-    s"""WITH $shinglesSqlCte,
+    s"""WITH $bandsSqlCtes,
        |cnt AS (SELECT doc_id, len(s) AS nsh FROM sh WHERE len(s) > 0),
-       |ex AS (SELECT doc_id, UNNEST(s) AS s FROM sh WHERE len(s) > 0),
-       |hi AS (
-       |  SELECT doc_id, i.i AS i,
-       |         MIN((('0x' || substring(md5(s), 1, 7))::BIGINT
-       |              + i.i * ('0x' || substring(md5(s), 8, 7))::BIGINT) % ${GraftExpressions.MinHashSig.M}) AS mh
-       |  FROM ex CROSS JOIN (SELECT UNNEST(range($K)) AS i) i
-       |  GROUP BY doc_id, i.i),
-       |sig AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hi GROUP BY doc_id),
-       |bands AS (
-       |  SELECT doc_id, b.b AS band,
-       |         md5(array_to_string(list_transform(sig[b.b*$R+1 : b.b*$R+$R], x -> CAST(x AS VARCHAR)), ',')) AS bh
-       |  FROM sig CROSS JOIN (SELECT UNNEST(range($BANDS)) AS b) b),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -314,20 +349,7 @@ object Dedup {
        |       CASE WHEN j >= 0.7 THEN 1 ELSE 0 END AS is_dup
        |FROM verified ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     val docs = shingledDocs(spark, dir)
-    // persisted: the band self-join would otherwise recompute the
-    // signature kernel once per join branch
-    val sig = docs.select(col("doc_id"), col("s"), minhash(col("s"), K).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager barrier before the band self-join: see prefixIndexCached —
-    // a racing duplicate materialization cancelled by AQE leaves zombie
-    // tasks burning cores past the end of this query
-    sig.count()
-    val bands = sig
-      .select(col("doc_id"), explode(transform(sequence(lit(0), lit(BANDS - 1)), b =>
-        struct(b.as("band"),
-          md5(concat_ws(",", transform(slice(col("sig"), b * R + 1, lit(R)),
-            x => x.cast("string")))).as("bh")))).as("x"))
-      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+    val bands = bandIndex(spark, dir)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1149,8 +1171,91 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // the "nightly batch" slice of the corpus: a fixed 5% residue class,
+  // so the increment grows proportionally with the corpus at every sf
+  private val D13_MOD = 20
+  private val D13_RES = 7
+
+  /** Incremental MinHash apply — the nightly-ETL move a 100 TB corpus
+    * actually runs: a new batch (here the fixed 5% residue class
+    * `doc_id % 20 = 7`) is deduplicated AGAINST the standing corpus
+    * index without ever self-joining the corpus. The batch's band
+    * hashes probe the session-persisted LSH band index ([[bandIndex]] —
+    * the SAME materialized frame d3's full dedup builds), candidates
+    * are exact-Jaccard verified, and each batch doc gets an
+    * admit/duplicate verdict with its lowest-id corpus duplicate. The
+    * p3 shape (batch-over-corpus anti-join) lifted from exact keys to
+    * near-dup semantics.
+    *
+    * Scale shape: the index is built once per (session, corpus) and
+    * reused across d3/d13 — at 100 TB it is the persisted index an
+    * ingest pipeline refreshes per epoch; the nightly apply is then
+    * linear in the BATCH: one equi-join on (band, bh) against the
+    * index, one verify join over candidates only, one batch-keyed
+    * rollup. No corpus self-join anywhere in the incremental path.
+    */
+  val d13IncrementalMinHash: Q = Q.sql(
+    "d13_incremental_minhash",
+    s"Incremental LSH apply: batch (doc_id % $D13_MOD = $D13_RES) probes the persisted band index; exact-Jaccard verdicts per batch doc.",
+    s"""WITH $bandsSqlCtes,
+       |idx AS (SELECT * FROM bands WHERE doc_id % $D13_MOD <> $D13_RES),
+       |bat AS (SELECT * FROM bands WHERE doc_id % $D13_MOD = $D13_RES),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS new_doc, i.doc_id AS corpus_doc
+       |  FROM bat b JOIN idx i ON b.band = i.band AND b.bh = i.bh),
+       |ver AS (
+       |  SELECT c.new_doc, c.corpus_doc,
+       |         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |           / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j
+       |  FROM cand c
+       |  JOIN sh sa ON c.new_doc = sa.doc_id
+       |  JOIN sh sb ON c.corpus_doc = sb.doc_id),
+       |roll AS (
+       |  SELECT new_doc, COUNT(*) AS n_candidates,
+       |         COUNT(CASE WHEN j >= 0.7 THEN 1 END) AS n_dups,
+       |         MIN(CASE WHEN j >= 0.7 THEN corpus_doc END) AS dup_of
+       |  FROM ver GROUP BY 1)
+       |SELECT b.doc_id, COALESCE(r.n_candidates, 0) AS n_candidates,
+       |       COALESCE(r.n_dups, 0) AS n_dups, r.dup_of AS dup_of,
+       |       CASE WHEN COALESCE(r.n_dups, 0) = 0 THEN 1 ELSE 0 END AS admit
+       |FROM (SELECT doc_id FROM sh WHERE doc_id % $D13_MOD = $D13_RES AND len(s) > 0) b
+       |LEFT JOIN roll r ON b.doc_id = r.new_doc
+       |ORDER BY b.doc_id""".stripMargin) { (spark, dir) =>
+    val bands = bandIndex(spark, dir)
+    val idx = bands.filter(col("doc_id") % D13_MOD =!= D13_RES)
+    val bat = bands.filter(col("doc_id") % D13_MOD === D13_RES)
+    val cand = bat.as("b").join(idx.as("i"),
+        col("b.band") === col("i.band") && col("b.bh") === col("i.bh"))
+      .select(col("b.doc_id").as("new_doc"), col("i.doc_id").as("corpus_doc"))
+      .distinct()
+    val docs = shingledDocs(spark, dir)
+    // gate-scale broadcast for the verify joins (d3's idiom); at corpus
+    // scale both become doc_id-keyed co-partitioned shuffle joins —
+    // candidates only, never the corpus against itself
+    val nCommon = GraftExpressions.intersectCount(col("sa.s"), col("sb.s"))
+    val j = nCommon.cast("double") /
+      (size(col("sa.s")) + size(col("sb.s")) - nCommon)
+    val ver = cand
+      .join(broadcast(docs.as("sa")), col("new_doc") === col("sa.doc_id"))
+      .join(broadcast(docs.as("sb")), col("corpus_doc") === col("sb.doc_id"))
+      .select(col("new_doc"), col("corpus_doc"), j.as("j"))
+    val roll = ver.groupBy(col("new_doc")).agg(
+      count(lit(1)).as("n_candidates"),
+      count(when(col("j") >= 0.7, lit(1))).as("n_dups"),
+      min(when(col("j") >= 0.7, col("corpus_doc"))).as("dup_of"))
+    docs.filter(col("doc_id") % D13_MOD === D13_RES).select(col("doc_id"))
+      .join(roll, col("doc_id") === col("new_doc"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("dup_of"),
+        when(coalesce(col("n_dups"), lit(0L)) === 0, lit(1)).otherwise(lit(0))
+          .as("admit"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d5EmbeddingCosine, d6DedupClusters, d7DedupApply, d8Containment,
     d9SemanticDedup, d10EmbeddingNearDup, d11ParagraphDedup,
-    d12SubstringDedup)
+    d12SubstringDedup, d13IncrementalMinHash)
 }

@@ -1161,7 +1161,122 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  private val CM_BINS = 64 // must equal the embeddings dim (exact dot)
+  private val CM_PAGE = 50 // docs per synthetic "source page"
+  private val CM_K = 3
+
+  /** Cross-modal pair mining — the CLIP-style image↔text candidate step
+    * a multimodal training pipeline runs: every decoded image is paired
+    * with the text embeddings from its own SOURCE PAGE (the shared key;
+    * here `doc_id DIV 50` — in a crawl corpus, the page the image was
+    * scraped from), scored by an EXACT integer dot product between a
+    * 64-bin pixel feature folded from the real ImageIO decode and the
+    * int8-style quantized text embedding (`floor(x·1000)` — one
+    * correctly-rounded IEEE multiply, bit-identical across engines).
+    * Top-[[CM_K]] texts per image by (dot DESC, txt_id) survive. This
+    * composes the m-family's decode surface with the s-family's vector
+    * scoring through one equi-join — the one LLM-pipeline shape the
+    * registry didn't yet exercise.
+    *
+    * Scale shape: candidates come from a PAGE equi-join (broadcastable
+    * at gate scale, co-partitioned shuffle at 100 TB), never an
+    * all-pairs product; per-page fan-out is bounded by the page size
+    * (≤ 50·50/3 pairs), so the mine is linear in corpus pages. The
+    * feature fold is one pass over decoded pixels inside the typed
+    * decode stage; the dot product is the codegen'd
+    * [[graft.functions.GraftExpressions.DotProductL]] kernel; the
+    * top-k is a bounded per-image window.
+    *
+    * Oracle: re-derives the pixel feature closed-form from the BMP
+    * payload formulas (bin = (3x+5y+c) mod 64 over channel values) with
+    * a zero-filled 64-bin frame — a decoder slip on either axis shifts
+    * bins and hash-mismatches every row.
+    */
+  val m14CrossModalPairs: Q = Q.sql(
+    "m14_crossmodal_pairs",
+    s"CLIP-style page-keyed image↔text pair mine: top-$CM_K captions per image by exact integer dot(pixel-fold, quantized embedding).",
+    s"""WITH imgs AS (
+       |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |pxc AS (
+       |  SELECT doc_id, (x.x * 3 + y.y * 5 + c.c) % $CM_BINS AS bin,
+       |         CASE c.c WHEN 0 THEN (doc_id + 7 * x.x + 13 * y.y) % 256
+       |                  WHEN 1 THEN (3 * doc_id + 5 * x.x + 11 * y.y) % 256
+       |                  ELSE (doc_id + x.x * y.y) % 256 END AS v
+       |  FROM imgs,
+       |       UNNEST(range(0, w)) AS x(x),
+       |       UNNEST(range(0, h)) AS y(y),
+       |       UNNEST(range(0, 3)) AS c(c)),
+       |fb AS (SELECT doc_id, bin, SUM(v) AS fv FROM pxc GROUP BY 1, 2),
+       |ivec AS (
+       |  SELECT i.doc_id, i.doc_id // $CM_PAGE AS page,
+       |         list(COALESCE(fb.fv, 0) ORDER BY b.bin) AS iv
+       |  FROM imgs i
+       |  CROSS JOIN (SELECT UNNEST(range($CM_BINS)) AS bin) b
+       |  LEFT JOIN fb ON fb.doc_id = i.doc_id AND fb.bin = b.bin
+       |  GROUP BY i.doc_id),
+       |tq AS (
+       |  SELECT vec_id, vec_id // $CM_PAGE AS page,
+       |         list_transform(embedding::DOUBLE[],
+       |                        x -> CAST(FLOOR(x * 1000.0) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE vec_id % 3 <> 0),
+       |pairs AS (
+       |  SELECT i.doc_id AS img_id, t.vec_id AS txt_id, i.page,
+       |         CAST(list_sum(list_transform(range(1, $CM_BINS + 1),
+       |                                      k -> i.iv[k] * t.qv[k])) AS BIGINT) AS dot
+       |  FROM ivec i JOIN tq t ON i.page = t.page),
+       |rk AS (
+       |  SELECT img_id, txt_id, page, dot,
+       |         ROW_NUMBER() OVER (PARTITION BY img_id
+       |                            ORDER BY dot DESC, txt_id) AS rnk
+       |  FROM pairs)
+       |SELECT img_id, txt_id, CAST(page AS BIGINT) AS page, dot,
+       |       CAST(rnk AS BIGINT) AS rnk
+       |FROM rk WHERE rnk <= $CM_K ORDER BY img_id, rnk""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val ivec = assets(spark, dir)
+      .filter(_.meta.mediaType == "image")
+      .mapPartitions { batch =>
+        batch.map { a =>
+          val img = decodeBmp(a.content, 0, a.content.length)
+          val bins = new Array[Long](CM_BINS)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              val base = x * 3 + y * 5
+              bins(base % CM_BINS) += (p >> 16) & 0xff
+              bins((base + 1) % CM_BINS) += (p >> 8) & 0xff
+              bins((base + 2) % CM_BINS) += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (a.doc_id, a.doc_id / CM_PAGE, bins)
+        }
+      }
+      .toDF("img_id", "page", "iv")
+    val tq = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id").as("txt_id"),
+        expr(s"CAST(vec_id DIV $CM_PAGE AS BIGINT)").as("page"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 1000.0).cast("long")).as("qv"))
+    val pairs = ivec.join(tq, "page")
+      .select(col("img_id"), col("txt_id"), col("page"),
+        graft.functions.GraftExpressions.dotl(col("iv"), col("qv")).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("img_id")).orderBy(col("dot").desc, col("txt_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= CM_K)
+      .select(col("img_id"), col("txt_id"), col("page"), col("dot"), col("rnk"))
+      .orderBy("img_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(m1Meta, m2PayloadStats, m3FrameSample, m4TypedRollup,
     m5ShardPack, m6PayloadSig, m7ImageDecode, m8ImageAHash, m9AudioEnergy,
-    m10SceneCut, m11PatchGrid, m12SceneStats, m13SilenceTrim)
+    m10SceneCut, m11PatchGrid, m12SceneStats, m13SilenceTrim,
+    m14CrossModalPairs)
 }

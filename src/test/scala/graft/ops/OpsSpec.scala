@@ -2117,6 +2117,72 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_events") === ne)
     }
   }
+
+  test("d13: incremental verdicts equal the full d3 pair set restricted to batch×corpus") {
+    // d13 probes the SAME band index d3 self-joins, so its dup verdicts
+    // must be exactly d3's verified >= 0.7 pairs with one endpoint in the
+    // batch residue class and the other outside it
+    val isBatch = (id: Long) => id % 20 == 7
+    val fullDups = Dedup.d3MinHashLsh.run(spark, sf).collect()
+      .filter(_.getAs[Int]("is_dup") == 1)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val minDupOf = fullDups
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .collect { case (nd, cd) if isBatch(nd) && !isBatch(cd) => nd -> cd }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    val rows = Dedup.d13IncrementalMinHash.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length === rows.length)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(isBatch(id), s"non-batch doc $id in the incremental output")
+      val nd = r.getAs[Long]("n_dups")
+      assert(r.getAs[Long]("n_candidates") >= nd)
+      assert(r.getAs[Int]("admit") === (if (nd == 0) 1 else 0))
+      minDupOf.get(id) match {
+        case Some(minDup) =>
+          assert(nd > 0, s"doc $id should be a dup per d3")
+          assert(r.getAs[Long]("dup_of") === minDup)
+        case None =>
+          assert(nd === 0L, s"doc $id dup not present in d3's pair set")
+          assert(r.isNullAt(r.fieldIndex("dup_of")))
+      }
+    }
+  }
+
+  test("m14: page-keyed top-k replays from the closed-form pixel model and quantized embeddings") {
+    val rows = Multimodal.m14CrossModalPairs.run(spark, sf).collect()
+    def bins(id: Long): Array[Long] = {
+      val w = 8 + (id % 16).toInt; val h = 8 + (id % 8).toInt
+      val b = new Array[Long](64)
+      for (y <- 0 until h; x <- 0 until w) {
+        b((x * 3 + y * 5) % 64) += (id + 7L * x + 13L * y) % 256
+        b((x * 3 + y * 5 + 1) % 64) += (3L * id + 5L * x + 11L * y) % 256
+        b((x * 3 + y * 5 + 2) % 64) += (id + x.toLong * y) % 256
+      }
+      b
+    }
+    val emb = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS v").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(x => math.floor(x * 1000.0).toLong).toArray)
+      .filter { case (id, _) => id % 3 != 0 }
+    val imgs = graft.Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % 3 == 0)
+    val expected = imgs.flatMap { img =>
+      val iv = bins(img)
+      emb.filter { case (t, _) => t / 50 == img / 50 }
+        .map { case (t, qv) =>
+          (img, t, img / 50, iv.zip(qv).map { case (a, b) => a * b }.sum)
+        }
+        .sortBy { case (_, t, _, d) => (-d, t) }
+        .take(3).zipWithIndex
+        .map { case ((i, t, p, d), k) => (i, t, p, d, (k + 1).toLong) }
+    }.sortBy(r => (r._1, r._5))
+    val got = rows.map(r => (r.getAs[Long]("img_id"), r.getAs[Long]("txt_id"),
+      r.getAs[Long]("page"), r.getAs[Long]("dot"), r.getAs[Long]("rnk")))
+    assert(got.toSeq === expected.toSeq)
+  }
 }
 
 /** tiny accessor kept out of the test bodies for reuse */

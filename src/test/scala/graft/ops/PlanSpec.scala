@@ -950,6 +950,27 @@ class PlanSpec extends AnyFunSuite {
       fp.contains("SortAggregate"), s"no per-asset rollup in:\n$p")
   }
 
+  test("d13: the incremental apply probes the persisted band index; no corpus self-join") {
+    val p = plan(Dedup.d13IncrementalMinHash)
+    val fp = p.split("== Initial Plan ==").head
+    // both the band index and the shingle frame are session-persisted —
+    // the nightly apply must NOT rebuild the signature kernel from the
+    // parquet scan; candidates come from a (band, bh) equi-join
+    assert(fp.contains("InMemoryTableScan"), s"band index not persisted in:\n$p")
+    assert(!fp.contains("CartesianProduct"))
+    assert(fp.contains("HashAggregate") || fp.contains("ObjectHashAggregate") ||
+      fp.contains("SortAggregate"), s"no per-batch-doc rollup in:\n$p")
+  }
+
+  test("m14: the pair mine is one page equi-join feeding a bounded per-image window") {
+    val p = plan(Multimodal.m14CrossModalPairs)
+    val fp = p.split("== Initial Plan ==").head
+    assert(!fp.contains("CartesianProduct"), s"all-pairs product in the pair mine:\n$p")
+    assert(fp.contains("Window"), s"top-k window missing in:\n$p")
+    // the decode/feature fold is the typed mapPartitions stage
+    assert(fp.contains("MapPartitions"), s"typed decode stage missing in:\n$p")
+  }
+
   test("registry sweep: NO batch query's physical plan contains a CartesianProduct") {
     // the wholesale guard for the #1 scale-killer class: a cartesian that
     // slips into any of the ~180 batch queries (a dropped join key, an
