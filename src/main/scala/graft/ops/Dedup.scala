@@ -294,6 +294,20 @@ object Dedup {
        |         md5(array_to_string(list_transform(sig[b.b*$R+1 : b.b*$R+$R], x -> CAST(x AS VARCHAR)), ',')) AS bh
        |  FROM sig CROSS JOIN (SELECT UNNEST(range($BANDS)) AS b) b)""".stripMargin
 
+  /** Band-hash derivation from a MinHash signature column: [[BANDS]]
+    * structs of (band, md5-of-R-slice). One expression, stateless —
+    * usable on batch AND streaming frames (w22 applies it inside the
+    * streaming plan; bandIndex below applies it to the corpus).
+    */
+  private[ops] def bandCols(sig: Column): Column =
+    explode(transform(sequence(lit(0), lit(BANDS - 1)), b =>
+      struct(b.as("band"),
+        md5(concat_ws(",", transform(slice(sig, b * R + 1, lit(R)),
+          x => x.cast("string")))).as("bh"))))
+
+  /** MinHash size — exposed for the streaming apply (w22). */
+  private[ops] def minhashK: Int = K
+
   private val bandCache = new SessionCache[String, DataFrame](df => { df.unpersist(false); () })
 
   /** Session-persisted LSH band index over the whole corpus:
@@ -310,10 +324,7 @@ object Dedup {
       val sig = shingledDocs(spark, dir)
         .select(col("doc_id"), minhash(col("s"), K).as("sig"))
       val bands = sig
-        .select(col("doc_id"), explode(transform(sequence(lit(0), lit(BANDS - 1)), b =>
-          struct(b.as("band"),
-            md5(concat_ws(",", transform(slice(col("sig"), b * R + 1, lit(R)),
-              x => x.cast("string")))).as("bh")))).as("x"))
+        .select(col("doc_id"), bandCols(col("sig")).as("x"))
         .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       bands.count()
@@ -1173,8 +1184,9 @@ object Dedup {
 
   // the "nightly batch" slice of the corpus: a fixed 5% residue class,
   // so the increment grows proportionally with the corpus at every sf
-  private val D13_MOD = 20
-  private val D13_RES = 7
+  // (private[ops]: w22 replays the same slice through the streaming engine)
+  private[ops] val D13_MOD = 20
+  private[ops] val D13_RES = 7
 
   /** Incremental MinHash apply — the nightly-ETL move a 100 TB corpus
     * actually runs: a new batch (here the fixed 5% residue class

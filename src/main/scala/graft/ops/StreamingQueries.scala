@@ -1226,9 +1226,142 @@ object StreamingQueries {
         col("sum_value"))
   }
 
+  /** Staged "new documents" stream — the d13 batch residue class
+    * (`doc_id % 20 = 7`) split into TWO doc_id-halved parquet files with
+    * forced ascending modtimes, so `maxFilesPerTrigger=1` +
+    * AvailableNow runs two REAL micro-batches (same determinism contract
+    * as [[eventsPath]]; the split point is the exact integer median —
+    * no session spans doc boundaries here, so the sampled-exchange
+    * hazard doesn't apply and the median is safe).
+    */
+  private val docsStagedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def docsPath(spark: SparkSession, dir: String): String =
+    docsStagedDirs.getOrElseUpdate(dir, {
+      val out = fastTmpDir("graft_stream_docs")
+      val batch = Tables.documents(spark, dir)
+        .filter(col("doc_id") % Dedup.D13_MOD === Dedup.D13_RES)
+      val med = batch
+        .agg(expr("CAST(percentile(doc_id, 0.5) AS BIGINT)")).head.getLong(0)
+      Seq(("part-0", col("doc_id") <= med), ("part-1", col("doc_id") > med))
+        .foreach { case (name, cond) =>
+          val tmp = fastTmpDir(s"graft_stream_docs_half_$name")
+          batch.filter(cond).repartition(1).write.mode("overwrite").parquet(tmp)
+          val f = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+            .filter(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet"))
+          require(f.length == 1, s"doc staging half $name: expected 1 file")
+          java.nio.file.Files.move(f(0).toPath,
+            java.nio.file.Paths.get(out, s"$name.parquet"))
+        }
+      val files = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+      val t0 = System.currentTimeMillis()
+      files.filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
+      out
+    })
+
+  /** Streaming incremental LSH dedup — d13's nightly apply run as a
+    * STREAM: new documents arrive as files, the streaming plan computes
+    * their shingles → MinHash signature → band hashes ([[Dedup.bandCols]],
+    * all stateless), LEFT-joins the session-persisted corpus band index
+    * (stream-static join; left outer so zero-candidate docs keep a row),
+    * LEFT-joins the corpus shingle frame and exact-Jaccard-verifies each
+    * candidate in-stream. The only non-streaming step is the per-doc
+    * rollup (docs carry no event time, so a chained stateful aggregate
+    * has no watermark to ride): `foreachBatch` dedups the ≤[[Dedup]]-band
+    * pair multiplicity and rolls admit verdicts batch-locally — sound
+    * because each doc lives in exactly one staged file, so all its band
+    * rows arrive in one micro-batch and its verdict is computed exactly
+    * once. The ORACLE IS d13's, verbatim: the streaming apply must equal
+    * the batch apply row-for-row — the Structured Streaming contract at
+    * the dedup level, on top of the cross-engine one.
+    *
+    * 100 TB shape: index probe and verify are stateless stream-static
+    * equi-joins against persisted frames (at deployment: the published
+    * LSH index refreshed per epoch); per-micro-batch work is linear in
+    * the batch. The foreachBatch rollup is O(batch candidates), and a
+    * deployment with event-timestamped docs would replace it with a
+    * watermarked aggregate (the w20/w21 shapes).
+    */
+  val w22StreamIncrementalDedup: Q = Q.sql(
+    "w22_stream_incremental_dedup",
+    "Streaming incremental LSH apply: new-doc stream probes the persisted band index in-plan; verdicts equal batch d13 row-for-row.",
+    Dedup.d13IncrementalMinHash.oracle.get) { (spark, dir) =>
+    val stream = w22Stream(spark, dir)
+    val root = fastTmpDir("graft_w22_verdicts")
+    val written = scala.collection.mutable.ListBuffer.empty[String]
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        // batch-local rollup: dedup the per-pair band multiplicity, then
+        // one aggregate per new doc — mirrors Dedup.d13's roll exactly
+        val pairs = b.filter(col("corpus_doc").isNotNull)
+          .select(col("new_doc"), col("corpus_doc"), col("j")).distinct()
+        val roll = pairs.groupBy(col("new_doc")).agg(
+          count(lit(1)).as("n_candidates"),
+          count(when(col("j") >= 0.7, lit(1))).as("n_dups"),
+          min(when(col("j") >= 0.7, col("corpus_doc"))).as("dup_of"))
+        val out = s"$root/b$batchId"
+        b.select(col("new_doc").as("doc_id")).distinct()
+          .join(roll, col("doc_id") === col("new_doc"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+            col("dup_of"),
+            when(coalesce(col("n_dups"), lit(0L)) === 0, lit(1))
+              .otherwise(lit(0)).as("admit"))
+          .write.mode("overwrite").parquet(out)
+        written.synchronized { written += out; () }
+        ()
+      }
+      .option("checkpointLocation", fastTmpDir("graft_ckpt_w22"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(written.nonEmpty, "w22: no micro-batch ran")
+    spark.read.parquet(written.toSeq: _*).orderBy("doc_id")
+  }
+
+  /** w22's streaming frame, unexecuted — PlanSpec pins its shape (two
+    * stateless left joins against the persisted static frames, no
+    * stateful operator before the foreachBatch boundary).
+    */
+  private[graft] def w22Stream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftExpressions
+    import graft.functions.GraftExpressions.{intersectCount, minhash, shingles}
+    GraftExpressions.register(spark)
+    val staged = docsPath(spark, dir)
+    // static sides, built on the OUTER session before the stream starts:
+    // the corpus band index (shared with d3/d13) and the corpus shingles
+    val idx = Dedup.bandIndex(spark, dir)
+      .filter(col("doc_id") % Dedup.D13_MOD =!= Dedup.D13_RES)
+      .select(col("doc_id").as("corpus_doc"), col("band"), col("bh"))
+    val corpusSh = Dedup.shingledDocs(spark, dir)
+      .filter(col("doc_id") % Dedup.D13_MOD =!= Dedup.D13_RES)
+      .select(col("doc_id").as("cs_id"), col("s").as("cs"))
+    val sch = spark.read.parquet(staged).schema
+    val nCommon = intersectCount(col("s"), col("cs"))
+    val j = nCommon.cast("double") /
+      (size(col("s")) + size(col("cs")) - nCommon)
+    spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .select(col("doc_id").as("new_doc"), shingles(col("text"), 3).as("s"))
+      .filter(size(col("s")) > 0)
+      .select(col("new_doc"), col("s"),
+        minhash(col("s"), Dedup.minhashK).as("sig"))
+      .select(col("new_doc"), col("s"), Dedup.bandCols(col("sig")).as("x"))
+      .select(col("new_doc"), col("s"),
+        col("x.band").as("band"), col("x.bh").as("bh"))
+      .join(idx, Seq("band", "bh"), "left_outer")
+      .join(corpusSh, col("corpus_doc") === col("cs_id"), "left_outer")
+      .select(col("new_doc"), col("corpus_doc"),
+        when(col("corpus_doc").isNotNull, j).as("j"))
+  }
+
   val all: Seq[Q] = Seq(w3StreamTumbling, w4StreamSession, w5StreamDedup,
     w6CustomSessionizer, w7StreamJoin, w10StreamStatic, w11StreamUpsert,
     w12StreamHopping, w13StreamOuterJoin, w14StreamFullOuter,
     w15StreamTimeoutSessions, w16StreamRestart, w17StreamLateDrop,
-    w18StreamStateRestart, w19StreamSemiJoin, w20ChainedAgg, w21JoinThenAgg)
+    w18StreamStateRestart, w19StreamSemiJoin, w20ChainedAgg, w21JoinThenAgg,
+    w22StreamIncrementalDedup)
 }

@@ -2150,6 +2150,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("w22: the streaming apply equals batch d13 row-for-row") {
+    // the Structured Streaming contract at the dedup level: two REAL
+    // micro-batches through the LSH probe + verify must reproduce the
+    // batch verdicts exactly (both also share one oracle SQL)
+    val batch = Dedup.d13IncrementalMinHash.run(spark, sf).collect().toSeq
+    val stream = StreamingQueries.w22StreamIncrementalDedup.run(spark, sf)
+      .collect().toSeq
+    assert(stream === batch)
+    assert(StreamingQueries.w22StreamIncrementalDedup.oracle ===
+      Dedup.d13IncrementalMinHash.oracle)
+  }
+
   test("m14: page-keyed top-k replays from the closed-form pixel model and quantized embeddings") {
     val rows = Multimodal.m14CrossModalPairs.run(spark, sf).collect()
     def bins(id: Long): Array[Long] = {

@@ -1026,6 +1026,20 @@ class PlanSpec extends AnyFunSuite {
       s"non-hash-canonical emission types: ${offenders.mkString(", ")}")
   }
 
+  test("w22: the streaming plan is two stateless LEFT joins, no stateful op before foreachBatch") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join}
+    val plan = optimizedStreaming(StreamingQueries.w22Stream(spark, sf))
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.size == 2, s"expected index-probe + verify joins in:\n$plan")
+    assert(joins.forall(_.joinType.sql == "LEFT OUTER"),
+      s"zero-candidate docs must keep a row (left outer) in:\n$plan")
+    // no stateful operator inside the stream — the rollup is batch-local
+    // in foreachBatch (docs carry no event time to watermark on)
+    assert(plan.collect { case a: Aggregate => a }.isEmpty &&
+      plan.collect { case d: Deduplicate => d }.isEmpty,
+      s"stateful op crept into the streaming plan:\n$plan")
+  }
+
   test("w21: the optimized stream chains a watermarked join INTO an aggregation") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, EventTimeWatermark, Join}
     val plan = optimizedStreaming(StreamingQueries.w21Chained(spark, sf))
