@@ -531,10 +531,12 @@ object Multimodal {
     * independent by construction), and the emitted (pack_id, offset)
     * pairs ARE the tar-member layout a writer needs.
     */
-  val m5ShardPack: Q = Q.sql(
-    "m5_shard_pack",
-    s"Shard manifest: md5-shuffled assets packed into $SHARD_BYTES-byte members across $SHARDS shards.",
-    s"""WITH a AS (
+  /** Shared oracle CTE chain for the m5 shard/pack assignment — m15's
+    * loader schedule derives from the same `c` frame, so the two oracles
+    * cannot drift.
+    */
+  private val packSqlCtes: String =
+    s"""a AS (
        |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % $SHARDS AS shard,
        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
@@ -544,12 +546,25 @@ object Multimodal {
        |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS seq,
        |    SUM(n_bytes) OVER (PARTITION BY shard ORDER BY h, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM a)
+       |  FROM a)""".stripMargin
+
+  val m5ShardPack: Q = Q.sql(
+    "m5_shard_pack",
+    s"Shard manifest: md5-shuffled assets packed into $SHARD_BYTES-byte members across $SHARDS shards.",
+    s"""WITH $packSqlCtes
        |SELECT doc_id, shard, CAST(seq AS BIGINT) AS seq,
        |  CAST(n_bytes AS BIGINT) AS n_bytes,
        |  CAST((cum - n_bytes) // $SHARD_BYTES AS BIGINT) AS pack_id,
        |  CAST((cum - n_bytes) % $SHARD_BYTES AS BIGINT) AS pack_offset
        |FROM c ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    shardPacked(spark, dir).orderBy("doc_id")
+  }
+
+  /** m5's shard/pack assignment frame (doc_id, shard, seq, n_bytes,
+    * pack_id, pack_offset), unordered — m5 emits it per asset; m15
+    * rolls it up to the pack level for the loader-order schedule.
+    */
+  private def shardPacked(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val a = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -563,7 +578,6 @@ object Multimodal {
       .select(col("doc_id"), col("shard"), col("seq"), col("n_bytes"),
         expr(s"cast((cum - n_bytes) div $SHARD_BYTES as bigint)").as("pack_id"),
         pmod(col("cum") - col("n_bytes"), lit(SHARD_BYTES.toLong)).as("pack_offset"))
-      .orderBy("doc_id")
   }
 
   private val SIG_PLANES = 16
@@ -1275,8 +1289,75 @@ object Multimodal {
       .orderBy("img_id", "rnk")
   }
 
+  private val LO_EPOCHS = 3
+  private val LO_WORKERS = 8
+
+  /** Deterministic epoch dataloader schedule over m5's pack manifest —
+    * the seeded per-epoch shuffle every distributed trainer runs: for
+    * each of [[LO_EPOCHS]] epochs, packs are ordered by an md5 tape
+    * keyed on (epoch, shard, pack_id), dealt round-robin to
+    * [[LO_WORKERS]] workers, and each worker's running byte total is
+    * emitted (the loader-balance audit — a skewed tail means stragglers
+    * at step time). The md5 tape is the dp14/g8 hash-as-random-tape
+    * contract, so both engines and every re-run produce the identical
+    * schedule: reproducible data order is what makes a training run
+    * replayable at all.
+    *
+    * Scale shape: one pack-level rollup of the m5 assignment (map-side
+    * partial), then E copies of the pack manifest through two windows
+    * (global rank per epoch, running sum per worker). The manifest is
+    * corpus_bytes / [[SHARD_BYTES]] rows — metadata-scale, not
+    * data-scale: at 100 TB with 64 MB packs that is ~1.6M rows; the
+    * windows sort the MANIFEST, never the corpus.
+    */
+  val m15LoaderOrder: Q = Q.sql(
+    "m15_loader_order",
+    s"Deterministic $LO_EPOCHS-epoch, $LO_WORKERS-worker pack read schedule over m5's manifest: md5-shuffled rank, round-robin worker, running worker bytes.",
+    s"""WITH $packSqlCtes,
+       |packs AS (
+       |  SELECT shard, CAST((cum - n_bytes) // $SHARD_BYTES AS BIGINT) AS pack_id,
+       |         COUNT(*) AS n_assets,
+       |         CAST(SUM(n_bytes) AS BIGINT) AS pack_bytes
+       |  FROM c GROUP BY 1, 2),
+       |sched AS (
+       |  SELECT e.e AS epoch, shard, pack_id, n_assets, pack_bytes,
+       |    ROW_NUMBER() OVER (PARTITION BY e.e ORDER BY
+       |      ('0x' || substring(md5(CAST(e.e AS VARCHAR) || ':' ||
+       |         CAST(shard AS VARCHAR) || ':' || CAST(pack_id AS VARCHAR)), 1, 15))::BIGINT,
+       |      shard, pack_id) AS rnk
+       |  FROM packs CROSS JOIN (SELECT UNNEST(range($LO_EPOCHS)) AS e) e)
+       |SELECT epoch, shard, pack_id, n_assets, pack_bytes,
+       |  CAST(rnk AS BIGINT) AS rnk,
+       |  CAST((rnk - 1) % $LO_WORKERS AS BIGINT) AS worker,
+       |  CAST((rnk - 1) // $LO_WORKERS AS BIGINT) AS worker_seq,
+       |  CAST(SUM(pack_bytes) OVER (PARTITION BY epoch, (rnk - 1) % $LO_WORKERS
+       |    ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS worker_cum_bytes
+       |FROM sched ORDER BY epoch, rnk""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val packs = shardPacked(spark, dir)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_assets"), sum(col("n_bytes")).as("pack_bytes"))
+    val sched = packs
+      .crossJoin(broadcast(spark.range(LO_EPOCHS).select(col("id").as("epoch"))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("epoch")).orderBy(
+          DetHash.md5Long60(concat_ws(":", col("epoch"), col("shard"), col("pack_id"))),
+          col("shard"), col("pack_id"))).cast("long"))
+      .withColumn("worker", pmod(col("rnk") - 1, lit(LO_WORKERS.toLong)))
+    sched
+      .withColumn("worker_seq", expr(s"cast((rnk - 1) div $LO_WORKERS as bigint)"))
+      .withColumn("worker_cum_bytes", sum(col("pack_bytes")).over(
+        Window.partitionBy(col("epoch"), col("worker")).orderBy(col("rnk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("epoch"), col("shard"), col("pack_id"), col("n_assets"),
+        col("pack_bytes"), col("rnk"), col("worker"), col("worker_seq"),
+        col("worker_cum_bytes"))
+      .orderBy("epoch", "rnk")
+  }
+
   val all: Seq[Q] = Seq(m1Meta, m2PayloadStats, m3FrameSample, m4TypedRollup,
     m5ShardPack, m6PayloadSig, m7ImageDecode, m8ImageAHash, m9AudioEnergy,
     m10SceneCut, m11PatchGrid, m12SceneStats, m13SilenceTrim,
-    m14CrossModalPairs)
+    m14CrossModalPairs, m15LoaderOrder)
 }

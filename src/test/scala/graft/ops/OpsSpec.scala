@@ -2162,6 +2162,36 @@ class OpsSpec extends AnyFunSuite {
       Dedup.d13IncrementalMinHash.oracle)
   }
 
+  test("m15: the epoch schedule is a dense per-epoch permutation of m5's packs, worker-strided") {
+    val rows = Multimodal.m15LoaderOrder.run(spark, sf).collect()
+    val packs = Multimodal.m5ShardPack.run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pack_id"))).toSet
+    val byEpoch = rows.groupBy(_.getAs[Long]("epoch"))
+    assert(byEpoch.keySet === Set(0L, 1L, 2L))
+    byEpoch.foreach { case (_, es) =>
+      // dense rank 1..P, each pack exactly once, strided worker deal
+      assert(es.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to packs.size).toSeq)
+      assert(es.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pack_id"))).toSet === packs)
+      es.foreach { r =>
+        val rnk = r.getAs[Long]("rnk")
+        assert(r.getAs[Long]("worker") === (rnk - 1) % 8)
+        assert(r.getAs[Long]("worker_seq") === (rnk - 1) / 8)
+      }
+      // running worker bytes really are the running sum in rank order
+      es.groupBy(_.getAs[Long]("worker")).foreach { case (_, ws) =>
+        var cum = 0L
+        ws.sortBy(_.getAs[Long]("rnk")).foreach { r =>
+          cum += r.getAs[Long]("pack_bytes")
+          assert(r.getAs[Long]("worker_cum_bytes") === cum)
+        }
+      }
+    }
+    // the md5 tape actually reshuffles between epochs
+    def order(e: Long) = byEpoch(e).sortBy(_.getAs[Long]("rnk"))
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pack_id"))).toSeq
+    assert(order(0L) !== order(1L), "epoch shuffle is a no-op")
+  }
+
   test("m14: page-keyed top-k replays from the closed-form pixel model and quantized embeddings") {
     val rows = Multimodal.m14CrossModalPairs.run(spark, sf).collect()
     def bins(id: Long): Array[Long] = {
