@@ -80,14 +80,31 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // dev-only per-query trace on stderr (never set by the driver)
     val trace = sys.env.get("SPARK_GRAFT_BENCH_TRACE").contains("1")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // per-query storage-pool sample, taken right AFTER the query's
+    // count() returns: cached bytes actually resident (getRDDStorageInfo
+    // filters to blocks with storage) plus the count of LIVE pinned RDDs
+    // (registered localCheckpoints/persists not yet reaped by
+    // ContextCleaner). This makes the session-inflation class (m4 at r8,
+    // dp19 at r9: a query slow in-session but fast solo) adjudicable
+    // from the bench record itself — a query whose time regressed while
+    // pool_mb/pins climbed ran under storage pressure, not a plan change.
+    def storageSample(): (Double, Int) = {
+      val mem = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e6
+      val pins = spark.sparkContext.getPersistentRDDs.size
+      (mem, pins)
+    }
+    val triples = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       if (trace) System.err.println(s"[bench] ${System.currentTimeMillis()} start $name")
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (poolMb, pins) = storageSample()
+      (name, sec, (poolMb, pins))
+    }
+    val results = triples.map { case (n, s, _) => n -> s }.toMap
+    val storage = triples.map { case (n, _, sp) => n -> sp }.toMap
     // re-run the parallel probe AFTER the query loop: contention that
     // arrives mid-run is invisible to the start-of-run sample, so the
     // pair brackets the run (matching values = clean run; a higher end
@@ -109,19 +126,26 @@ object Bench {
     // cross-round comparisons should read (README "Benchmark" section).
     val calRef = 0.320
     val calMeasured = (calPar + calParEnd) / 2.0
-    def jsonLine(m: Map[String, Double]): String = {
+    def jsonLine(m: Map[String, Double], withStorage: Boolean): String = {
       val qs = m.toSeq.sortBy(-_._2)
         .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+      // post-query storage snapshots, same (time-descending) key order
+      val st =
+        if (!withStorage) ""
+        else m.toSeq.sortBy(-_._2).map { case (k, _) =>
+          val (mb, pins) = storage.getOrElse(k, (0.0, 0))
+          s"\"" + k + s"""":{"pool_mb":${fmt(mb)},"pins":$pins}"""
+        }.mkString(""","storage":{""", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
       val norm = if (calMeasured > 0) total * (calRef / calMeasured) else total
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""value_normalized":${fmt(norm)},"cal_ref":${fmt(calRef)},""" +
         s""""cal_single_sec":${fmt(calSingle)},"cal_parallel_sec":${fmt(calPar)},""" +
         s""""cal_parallel_end_sec":${fmt(calParEnd)},""" +
-        s""""queries":$qs,"sf":"$sfDir"}"""
+        s""""queries":$qs$st,"sf":"$sfDir"}"""
     }
-    val full = jsonLine(results)
+    val full = jsonLine(results, withStorage = true)
     // the full map to a bare file at an absolute path (sbt's cwd is the
     // repo root; resolve explicitly so a different launcher cwd still
     // lands it somewhere findable)
@@ -138,6 +162,7 @@ object Bench {
     // output so at least one complete parseable JSON line sits inside
     // the tail window.
     println(full)
-    println(jsonLine(results.toSeq.sortBy(-_._2).take(20).toMap))
+    println(jsonLine(results.toSeq.sortBy(-_._2).take(20).toMap,
+      withStorage = false))
   }
 }

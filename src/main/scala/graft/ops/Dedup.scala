@@ -1243,12 +1243,16 @@ object Dedup {
     val docs = shingledDocs(spark, dir)
     // gate-scale broadcast for the verify joins (d3's idiom); at corpus
     // scale both become doc_id-keyed co-partitioned shuffle joins —
-    // candidates only, never the corpus against itself
+    // candidates only, never the corpus against itself. The sa side only
+    // ever matches batch-residue new_docs, so broadcast the 5% batch
+    // slice, not the full corpus shingle frame (the sb side stays the
+    // corpus — candidates may cite any corpus doc).
     val nCommon = GraftExpressions.intersectCount(col("sa.s"), col("sb.s"))
     val j = nCommon.cast("double") /
       (size(col("sa.s")) + size(col("sb.s")) - nCommon)
     val ver = cand
-      .join(broadcast(docs.as("sa")), col("new_doc") === col("sa.doc_id"))
+      .join(broadcast(docs.filter(col("doc_id") % D13_MOD === D13_RES).as("sa")),
+        col("new_doc") === col("sa.doc_id"))
       .join(broadcast(docs.as("sb")), col("corpus_doc") === col("sb.doc_id"))
       .select(col("new_doc"), col("corpus_doc"), j.as("j"))
     val roll = ver.groupBy(col("new_doc")).agg(

@@ -1119,6 +1119,19 @@ object Graph {
       .groupBy(col("la").as("community"))
       .agg(count(lit(1)).as("intra_edges"))
     val d38 = (c: Column) => c.cast("decimal(38,0)")
+    // arithmetic stays decimal(38,0) internally; EMISSION is BIGINT —
+    // decimal128/int128 outputs sit outside the driver hasher's
+    // canonicalization (round-8 red row). |contrib_num| ≤ 4m² and
+    // denom = 4m² fit 2^63 up to m ≈ 1.5e9 mutual edges — orders of
+    // magnitude past sf10's graph. Past that bound Spark's non-ANSI
+    // decimal→long cast would return NULL where the oracle's CAST
+    // raises, so guard explicitly: overflow fails loudly on BOTH
+    // engines instead of diverging silently.
+    val asLongChecked = (c: Column, what: String) =>
+      when(abs(c) > d38(lit(Long.MaxValue)),
+        raise_error(concat(lit(s"g9: $what overflows BIGINT at m > ~1.5e9 "
+          + "mutual edges: "), c.cast("string"))).cast("long"))
+        .otherwise(c.cast("long"))
     lab.join(broadcast(deg), "node")
       .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("deg_sum"))
@@ -1128,14 +1141,9 @@ object Graph {
         col("deg_sum").cast("long").as("deg_sum"),
         coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
         col("m").as("m_edges"),
-        // arithmetic stays decimal(38,0) internally; EMISSION is BIGINT —
-        // decimal128/int128 outputs sit outside the driver hasher's
-        // canonicalization (round-8 red row). |contrib_num| ≤ 4m² and
-        // denom = 4m² fit 2^63 up to m ≈ 1.5e9 mutual edges — orders of
-        // magnitude past sf10's graph.
-        (d38(lit(4L)) * col("m") * coalesce(col("intra_edges"), lit(0L))
-          - d38(col("deg_sum")) * col("deg_sum")).cast("long").as("contrib_num"),
-        (d38(lit(4L)) * col("m") * col("m")).cast("long").as("denom"))
+        asLongChecked(d38(lit(4L)) * col("m") * coalesce(col("intra_edges"), lit(0L))
+          - d38(col("deg_sum")) * col("deg_sum"), "contrib_num").as("contrib_num"),
+        asLongChecked(d38(lit(4L)) * col("m") * col("m"), "denom").as("denom"))
       .orderBy("community")
   }
 

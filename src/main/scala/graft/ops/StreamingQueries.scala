@@ -1319,7 +1319,10 @@ object StreamingQueries {
       .start()
     q.awaitTermination()
     require(written.nonEmpty, "w22: no micro-batch ran")
-    spark.read.parquet(written.toSeq: _*).orderBy("doc_id")
+    // foreachBatch is at-least-once: a replayed batchId appends its path
+    // twice while the write itself is idempotent (mode overwrite) —
+    // distinct keeps the final read idempotent end-to-end
+    spark.read.parquet(written.toSeq.distinct: _*).orderBy("doc_id")
   }
 
   /** w22's streaming frame, unexecuted — PlanSpec pins its shape (two

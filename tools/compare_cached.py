@@ -46,6 +46,14 @@ def main():
         # independently of the values. Whitelist both sides, then require
         # canonical-class equality column-for-column.
         tf = type_fail("SPARK", stypes)
+        if not o.get("types"):
+            # pre-round-9 cache pickle: no declared oracle types, so the
+            # canonical-class equality check below silently degrades to
+            # spark-side-only — surface it instead of downgrading the
+            # contract without a trace
+            print(f"[WARN] {name}: cache entry has no oracle types "
+                  "(pre-round-9 pickle) — oracle-side type check skipped; "
+                  "regenerate via oracle_cache.py", flush=True)
         otf = type_fail("ORACLE", o["types"]) if o.get("types") else None
         tdiff = ([(a, st, ot) for (a, st), (_, ot) in zip(stypes, o["types"])
                   if canon_type(st) != canon_type(ot)]

@@ -3,18 +3,44 @@
 # per-process in practice (closed in-process connections were observed
 # leaving the next connect() unable to allocate), so each oracle gets a
 # fresh OS process and the kernel reclaims everything between queries.
+#
+# Retry-solo (round-9 d13 lesson, SURVEY §7.13): DuckDB's sf10
+# "bad allocation" / OOM deaths can be flaky allocator state, not data
+# fan-out — d13's oracle died twice then completed identically
+# configured (peak RSS 8.4 GB). When an attempt errs with an
+# allocation-flavored message, this loop now clears the .err, removes
+# stale duck_tmp spill dirs, and retries ONCE more before recording the
+# failure — the manual recipe, automated.
 # Usage: oracle_cache_loop.sh <sfDir> <oracleSqlJson> <cacheDir> [threads]
 set -u
 SF="$1"; JSON="$2"; CACHE="$3"; THREADS="${4:-8}"
 mkdir -p "$CACHE"
+
+attempt() { # $1 = query name
+  timeout 3600 python3 tools/oracle_cache.py "$SF" "$JSON" "$CACHE" "$THREADS" "$1"
+  local rc=$?
+  if [ $rc -ne 0 ] && [ ! -f "$CACHE/$1.pkl" ] && [ ! -f "$CACHE/$1.err" ]; then
+    echo "process failure rc=$rc" > "$CACHE/$1.err"
+    echo "[err] $1: process failure rc=$rc"
+  fi
+}
+
 for name in $(python3 -c "import json,sys; print('\n'.join(sorted(json.load(open('$JSON')))))"); do
   [ -f "$CACHE/$name.pkl" ] && continue
   [ -f "$CACHE/$name.err" ] && continue
-  timeout 3600 python3 tools/oracle_cache.py "$SF" "$JSON" "$CACHE" "$THREADS" "$name"
-  rc=$?
-  if [ $rc -ne 0 ] && [ ! -f "$CACHE/$name.pkl" ] && [ ! -f "$CACHE/$name.err" ]; then
-    echo "process failure rc=$rc" > "$CACHE/$name.err"
-    echo "[err] $name: process failure rc=$rc"
+  attempt "$name"
+  if [ ! -f "$CACHE/$name.pkl" ] && [ -f "$CACHE/$name.err" ] && \
+     grep -qiE "bad allocation|out of memory|failed to allocate|process failure" "$CACHE/$name.err"; then
+    echo "[retry-solo] $name: allocation-flavored failure — clearing dead spill dirs and retrying once"
+    rm -f "$CACHE/$name.err"
+    # only reap spill dirs whose owning pid is gone: a concurrent loop
+    # (fwd/rev pairing) must keep its live duck_tmp_<pid>
+    for d in "$CACHE"/duck_tmp_*; do
+      [ -d "$d" ] || continue
+      pid="${d##*duck_tmp_}"
+      kill -0 "$pid" 2>/dev/null || rm -rf "$d"
+    done
+    attempt "$name"
   fi
 done
 echo "LOOP_DONE"

@@ -3,18 +3,35 @@
 # list BACKWARDS so a concurrent forward loop and this one sweep toward
 # each other instead of colliding on the same next-missing query (two
 # identical loops were measured duplicating a 400s oracle). Same skip
-# rules; same one-subprocess-per-query memory hygiene.
+# rules; same one-subprocess-per-query memory hygiene; same retry-solo
+# on allocation-flavored failures (see the forward loop's header).
 set -u
 SF="$1"; JSON="$2"; CACHE="$3"; THREADS="${4:-8}"
 mkdir -p "$CACHE"
+
+attempt() { # $1 = query name
+  timeout 3600 python3 tools/oracle_cache.py "$SF" "$JSON" "$CACHE" "$THREADS" "$1"
+  local rc=$?
+  if [ $rc -ne 0 ] && [ ! -f "$CACHE/$1.pkl" ] && [ ! -f "$CACHE/$1.err" ]; then
+    echo "process failure rc=$rc" > "$CACHE/$1.err"
+    echo "[err] $1: process failure rc=$rc"
+  fi
+}
+
 for name in $(python3 -c "import json,sys; print('\n'.join(sorted(json.load(open('$JSON')), reverse=True)))"); do
   [ -f "$CACHE/$name.pkl" ] && continue
   [ -f "$CACHE/$name.err" ] && continue
-  timeout 3600 python3 tools/oracle_cache.py "$SF" "$JSON" "$CACHE" "$THREADS" "$name"
-  rc=$?
-  if [ $rc -ne 0 ] && [ ! -f "$CACHE/$name.pkl" ] && [ ! -f "$CACHE/$name.err" ]; then
-    echo "process failure rc=$rc" > "$CACHE/$name.err"
-    echo "[err] $name: process failure rc=$rc"
+  attempt "$name"
+  if [ ! -f "$CACHE/$name.pkl" ] && [ -f "$CACHE/$name.err" ] && \
+     grep -qiE "bad allocation|out of memory|failed to allocate|process failure" "$CACHE/$name.err"; then
+    echo "[retry-solo] $name: allocation-flavored failure — clearing dead spill dirs and retrying once"
+    rm -f "$CACHE/$name.err"
+    for d in "$CACHE"/duck_tmp_*; do
+      [ -d "$d" ] || continue
+      pid="${d##*duck_tmp_}"
+      kill -0 "$pid" 2>/dev/null || rm -rf "$d"
+    done
+    attempt "$name"
   fi
 done
 echo "LOOP_DONE"
