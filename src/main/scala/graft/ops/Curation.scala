@@ -737,8 +737,191 @@ object Curation {
       .orderBy("split")
   }
 
+  private val P15_EPOCHS = 3
+  private val P15_WORKERS = 8
+
+  /** End-to-end curation DAG — the single composed plan a training-data
+    * team actually runs, chaining the family's stages over ONE dataflow:
+    * gopher quality gate (t20's five rules, shared predicates) → dedup
+    * apply (d7's rule over the session-persisted cluster table) →
+    * cluster-aware 80/10/10 split (p14's representative-bucket rule) →
+    * decontamination (p4's ≥5-shared-3-shingle rule, train vs test,
+    * over the session-persisted shingle frame) → sequence packing (p6's
+    * shard/cumulative rule over the surviving train docs) → loader
+    * schedule (m15's md5-tape epoch shuffle + round-robin workers over
+    * the pack manifest). Emits the per-epoch pack read schedule with the
+    * stage-count witnesses (gated / retained / decontaminated / final
+    * train) as constant columns — the lineage audit a run manifest logs.
+    *
+    * Scale shape: every session-shared frame (cluster table, shingle
+    * frame) is materialized ONCE and probed — no stage recomputes
+    * another's work; the only data-scale shuffles are the gate's one
+    * content scan, the decon shingle equi-join (test side is ~10% of
+    * retained), and the pack window's shard shuffle. The schedule
+    * windows sort the pack MANIFEST (corpus_tokens/budget rows), never
+    * the corpus — m15's argument, inherited.
+    */
+  val p15CurationDag: Q = Q.sql(
+    "p15_curation_dag",
+    s"End-to-end curation DAG: gopher gate -> dedup apply -> leak-safe split -> decontamination -> $PACK_BUDGET-token packing -> $P15_EPOCHS-epoch/$P15_WORKERS-worker loader schedule, with stage-count witnesses.",
+    s"""WITH RECURSIVE ${Dedup.clusterCteSql},
+       |gs AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) AS sum_len,
+       |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(w, t -> t IN ${TextAnalysis.inList(TextAnalysis.enStops)})) AS BIGINT) AS n_stop,
+       |    CAST(list_max(list_transform(list_distinct(w),
+       |      t -> len(list_filter(w, x -> x = t)))) AS BIGINT) AS max_tf
+       |  FROM w),
+       |gate AS MATERIALIZED (
+       |  SELECT doc_id, n_tokens FROM gs
+       |  WHERE n_tokens BETWEEN 30 AND 1000
+       |    AND 7 * n_tokens <= 2 * sum_len AND 2 * sum_len <= 9 * n_tokens
+       |    AND 2 * n_distinct >= n_tokens
+       |    AND n_stop >= 2
+       |    AND 8 * max_tf <= n_tokens),
+       |asg AS MATERIALIZED (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (
+       |    SELECT k.*,
+       |      ('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 7))::BIGINT % 100 AS b
+       |    FROM (
+       |      SELECT g.doc_id, g.n_tokens, COALESCE(l.cluster_id, g.doc_id) AS rep
+       |      FROM gate g LEFT JOIN lab l ON g.doc_id = l.doc
+       |      WHERE l.doc IS NULL OR l.doc = l.cluster_id) k)),
+       |con AS MATERIALIZED (
+       |  SELECT DISTINCT train_doc AS doc_id FROM (
+       |    SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc
+       |    FROM (SELECT e1.doc_id, e1.s FROM ex e1
+       |          JOIN asg a1 ON e1.doc_id = a1.doc_id AND a1.split = 'train') tr
+       |    JOIN (SELECT e2.doc_id, e2.s FROM ex e2
+       |          JOIN asg a2 ON e2.doc_id = a2.doc_id AND a2.split = 'test') te
+       |      ON tr.s = te.s
+       |    GROUP BY 1, 2 HAVING COUNT(*) >= 5)),
+       |fin AS MATERIALIZED (
+       |  SELECT a.doc_id, a.n_tokens FROM asg a
+       |  LEFT JOIN con c ON a.doc_id = c.doc_id
+       |  WHERE a.split = 'train' AND c.doc_id IS NULL),
+       |wit AS (
+       |  SELECT (SELECT COUNT(*) FROM gate) AS n_gated,
+       |         (SELECT COUNT(*) FROM asg) AS n_retained,
+       |         (SELECT COUNT(*) FROM con) AS n_decon_removed,
+       |         (SELECT COUNT(*) FROM fin) AS n_train),
+       |pc AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM (SELECT doc_id, n_tokens,
+       |          ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % $PACK_SHARDS AS shard
+       |        FROM fin)),
+       |packs AS (
+       |  SELECT shard, CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $PACK_BUDGET) AS BIGINT) AS pack_id,
+       |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+       |  FROM pc GROUP BY 1, 2),
+       |sched AS (
+       |  SELECT e.e AS epoch, shard, pack_id, n_docs, pack_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY e.e ORDER BY
+       |      ('0x' || substring(md5(CAST(e.e AS VARCHAR) || ':' ||
+       |         CAST(shard AS VARCHAR) || ':' || CAST(pack_id AS VARCHAR)), 1, 15))::BIGINT,
+       |      shard, pack_id) AS rnk
+       |  FROM packs CROSS JOIN (SELECT UNNEST(range($P15_EPOCHS)) AS e) e)
+       |SELECT epoch, shard, pack_id, n_docs, pack_tokens,
+       |  CAST(rnk AS BIGINT) AS rnk,
+       |  CAST((rnk - 1) % $P15_WORKERS AS BIGINT) AS worker,
+       |  CAST(SUM(pack_tokens) OVER (PARTITION BY epoch, (rnk - 1) % $P15_WORKERS
+       |    ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS worker_cum_tokens,
+       |  CAST(wit.n_gated AS BIGINT) AS n_gated,
+       |  CAST(wit.n_retained AS BIGINT) AS n_retained,
+       |  CAST(wit.n_decon_removed AS BIGINT) AS n_decon_removed,
+       |  CAST(wit.n_train AS BIGINT) AS n_train
+       |FROM sched CROSS JOIN wit
+       |ORDER BY epoch, rnk""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftExpressions.register(spark)
+    // stage 1 — gopher gate: one content scan, pinned (feeds the dedup
+    // chain and the n_gated witness)
+    val gate = TextAnalysis.gopherStats(spark, dir)
+      .filter(TextAnalysis.gopherRules.reduce(_ && _))
+      .select(col("doc_id"), col("n_tokens"))
+      .localCheckpoint()
+    // stage 2+3 — dedup apply (d7 rule, session-persisted cluster table)
+    // and the p14 representative split; pinned (four consumers: decon
+    // train/test sides, the final train filter, the n_retained witness)
+    val clusters = Dedup.clusterTable(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+    val asg = gate.join(clusters, Seq("doc_id"), "left")
+      .filter(col("is_canonical").isNull || col("is_canonical"))
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+      .withColumn("b",
+        pmod(graft.functions.DetHash.md5Long28(col("rep").cast("string")), lit(100)))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("b") < 80, "train").when(col("b") < 90, "val")
+          .otherwise("test").as("split"))
+      .localCheckpoint()
+    // stage 4 — decontamination: p4's rule over the session-persisted
+    // shingle frame, restricted to the retained train/test sides
+    val ex = Dedup.shingledDocs(spark, dir)
+      .select(col("doc_id"), explode(col("s")).as("s"))
+    val trEx = ex.join(asg.filter(col("split") === "train").select("doc_id"), "doc_id")
+      .select(col("doc_id").as("train_doc"), col("s"))
+    val teEx = ex.join(asg.filter(col("split") === "test").select("doc_id"), "doc_id")
+      .select(col("doc_id").as("test_doc"), col("s"))
+    val con = trEx.join(teEx, "s")
+      .groupBy(col("train_doc"), col("test_doc"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 5)
+      .select(col("train_doc")).distinct()
+      .localCheckpoint() // anti-join + witness count share it
+    val fin = asg.filter(col("split") === "train")
+      .join(con, col("doc_id") === col("train_doc"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"))
+      .localCheckpoint() // packing + witness count share it
+    // witness counts: four 1-row aggregates off the pinned stage frames
+    val wit = gate.agg(count(lit(1)).as("n_gated"))
+      .crossJoin(broadcast(asg.agg(count(lit(1)).as("n_retained"))))
+      .crossJoin(broadcast(con.agg(count(lit(1)).as("n_decon_removed"))))
+      .crossJoin(broadcast(fin.agg(count(lit(1)).as("n_train"))))
+    // stage 5 — p6's packing rule over the surviving train docs
+    val wcum = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packs = fin
+      .withColumn("shard",
+        pmod(graft.functions.DetHash.md5Long28(col("doc_id").cast("string")),
+          lit(PACK_SHARDS)))
+      .withColumn("cum", sum(col("n_tokens")).over(wcum))
+      .select(col("shard"),
+        floor((col("cum") - col("n_tokens")).cast("double") / PACK_BUDGET)
+          .as("pack_id"),
+        col("n_tokens"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+    // stage 6 — m15's loader schedule over the pack manifest
+    val sched = packs
+      .crossJoin(broadcast(spark.range(P15_EPOCHS).select(col("id").as("epoch"))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("epoch")).orderBy(
+          graft.functions.DetHash.md5Long60(
+            concat_ws(":", col("epoch"), col("shard"), col("pack_id"))),
+          col("shard"), col("pack_id"))).cast("long"))
+      .withColumn("worker", pmod(col("rnk") - 1, lit(P15_WORKERS.toLong)))
+    sched
+      .withColumn("worker_cum_tokens", sum(col("pack_tokens")).over(
+        Window.partitionBy(col("epoch"), col("worker")).orderBy(col("rnk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(wit))
+      .select(col("epoch"), col("shard"), col("pack_id"), col("n_docs"),
+        col("pack_tokens"), col("rnk"), col("worker"), col("worker_cum_tokens"),
+        col("n_gated"), col("n_retained"), col("n_decon_removed"), col("n_train"))
+      .orderBy("epoch", "rnk")
+  }
+
   val all: Seq[Q] = Seq(p1Curation, p2HashSplit, p3IncrementalDedup,
     p4Decontamination, p5DomainQuota, p6SequencePack, p7StratifiedSample,
     p8MixtureResample, p9RejectFunnel, p10DatasetCard, p11Curriculum,
-    p12BpeMerges, p13EpochMix, p14LeakSafeSplit)
+    p12BpeMerges, p13EpochMix, p14LeakSafeSplit, p15CurationDag)
 }

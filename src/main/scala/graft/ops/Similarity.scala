@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
@@ -1275,16 +1275,15 @@ object Similarity {
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("cv"))
 
-  /** One Lloyd ASSIGNMENT over the full corpus against the given flat
-    * centroid frame: every vector to its min-squared-L2 cell, fixed-order
-    * index-fold distance, ties to the lower cell id — the deterministic
-    * assignment both the trainer (s14) and the trained index (s16) run.
-    * Returns (vec_id, v, cell, dist).
+  /** One Lloyd ASSIGNMENT of the given (vec_id, v) frame against the
+    * given flat centroid frame: every vector to its min-squared-L2 cell,
+    * fixed-order index-fold distance, ties to the lower cell id — the
+    * deterministic assignment the trainer (s14), the trained index (s16)
+    * and the incremental apply (s21, batch side) all run. Returns
+    * (vec_id, v, cell, dist).
     */
-  private def kmAssign(spark: SparkSession, dir: String, c: DataFrame): DataFrame = {
+  private def kmAssignOf(e: DataFrame, c: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val dist = aggregate(
       zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, z) => acc + z)
@@ -1295,6 +1294,11 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cell"), col("dist"))
   }
+
+  /** [[kmAssignOf]] over the full embeddings table. */
+  private def kmAssign(spark: SparkSession, dir: String, c: DataFrame): DataFrame =
+    kmAssignOf(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")), c)
 
   /** Trained coarse-quantizer centroids — the [[KM_ROUNDS]]-round Lloyd
     * loop, factored out of s14 and session-cached so TRAINING RUNS ONCE
@@ -1998,8 +2002,233 @@ object Similarity {
       .orderBy("sub", "cell", "pos")
   }
 
+  // the "nightly vector batch": the d13 residue convention, lifted to the
+  // embeddings table — a fixed 5% slice that grows with the corpus
+  private val S21_MOD = 20
+  private val S21_RES = 7
+  private val S21_K = 5       // SQ8 shortlist refined exactly per probe
+  private val S21_DUP = 0.98  // exact-cosine near-dup admit threshold
+
+  /** s2's 4-hyperplane sign bucket as DuckDB SQL over a vector expr —
+    * the same md5-derived [[planes]], so the bucket ids are bit-identical
+    * to s2's (reused here as the in-cell prefilter of the ANN index).
+    */
+  private def planeBucketSql(vexpr: String): String =
+    (0 until PLANES).map(p =>
+      s"""CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(1, len($vexpr) + 1), i -> $vexpr[i] * (${planeSqlArray(p)})[i])), (x, y) -> x + y) > 0
+         |      THEN ${1 << p} ELSE 0 END""".stripMargin).mkString(" + ")
+
+  /** s2's 4-hyperplane sign bucket as a Column — same fixed-order fold. */
+  private def planeBucketCol(v: Column): Column =
+    (0 until PLANES).map { p =>
+      when(aggregate(zip_with(v, planeCol(p), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** The s21 SQ8 encode rule: s6/s19's affine min-max code with BOTH ends
+    * clamped — the standing quantizer's stats are corpus-trained, so a
+    * NEW vector can fall outside [lo, hi] and must clip to [0, 255]
+    * (s19 trains on the full table, where only the upper clamp can fire).
+    */
+  private def sq8ClampedCodeSql(vexpr: String): String =
+    s"""list_transform(range(1, $DIMS + 1), i ->
+       |    CASE WHEN sa.hi[i] = sa.lo[i] THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(LEAST(255.0, GREATEST(0.0, FLOOR(($vexpr[i] - sa.lo[i]) / (sa.hi[i] - sa.lo[i]) * 255.0 + 0.5))) AS BIGINT)
+       |    END)""".stripMargin
+
+  private val sq8ClampedCodeCol: Column = expr(
+    "transform(v, (x, i) -> CASE WHEN hi[i] = lo[i] THEN CAST(0 AS BIGINT) " +
+      "ELSE CAST(least(CAST(255.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE), " +
+      "floor((x - lo[i]) / (hi[i] - lo[i]) * 255.0 + 0.5))) AS BIGINT) END)")
+
+  private val sq8StatsCache = new SessionCache[String, DataFrame]()
+  private val annIdxCache = new SessionCache[String, DataFrame](df => { df.unpersist(false); () })
+
+  /** The standing SQ8 quantizer stats: per-dimension corpus min/max
+    * (batch residue EXCLUDED — new vectors are encoded with stats that
+    * never saw them), one pinned row of (lo[], hi[]) arrays.
+    */
+  private[ops] def sq8CorpusStats(spark: SparkSession, dir: String): DataFrame =
+    sq8StatsCache.getOrElseUpdate(spark, dir) {
+      Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % S21_MOD =!= S21_RES)
+        .select(col("embedding").cast("array<double>").as("v"))
+        .select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("mn")))).as("los"),
+          sort_array(collect_list(struct(col("pos"), col("mx")))).as("his"))
+        .select(transform(col("los"), s => s("mn")).as("lo"),
+          transform(col("his"), s => s("mx")).as("hi"))
+        .localCheckpoint()
+    }
+
+  /** The session-persisted ANN INDEX over the standing corpus (batch
+    * residue excluded): `(vec_id, cell, bucket, q)` — trained IVF cell
+    * ([[trainedCentroids]], s14's Lloyd artifact, min-L2/tie-low rule),
+    * s2's 4-plane sign bucket as the in-cell prefilter, and the SQ8 code
+    * from the corpus-trained stats. At 100 TB this is the index an
+    * embedding store persists and refreshes per epoch; s21's nightly
+    * apply probes it without touching the corpus again ([[Dedup.bandIndex]]
+    * is the same shape for documents). Eager count() barrier as there.
+    */
+  private[ops] def annIndex(spark: SparkSession, dir: String): DataFrame =
+    annIdxCache.getOrElseUpdate(spark, dir) {
+      val e = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % S21_MOD =!= S21_RES)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cells = kmAssignOf(e, trainedCentroids(spark, dir))
+        .select(col("vec_id"), col("cell"))
+      val coded = e
+        .withColumn("bucket", planeBucketCol(col("v")).cast("long"))
+        .crossJoin(broadcast(sq8CorpusStats(spark, dir)))
+        .select(col("vec_id"), col("bucket"), sq8ClampedCodeCol.as("q"))
+      val idx = cells.join(coded, "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx.count()
+      idx
+    }
+
+  /** Incremental ANN index apply — the d13 move for vectors, closing the
+    * last missing incremental-maintenance shape: a new 5% batch
+    * (`vec_id % `[[S21_MOD]]` = `[[S21_RES]]) is assigned to the TRAINED
+    * cells (s14's session-persisted Lloyd codebook — no retrain), encoded
+    * with the standing corpus quantizer stats, and scored against its
+    * (cell, s2-plane-bucket) neighborhood of the session-persisted
+    * [[annIndex]] via the codegen'd exact integer SQ8 dot
+    * ([[graft.functions.GraftExpressions.dotl]]). The SQ8 top-[[S21_K]]
+    * shortlist is refined with exact cosine, and each batch vector gets
+    * a d13-style verdict: candidate count, nearest neighbor, near-dup
+    * count at cosine ≥ [[S21_DUP]], admit flag.
+    *
+    * Scale shape: the index is built once per (session, corpus) — the
+    * apply is linear in the BATCH: one (cell, bucket) equi-join against
+    * the persisted index (avg fan-in corpus/(K·2^planes)), one bounded
+    * window, one ≤[[S21_K]]-row-per-probe exact refine, one batch-keyed
+    * rollup. No corpus self-join, no training stage, nothing collected.
+    * A production store would run exactly this per ingest epoch instead
+    * of re-running s14+s16 over the full corpus.
+    */
+  val s21IncrementalAnnApply: Q = Q.sql(
+    "s21_incremental_ann_apply",
+    s"Incremental ANN apply: 5% vector batch probes the persisted IVF+SQ8 index (trained cells, s2 buckets); exact-cosine verdicts per batch vector.",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS cell, u.p AS pos, u.x AS c
+       |  FROM (SELECT vec_id, UNNEST(list_transform(range(0, len(v)),
+       |          i -> struct_pack(p := i, x := v[i + 1]))) AS u
+       |        FROM e WHERE vec_id < $KM_K)),
+       |${(1 to KM_ROUNDS).map(kmRoundSql).mkString(",\n")},
+       |af AS (SELECT cell, list(c ORDER BY pos) AS cv FROM c$KM_ROUNDS GROUP BY cell),
+       |cells AS MATERIALIZED (
+       |${kmAssignSql("af")}),
+       |st AS (
+       |  SELECT i.i AS pos, MIN(v[i.i]) AS lo, MAX(v[i.i]) AS hi
+       |  FROM (SELECT * FROM e WHERE vec_id % $S21_MOD <> $S21_RES) ec,
+       |       UNNEST(range(1, $DIMS + 1)) AS i(i) GROUP BY 1),
+       |sa AS (SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi FROM st),
+       |idx AS MATERIALIZED (
+       |  SELECT c.vec_id, c.cell,
+       |         CAST(${planeBucketSql("c.v")} AS BIGINT) AS bucket,
+       |         ${sq8ClampedCodeSql("c.v")} AS q
+       |  FROM cells c, sa),
+       |bat AS (SELECT * FROM idx WHERE vec_id % $S21_MOD = $S21_RES),
+       |cor AS (SELECT * FROM idx WHERE vec_id % $S21_MOD <> $S21_RES),
+       |cand AS (
+       |  SELECT b.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(1, $DIMS + 1), i -> b.q[i] * c.q[i])), (x, y) -> x + y) AS dotq
+       |  FROM bat b JOIN cor c ON b.cell = c.cell AND b.bucket = c.bucket),
+       |rk AS (
+       |  SELECT probe_id, neighbor_id, dotq,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dotq DESC, neighbor_id) AS rnk,
+       |         COUNT(*) OVER (PARTITION BY probe_id) AS n_cand
+       |  FROM cand),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm
+       |  FROM e),
+       |ref AS (
+       |  SELECT r.probe_id, r.neighbor_id, r.n_cand,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(pn.v) + 1), i -> pn.v[i] * cn.v[i])), (x, y) -> x + y)
+       |           / (pn.nrm * cn.nrm) AS cos
+       |  FROM rk r
+       |  JOIN n pn ON pn.vec_id = r.probe_id
+       |  JOIN n cn ON cn.vec_id = r.neighbor_id
+       |  WHERE r.rnk <= $S21_K),
+       |best AS (
+       |  SELECT probe_id, neighbor_id, n_cand, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS brk
+       |  FROM ref),
+       |roll AS (
+       |  SELECT probe_id, MAX(n_cand) AS n_cand,
+       |         MAX(CASE WHEN brk = 1 THEN neighbor_id END) AS nn_id,
+       |         MAX(CASE WHEN brk = 1 THEN cos END) AS nn_cos,
+       |         COUNT(CASE WHEN cos >= $S21_DUP THEN 1 END) AS n_dups
+       |  FROM best GROUP BY 1)
+       |SELECT b.vec_id, b.cell, b.bucket,
+       |       CAST(COALESCE(r.n_cand, 0) AS BIGINT) AS n_cand,
+       |       r.nn_id, ROUND(r.nn_cos, 6) AS nn_cosine,
+       |       CAST(COALESCE(r.n_dups, 0) AS BIGINT) AS n_dups,
+       |       CAST(CASE WHEN COALESCE(r.n_dups, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS admit
+       |FROM bat b LEFT JOIN roll r ON b.vec_id = r.probe_id
+       |ORDER BY b.vec_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftExpressions.register(spark)
+    val idx = annIndex(spark, dir)
+    // batch side: assign to the TRAINED cells (pinned codebook — no
+    // retrain in this plan), bucket + encode with the standing stats;
+    // pinned because the candidate probe and the verdict spine share it
+    val eb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % S21_MOD === S21_RES)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bat = kmAssignOf(eb, trainedCentroids(spark, dir))
+      .withColumn("bucket", planeBucketCol(col("v")).cast("long"))
+      .crossJoin(broadcast(sq8CorpusStats(spark, dir)))
+      .select(col("vec_id"), col("cell"), col("bucket"), sq8ClampedCodeCol.as("q"))
+      .localCheckpoint()
+    val cand = bat
+      .select(col("vec_id").as("probe_id"), col("cell"), col("bucket"),
+        col("q").as("pq"))
+      .join(idx.select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("bucket"), col("q")), Seq("cell", "bucket"))
+      .select(col("probe_id"), col("neighbor_id"),
+        graft.functions.GraftExpressions.dotl(col("pq"), col("q")).as("dotq"))
+    val wr = Window.partitionBy(col("probe_id")).orderBy(col("dotq").desc, col("neighbor_id"))
+    val wc = Window.partitionBy(col("probe_id"))
+    val rk = cand
+      .withColumn("rnk", row_number().over(wr))
+      .withColumn("n_cand", count(lit(1)).over(wc))
+      .filter(col("rnk") <= S21_K)
+    val n = Dedup.normedVectors(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val ref = rk
+      .join(n.select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm")), "probe_id")
+      .join(n.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("nrm").as("nnrm")), "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"), col("n_cand"),
+        Dedup.cosineCol(col("pv"), col("nv"), col("pnrm"), col("nnrm")).as("cos"))
+    val wb = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val roll = ref.withColumn("brk", row_number().over(wb))
+      .groupBy(col("probe_id")).agg(
+        max(col("n_cand")).as("n_cand"),
+        max(when(col("brk") === 1, col("neighbor_id"))).as("nn_id"),
+        max(when(col("brk") === 1, col("cos"))).as("nn_cos"),
+        count(when(col("cos") >= S21_DUP, lit(1))).as("n_dups"))
+    bat.select(col("vec_id"), col("cell"), col("bucket"))
+      .join(roll, col("vec_id") === col("probe_id"), "left_outer")
+      .select(col("vec_id"), col("cell"), col("bucket"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("nn_id"), round(col("nn_cos"), 6).as("nn_cosine"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        when(coalesce(col("n_dups"), lit(0L)) === 0, lit(1L)).otherwise(lit(0L))
+          .as("admit"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4LabelCentroids,
     s5KnnJoin, s6Quantize, s7Mips, s8AnnRerank, s9RetrievalE2e, s10PqEncode,
     s11RecallCurve, s12IvfPq, s13HybridRrf, s14KmeansTrain, s15BinaryQuant,
-    s16TrainedIvf, s17MmrDiversify, s18MultiProbe, s19Sq8Search, s20PqTrain)
+    s16TrainedIvf, s17MmrDiversify, s18MultiProbe, s19Sq8Search, s20PqTrain,
+    s21IncrementalAnnApply)
 }

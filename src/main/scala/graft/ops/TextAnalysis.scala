@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import graft.functions.DetHash
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the
@@ -1041,6 +1041,32 @@ object TextAnalysis {
     * (`etl.js:50-79`). max_tf is O(distinct·n) per row on a ≤1k-token
     * doc — bounded work per row, never a join.
     */
+  /** t20's five-rule stat frame (doc_id, n_tokens, sum_len, n_distinct,
+    * n_stop, max_tf) — one split, all rule inputs off the shared array.
+    * Shared by t20's report and p15's gate stage so the two cannot drift.
+    */
+  private[ops] def gopherStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        aggregate(col("w"), lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        stopHits(col("w"), enStops).cast("long").as("n_stop"),
+        array_max(transform(array_distinct(col("w")),
+          t => size(filter(col("w"), x => x === t)))).cast("long").as("max_tf"))
+
+  /** The five t20 rule predicates, in t20's emission order, over
+    * [[gopherStats]] columns — all-integer arithmetic, engine-exact.
+    */
+  private[ops] def gopherRules: Seq[Column] = Seq(
+    col("n_tokens").between(30L, 1000L),
+    lit(7L) * col("n_tokens") <= lit(2L) * col("sum_len") &&
+      lit(2L) * col("sum_len") <= lit(9L) * col("n_tokens"),
+    lit(2L) * col("n_distinct") >= col("n_tokens"),
+    col("n_stop") >= 2L,
+    lit(8L) * col("max_tf") <= col("n_tokens"))
+
   val t20GopherRules: Q = Q.sql(
     "t20_gopher_rules",
     "Gopher-style 5-rule quality gate: per-rule booleans + conjunction, all-integer arithmetic.",
@@ -1070,22 +1096,8 @@ object TextAnalysis {
        |         AND 8 * max_tf <= n_tokens THEN 1 ELSE 0 END AS BIGINT) AS passes
        |FROM s ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val flag = (c: Column) => when(c, 1L).otherwise(0L)
-    val stats = Tables.documents(spark, dir)
-      // split once; all five rule inputs share the materialized array
-      .select(col("doc_id"), words.as("w"))
-      .select(col("doc_id"),
-        size(col("w")).cast("long").as("n_tokens"),
-        aggregate(col("w"), lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
-        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
-        stopHits(col("w"), enStops).cast("long").as("n_stop"),
-        array_max(transform(array_distinct(col("w")),
-          t => size(filter(col("w"), x => x === t)))).cast("long").as("max_tf"))
-    val rLen = col("n_tokens").between(30L, 1000L)
-    val rMean = lit(7L) * col("n_tokens") <= lit(2L) * col("sum_len") &&
-      lit(2L) * col("sum_len") <= lit(9L) * col("n_tokens")
-    val rDistinct = lit(2L) * col("n_distinct") >= col("n_tokens")
-    val rStop = col("n_stop") >= 2L
-    val rDom = lit(8L) * col("max_tf") <= col("n_tokens")
+    val stats = gopherStats(spark, dir)
+    val Seq(rLen, rMean, rDistinct, rStop, rDom) = gopherRules
     stats.select(col("doc_id"), col("n_tokens"), col("sum_len"),
         col("n_distinct"), col("n_stop"), col("max_tf"),
         flag(rLen).as("r_len"), flag(rMean).as("r_mean_len"),

@@ -2192,6 +2192,62 @@ class OpsSpec extends AnyFunSuite {
     assert(order(0L) !== order(1L), "epoch shuffle is a no-op")
   }
 
+  test("s21: every batch vector gets one verdict consistent with its refined shortlist") {
+    val rows = Similarity.s21IncrementalAnnApply.run(spark, sf).collect()
+    val allIds = graft.Tables.embeddings(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0))
+    val batchIds = allIds.filter(_ % 20 == 7).sorted.toSeq
+    // exactly the batch residue class, once each, in order
+    assert(rows.map(_.getAs[Long]("vec_id")).toSeq === batchIds)
+    rows.foreach { r =>
+      val nCand = r.getAs[Long]("n_cand")
+      val nDups = r.getAs[Long]("n_dups")
+      // dups are counted inside the <=5-row refined shortlist
+      assert(nDups <= math.min(5L, nCand))
+      assert(r.getAs[Long]("admit") === (if (nDups == 0) 1L else 0L))
+      if (nCand == 0) {
+        assert(r.isNullAt(r.fieldIndex("nn_id")), "nn without candidates")
+        assert(r.isNullAt(r.fieldIndex("nn_cosine")))
+      } else {
+        val nn = r.getAs[Long]("nn_id")
+        assert(nn % 20 != 7, s"nearest neighbor $nn is a batch vector")
+        val c = r.getAs[Double]("nn_cosine")
+        assert(c >= -1.0000005 && c <= 1.0000005)
+      }
+    }
+    // the 5% batch must actually find neighbors somewhere (index probed)
+    assert(rows.exists(_.getAs[Long]("n_cand") > 0))
+  }
+
+  test("p15: DAG witnesses equal the standalone stage operators; schedule is a dense pack permutation") {
+    val rows = Curation.p15CurationDag.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // stage-count witnesses are constant columns; check them against the
+    // standalone operators they compose
+    val nGated = rows.head.getAs[Long]("n_gated")
+    val nRetained = rows.head.getAs[Long]("n_retained")
+    val nTrain = rows.head.getAs[Long]("n_train")
+    val nDecon = rows.head.getAs[Long]("n_decon_removed")
+    val t20Pass = TextAnalysis.t20GopherRules.run(spark, sf).collect()
+      .filter(_.getAs[Long]("passes") == 1L).map(_.getAs[Long]("doc_id")).toSet
+    assert(nGated === t20Pass.size.toLong)
+    val d7Kept = Dedup.d7DedupApply.run(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(nRetained === (t20Pass intersect d7Kept).size.toLong)
+    assert(nTrain + nDecon <= nRetained)
+    // per-epoch: dense rank over one shared pack set; token conservation
+    val byEpoch = rows.groupBy(_.getAs[Long]("epoch"))
+    assert(byEpoch.keySet === Set(0L, 1L, 2L))
+    val packSet = byEpoch(0L)
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pack_id"))).toSet
+    byEpoch.foreach { case (_, es) =>
+      assert(es.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to packSet.size).toSeq)
+      assert(es.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pack_id"))).toSet === packSet)
+      assert(es.map(_.getAs[Long]("n_docs")).sum === nTrain)
+      es.foreach(r => assert(r.getAs[Long]("worker") === (r.getAs[Long]("rnk") - 1) % 8))
+    }
+  }
+
   test("m14: page-keyed top-k replays from the closed-form pixel model and quantized embeddings") {
     val rows = Multimodal.m14CrossModalPairs.run(spark, sf).collect()
     def bins(id: Long): Array[Long] = {

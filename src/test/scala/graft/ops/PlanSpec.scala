@@ -962,6 +962,36 @@ class PlanSpec extends AnyFunSuite {
       fp.contains("SortAggregate"), s"no per-batch-doc rollup in:\n$p")
   }
 
+  test("s21: the incremental apply probes the persisted ANN index; no retrain stage") {
+    val p = plan(Similarity.s21IncrementalAnnApply)
+    val fp = p.split("== Initial Plan ==").head
+    // the IVF+SQ8 index is session-persisted and the batch side is a
+    // pinned frame assigned against the pinned trained codebook — the
+    // nightly apply must probe via a (cell, bucket) equi-join with NO
+    // Lloyd retrain and no corpus self-join in its plan
+    assert(fp.contains("InMemoryTableScan"), s"ANN index not persisted in:\n$p")
+    assert(fp.contains("Scan ExistingRDD"), s"pinned batch frame not read in:\n$p")
+    assert(!fp.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(fp.contains("Window"), s"shortlist window missing in:\n$p")
+  }
+
+  test("p15: every DAG stage reads its pinned predecessor; no corpus rescan above the pins") {
+    val p = plan(Curation.p15CurationDag)
+    val fp = p.split("== Initial Plan ==").head
+    // the chain's stage frames (gate, split assignment, decon list, final
+    // train set) are localCheckpoint-pinned and the session-shared
+    // artifacts (cluster table, shingle frame) are persisted ONCE — the
+    // composed plan must therefore contain NO parquet scan at all: the
+    // packing/schedule/witness layers run entirely on pinned frames, so
+    // no stage can silently recompute another's work
+    assert(!fp.contains("Scan parquet"),
+      s"a DAG stage recomputed the corpus instead of reading a pinned frame:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(fp).size >= 4,
+      s"pinned stage frames missing in:\n$p")
+    assert(!fp.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(fp.contains("Window"), s"pack/schedule windows missing in:\n$p")
+  }
+
   test("m14: the pair mine is one page equi-join feeding a bounded per-image window") {
     val p = plan(Multimodal.m14CrossModalPairs)
     val fp = p.split("== Initial Plan ==").head
