@@ -2020,7 +2020,7 @@ object Similarity {
          |      THEN ${1 << p} ELSE 0 END""".stripMargin).mkString(" + ")
 
   /** s2's 4-hyperplane sign bucket as a Column — same fixed-order fold. */
-  private def planeBucketCol(v: Column): Column =
+  private[ops] def planeBucketCol(v: Column): Column =
     (0 until PLANES).map { p =>
       when(aggregate(zip_with(v, planeCol(p), (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x) > 0, lit(1 << p)).otherwise(lit(0))
@@ -2037,7 +2037,7 @@ object Similarity {
        |         ELSE CAST(LEAST(255.0, GREATEST(0.0, FLOOR(($vexpr[i] - sa.lo[i]) / (sa.hi[i] - sa.lo[i]) * 255.0 + 0.5))) AS BIGINT)
        |    END)""".stripMargin
 
-  private val sq8ClampedCodeCol: Column = expr(
+  private[ops] val sq8ClampedCodeCol: Column = expr(
     "transform(v, (x, i) -> CASE WHEN hi[i] = lo[i] THEN CAST(0 AS BIGINT) " +
       "ELSE CAST(least(CAST(255.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE), " +
       "floor((x - lo[i]) / (hi[i] - lo[i]) * 255.0 + 0.5))) AS BIGINT) END)")
@@ -2088,6 +2088,37 @@ object Similarity {
       idx.count()
       idx
     }
+
+  /** The trained codebook as ONE broadcastable row —
+    * `cents: array<struct<cell, cv>>` sorted by cell — the published
+    * artifact a STREAMING apply joins on a constant key (w23): the
+    * cell-ascending fold over this array with a strict-min comparison
+    * reproduces [[kmAssignOf]]'s (min dist, tie-low-cell) rule without
+    * the window streaming cannot run. Pinned: the static side of a
+    * stream-static join is re-evaluated per micro-batch.
+    */
+  private[ops] def codebookRow(spark: SparkSession, dir: String): DataFrame =
+    kmCentArr(trainedCentroids(spark, dir))
+      .agg(sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+      .localCheckpoint()
+
+  /** The [[kmAssignOf]] assignment as a pure per-row expression over the
+    * [[codebookRow]] `cents` column and a vector column `v`: per-cell
+    * distance is the identical fixed-order index fold; the cell-ascending
+    * fold keeps the FIRST strict minimum, which is exactly
+    * (ORDER BY dist, cell LIMIT 1). Stream-safe (no window).
+    */
+  private[ops] def cellOfExpr(v: Column, cents: Column): Column = {
+    val dists = transform(cents, c => struct(
+      aggregate(zip_with(v, c.getField("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, z) => acc + z).as("dist"),
+      c.getField("cell").as("cell")))
+    aggregate(dists,
+      struct(lit(Double.PositiveInfinity).as("dist"), lit(-1L).as("cell")),
+      (acc, d) => when(d.getField("dist") < acc.getField("dist"), d)
+        .otherwise(acc))
+      .getField("cell")
+  }
 
   /** Incremental ANN index apply — the d13 move for vectors, closing the
     * last missing incremental-maintenance shape: a new 5% batch

@@ -1361,10 +1361,155 @@ object StreamingQueries {
         when(col("corpus_doc").isNotNull, j).as("j"))
   }
 
+  /** Staged "new vectors" stream — s21's batch residue class
+    * (`vec_id % 20 = 7`) split into TWO vec_id-halved parquet files with
+    * forced ascending modtimes (the [[docsPath]] determinism contract,
+    * lifted to embeddings).
+    */
+  private val vecsStagedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def vecsPath(spark: SparkSession, dir: String): String =
+    vecsStagedDirs.getOrElseUpdate(dir, {
+      val out = fastTmpDir("graft_stream_vecs")
+      val batch = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 20 === 7)
+      val med = batch
+        .agg(expr("CAST(percentile(vec_id, 0.5) AS BIGINT)")).head.getLong(0)
+      Seq(("part-0", col("vec_id") <= med), ("part-1", col("vec_id") > med))
+        .foreach { case (name, cond) =>
+          val tmp = fastTmpDir(s"graft_stream_vecs_half_$name")
+          batch.filter(cond).repartition(1).write.mode("overwrite").parquet(tmp)
+          val f = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+            .filter(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet"))
+          require(f.length == 1, s"vec staging half $name: expected 1 file")
+          java.nio.file.Files.move(f(0).toPath,
+            java.nio.file.Paths.get(out, s"$name.parquet"))
+        }
+      val files = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+      val t0 = System.currentTimeMillis()
+      files.filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
+      out
+    })
+
+  /** Streaming incremental ANN apply — s21's nightly vector apply run as
+    * a STREAM: new embeddings arrive as files; the STREAMING PLAN carries
+    * the trained-cell assignment (the published codebook joined on a
+    * constant key and folded per-row — [[Similarity.cellOfExpr]]
+    * reproduces the min-L2/tie-low rule without a window), the s2 plane
+    * bucket, the SQ8 encode against the standing corpus stats, the
+    * stream-static LEFT join against the session-persisted
+    * [[Similarity.annIndex]], the integer-dot candidate score, and the
+    * exact-cosine refine against the persisted normed corpus — all
+    * stateless. The only batch-local step is the per-vector top-k rollup
+    * in `foreachBatch` (vectors carry no event time to watermark on;
+    * sound because each vector lives in exactly one staged file). The
+    * ORACLE IS s21's, verbatim: the streaming apply equals the batch
+    * apply row-for-row — w22's stream==batch contract, lifted from
+    * documents to vectors.
+    *
+    * 100 TB shape: codebook/stats are one-row pinned artifacts; the
+    * index probe is a stateless stream-static equi-join on
+    * (cell, bucket) against the persisted index; per-micro-batch work is
+    * linear in the batch. A deployment with ingest-timestamped vectors
+    * would replace the foreachBatch rollup with a watermarked aggregate.
+    */
+  val w23StreamIncrementalAnn: Q = Q.sql(
+    "w23_stream_incremental_ann",
+    "Streaming incremental ANN apply: new-vector stream probes the persisted IVF+SQ8 index in-plan; verdicts equal batch s21 row-for-row.",
+    Similarity.s21IncrementalAnnApply.oracle.get) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val stream = w23Stream(spark, dir)
+    val root = fastTmpDir("graft_w23_verdicts")
+    val written = scala.collection.mutable.ListBuffer.empty[String]
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        // batch-local rollup — mirrors Similarity.s21's shortlist/refine
+        // rollup exactly (cos is already computed in-stream; the window
+        // rank is the only piece streaming cannot run)
+        val cand = b.filter(col("neighbor_id").isNotNull)
+        val wr = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dotq").desc, col("neighbor_id"))
+        val wc = Window.partitionBy(col("vec_id"))
+        val ref = cand
+          .withColumn("rnk", row_number().over(wr))
+          .withColumn("n_cand", count(lit(1)).over(wc))
+          .filter(col("rnk") <= 5)
+        val wb = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        val roll = ref.withColumn("brk", row_number().over(wb))
+          .groupBy(col("vec_id")).agg(
+            max(col("n_cand")).as("n_cand"),
+            max(when(col("brk") === 1, col("neighbor_id"))).as("nn_id"),
+            max(when(col("brk") === 1, col("cos"))).as("nn_cos"),
+            count(when(col("cos") >= 0.98, lit(1))).as("n_dups"))
+        val out = s"$root/b$batchId"
+        b.select(col("vec_id"), col("cell"), col("bucket")).distinct()
+          .join(roll, Seq("vec_id"), "left_outer")
+          .select(col("vec_id"), col("cell"), col("bucket"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+            col("nn_id"), round(col("nn_cos"), 6).as("nn_cosine"),
+            coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+            when(coalesce(col("n_dups"), lit(0L)) === 0, lit(1L))
+              .otherwise(lit(0L)).as("admit"))
+          .write.mode("overwrite").parquet(out)
+        written.synchronized { written += out; () }
+        ()
+      }
+      .option("checkpointLocation", fastTmpDir("graft_ckpt_w23"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(written.nonEmpty, "w23: no micro-batch ran")
+    spark.read.parquet(written.toSeq.distinct: _*).orderBy("vec_id")
+  }
+
+  /** w23's streaming frame, unexecuted — PlanSpec pins its shape (four
+    * stateless joins: two one-row artifact joins + the index probe + the
+    * normed-corpus refine; no stateful operator before foreachBatch).
+    */
+  private[graft] def w23Stream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftExpressions
+    GraftExpressions.register(spark)
+    val staged = vecsPath(spark, dir)
+    // static sides, built and pinned on the OUTER session: the published
+    // codebook + quantizer stats (one-row artifacts), the persisted ANN
+    // index, and the persisted normed corpus (refine side)
+    val cb = Similarity.codebookRow(spark, dir).withColumn("k", lit(1))
+    val stats = Similarity.sq8CorpusStats(spark, dir).withColumn("k", lit(1))
+    val idx = Similarity.annIndex(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("bucket"), col("q").as("nq"))
+    val n = Dedup.normedVectors(spark, dir)
+      .filter(col("vec_id") % 20 =!= 7)
+      .select(col("vec_id").as("nn_vec"), col("v").as("nv"), col("nrm").as("nnrm"))
+    val sch = spark.read.parquet(staged).schema
+    spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("k", lit(1))
+      .join(cb, "k")
+      .withColumn("cell", Similarity.cellOfExpr(col("v"), col("cents")))
+      .drop("cents")
+      .join(stats, "k")
+      .withColumn("bucket", Similarity.planeBucketCol(col("v")).cast("long"))
+      .withColumn("q", Similarity.sq8ClampedCodeCol)
+      .withColumn("nrm", sqrt(GraftExpressions.dot(col("v"), col("v"))))
+      .drop("lo", "hi", "k")
+      .join(idx, Seq("cell", "bucket"), "left_outer")
+      .join(n, col("neighbor_id") === col("nn_vec"), "left_outer")
+      .select(col("vec_id"), col("cell"), col("bucket"), col("neighbor_id"),
+        when(col("neighbor_id").isNotNull,
+          GraftExpressions.dotl(col("q"), col("nq"))).as("dotq"),
+        when(col("neighbor_id").isNotNull,
+          Dedup.cosineCol(col("v"), col("nv"), col("nrm"), col("nnrm"))).as("cos"))
+  }
+
   val all: Seq[Q] = Seq(w3StreamTumbling, w4StreamSession, w5StreamDedup,
     w6CustomSessionizer, w7StreamJoin, w10StreamStatic, w11StreamUpsert,
     w12StreamHopping, w13StreamOuterJoin, w14StreamFullOuter,
     w15StreamTimeoutSessions, w16StreamRestart, w17StreamLateDrop,
     w18StreamStateRestart, w19StreamSemiJoin, w20ChainedAgg, w21JoinThenAgg,
-    w22StreamIncrementalDedup)
+    w22StreamIncrementalDedup, w23StreamIncrementalAnn)
 }

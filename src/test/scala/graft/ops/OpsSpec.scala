@@ -2248,6 +2248,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("w23: the streaming ANN apply equals batch s21 row-for-row") {
+    // w22's stream==batch contract, lifted from documents to vectors:
+    // two REAL micro-batches through the codebook-fold assignment +
+    // index probe + refine must reproduce the batch verdicts exactly
+    val batch = Similarity.s21IncrementalAnnApply.run(spark, sf).collect().toSeq
+    val stream = StreamingQueries.w23StreamIncrementalAnn.run(spark, sf)
+      .collect().toSeq
+    assert(stream === batch)
+    assert(StreamingQueries.w23StreamIncrementalAnn.oracle ===
+      Similarity.s21IncrementalAnnApply.oracle)
+  }
+
   test("m14: page-keyed top-k replays from the closed-form pixel model and quantized embeddings") {
     val rows = Multimodal.m14CrossModalPairs.run(spark, sf).collect()
     def bins(id: Long): Array[Long] = {

@@ -1070,6 +1070,25 @@ class PlanSpec extends AnyFunSuite {
       s"stateful op crept into the streaming plan:\n$plan")
   }
 
+  test("w23: the streaming plan is four stateless joins, no stateful op before foreachBatch") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join}
+    val plan = optimizedStreaming(StreamingQueries.w23Stream(spark, sf))
+    // restrict to STREAM-side nodes: the persisted static artifacts
+    // (ANN index, normed corpus) keep their full logical lineage at this
+    // level (cache substitution is physical-planning-time), and that
+    // lineage legitimately contains the index build's joins/aggregates —
+    // what must be stateless is the streaming path itself
+    val joins = plan.collect { case j: Join if j.isStreaming => j }
+    // codebook + stats (one-row artifacts, inner on a constant key) +
+    // index probe + normed-corpus refine (both left outer)
+    assert(joins.size == 4, s"expected 4 artifact/probe/refine joins in:\n$plan")
+    assert(joins.count(_.joinType.sql == "LEFT OUTER") == 2,
+      s"zero-candidate vectors must keep a row (left outer probes) in:\n$plan")
+    assert(plan.collect { case a: Aggregate if a.isStreaming => a }.isEmpty &&
+      plan.collect { case d: Deduplicate if d.isStreaming => d }.isEmpty,
+      s"stateful op crept into the streaming plan:\n$plan")
+  }
+
   test("w21: the optimized stream chains a watermarked join INTO an aggregation") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, EventTimeWatermark, Join}
     val plan = optimizedStreaming(StreamingQueries.w21Chained(spark, sf))
