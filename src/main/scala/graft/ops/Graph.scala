@@ -1216,7 +1216,98 @@ object Graph {
       .limit(LP_TOPN)
   }
 
+  // the "today's arrivals" slice of the mutual graph: a fixed ~10%
+  // residue class of edges held out as the nightly batch (the d13/s21
+  // convention, lifted to edges — deterministic in both engines)
+  private val G11_MOD = 10
+  private val G11_RES = 3
+
+  /** Incremental edge apply — the d13/s21 move for graphs: a batch of
+    * NEW edges (the fixed residue class `(x + y) % `[[G11_MOD]]` =
+    * `[[G11_RES]] of the mutual graph) is applied against the STANDING
+    * graph (the session-persisted [[mutualEdges]] minus the batch), and
+    * each arriving edge gets its maintenance verdict: the triangles it
+    * closes on arrival (common neighbors in the standing graph — the
+    * incremental-triangle-count delta), both endpoints' standing
+    * degrees, the g10 Jaccard score, and whether the standing graph's
+    * link predictor would have flagged it (cn ≥ [[LP_MIN_CN]] — the
+    * prediction-validation loop a graph curation pass closes nightly).
+    *
+    * Scale shape: the standing adjacency is degree-capped at
+    * [[MUTUAL_TOP]] by construction, so per-batch-edge work is two ≤8-row
+    * neighbor probes meeting on the shared endpoint — linear in the
+    * BATCH, no wedge mine over the full graph, no recompute of the
+    * standing artifact (one persisted frame feeds the batch slice, the
+    * standing slice, and both probes). Incremental triangle maintenance
+    * is how a 100 TB graph keeps g4's count current without re-running
+    * it.
+    */
+  val g11IncrementalEdges: Q = Q.sql(
+    "g11_incremental_edges",
+    s"Incremental edge apply: held-out mutual edges ((x+y) % $G11_MOD = $G11_RES) verdict against the standing graph — triangles closed, degrees, Jaccard, predicted flag.",
+    s"""WITH $mutCtesSql,
+       |bat AS (SELECT x, y FROM mut WHERE (x + y) % $G11_MOD = $G11_RES),
+       |sed AS MATERIALIZED (
+       |  SELECT x AS src, y AS dst FROM mut WHERE (x + y) % $G11_MOD <> $G11_RES
+       |  UNION ALL
+       |  SELECT y, x FROM mut WHERE (x + y) % $G11_MOD <> $G11_RES),
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM sed GROUP BY 1),
+       |cn AS (
+       |  SELECT b.x, b.y, COUNT(*) AS cn
+       |  FROM bat b
+       |  JOIN sed ea ON ea.src = b.x
+       |  JOIN sed eb ON eb.src = b.y AND eb.dst = ea.dst
+       |  GROUP BY 1, 2)
+       |SELECT b.x AS supp_x, b.y AS supp_y,
+       |       CAST(COALESCE(c.cn, 0) AS BIGINT) AS triangles_closed,
+       |       CAST(COALESCE(dx.d, 0) AS BIGINT) AS deg_x,
+       |       CAST(COALESCE(dy.d, 0) AS BIGINT) AS deg_y,
+       |       CAST(CASE WHEN COALESCE(dx.d, 0) + COALESCE(dy.d, 0) - COALESCE(c.cn, 0) = 0 THEN 0
+       |            ELSE (1000000 * COALESCE(c.cn, 0))
+       |                 // (COALESCE(dx.d, 0) + COALESCE(dy.d, 0) - COALESCE(c.cn, 0))
+       |       END AS BIGINT) AS jaccard_ppm,
+       |       CAST(CASE WHEN COALESCE(c.cn, 0) >= $LP_MIN_CN THEN 1 ELSE 0 END AS BIGINT) AS predicted
+       |FROM bat b
+       |LEFT JOIN cn c ON b.x = c.x AND b.y = c.y
+       |LEFT JOIN deg dx ON b.x = dx.node
+       |LEFT JOIN deg dy ON b.y = dy.node
+       |ORDER BY supp_x, supp_y""".stripMargin) { (spark, dir) =>
+    val mut = mutualEdges(spark, dir)
+    val isBatch = pmod(col("x") + col("y"), lit(G11_MOD)) === G11_RES
+    val bat = mut.filter(isBatch).select(col("x"), col("y"))
+    // standing adjacency, pinned: feeds the degree rollup and BOTH
+    // neighbor probes of the per-edge intersection
+    val sed = mut.filter(!isBatch)
+      .select(explode(array(
+        struct(col("x").as("src"), col("y").as("dst")),
+        struct(col("y").as("src"), col("x").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    val deg = sed.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val cn = bat
+      .join(sed.select(col("src").as("x"), col("dst").as("na")), "x")
+      .join(sed.select(col("src").as("y"), col("dst").as("na")), Seq("y", "na"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cn"))
+    val cnC = coalesce(col("cn"), lit(0L))
+    val dxC = coalesce(col("deg_x"), lit(0L))
+    val dyC = coalesce(col("deg_y"), lit(0L))
+    bat
+      .join(cn, Seq("x", "y"), "left_outer")
+      .join(broadcast(deg.select(col("node").as("x"), col("d").as("deg_x"))),
+        Seq("x"), "left_outer")
+      .join(broadcast(deg.select(col("node").as("y"), col("d").as("deg_y"))),
+        Seq("y"), "left_outer")
+      .select(col("x").as("supp_x"), col("y").as("supp_y"),
+        cnC.as("triangles_closed"), dxC.as("deg_x"), dyC.as("deg_y"),
+        when(dxC + dyC - cnC === 0, lit(0L))
+          .otherwise(expr(
+            "CAST((1000000 * coalesce(cn, 0L)) DIV (coalesce(deg_x, 0L) + coalesce(deg_y, 0L) - coalesce(cn, 0L)) AS BIGINT)"))
+          .as("jaccard_ppm"),
+        when(cnC >= LP_MIN_CN, lit(1L)).otherwise(lit(0L)).as("predicted"))
+      .orderBy("supp_x", "supp_y")
+  }
+
   val all: Seq[Q] = Seq(g1PageRank, g2BfsHops, g3SupplierAffinity,
     g4TriangleCount, g5KCore, g6PersonalizedPageRank, g7LabelPropagation,
-    g8RandomWalk, g9Modularity, g10LinkPrediction)
+    g8RandomWalk, g9Modularity, g10LinkPrediction, g11IncrementalEdges)
 }

@@ -2248,6 +2248,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("g11: per-edge verdicts are internally consistent and degree-capped") {
+    val rows = Graph.g11IncrementalEdges.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (x, y) = (r.getAs[Long]("supp_x"), r.getAs[Long]("supp_y"))
+      assert(x < y, "mutual edges are oriented x < y")
+      assert((x + y) % 10 === 3, s"non-batch edge ($x,$y) in the apply output")
+      val cn = r.getAs[Long]("triangles_closed")
+      val (dx, dy) = (r.getAs[Long]("deg_x"), r.getAs[Long]("deg_y"))
+      // standing degrees are capped by the mutual-top-K construction
+      assert(dx <= 8 && dy <= 8)
+      // a closed triangle needs a standing neighbor at BOTH endpoints
+      assert(cn <= math.min(dx, dy))
+      val expectedJ = if (dx + dy - cn == 0) 0L else (1000000L * cn) / (dx + dy - cn)
+      assert(r.getAs[Long]("jaccard_ppm") === expectedJ)
+      assert(r.getAs[Long]("predicted") === (if (cn >= 2) 1L else 0L))
+    }
+  }
+
   test("w23: the streaming ANN apply equals batch s21 row-for-row") {
     // w22's stream==batch contract, lifted from documents to vectors:
     // two REAL micro-batches through the codebook-fold assignment +

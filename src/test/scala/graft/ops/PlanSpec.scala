@@ -992,6 +992,18 @@ class PlanSpec extends AnyFunSuite {
     assert(fp.contains("Window"), s"pack/schedule windows missing in:\n$p")
   }
 
+  test("g11: the edge apply probes the pinned standing adjacency; no full wedge mine") {
+    val p = plan(Graph.g11IncrementalEdges)
+    val fp = p.split("== Initial Plan ==").head
+    // the mutual graph is the session-pinned artifact (localCheckpoint →
+    // ExistingRDD) and the standing adjacency is pinned too — the nightly
+    // apply joins batch edges to ≤8-row neighbor probes and must never
+    // re-mine wedges (or scan parquet) over the whole graph
+    assert(fp.contains("Scan ExistingRDD"), s"pinned frames not read in:\n$p")
+    assert(!fp.contains("Scan parquet"), s"the apply re-derived the graph from the fact tables:\n$p")
+    assert(!fp.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("m14: the pair mine is one page equi-join feeding a bounded per-image window") {
     val p = plan(Multimodal.m14CrossModalPairs)
     val fp = p.split("== Initial Plan ==").head
