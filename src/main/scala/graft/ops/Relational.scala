@@ -2690,15 +2690,25 @@ object Relational {
         (graft.functions.DetHash.md5Long60(
           concat(lit(s"cm$i:"), k.cast("string"))) % w).as("bucket"))
     }: _*)
-    val cells = li.select(col("l_partkey").as("k")).crossJoin(broadcast(wsel))
-      .select(explode(hashed(col("k"), col("w"))).as("e"))
-      .groupBy(col("e.i").as("i"), col("e.bucket").as("bucket"))
-      .agg(count(lit(1)).as("c"))
-    // exact top-10 = the probe set AND the judge surface; pinned (probe
-    // hash + final output both read it)
-    val ex = li.groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("key")).limit(10)
+    // one fact pass to per-key counts FIRST (the same rollup the exact
+    // top-10 needs anyway), THEN fan the d hash rows out over KEYS, not
+    // fact rows: the sketch-cell aggregate's input shrinks from |fact|·d
+    // to |keys|·d and its per-cell count becomes a sum of key counts —
+    // identical values (the oracle is unchanged), ~3× less explode/agg
+    // work at sf10, and the giant (i, bucket) hash map stops being
+    // memory-pressure-sensitive (dp17 swung 23–48s across runs on it)
+    val keyCounts = li.groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("kc"))
       .crossJoin(broadcast(wsel))
+      .localCheckpoint() // feeds the cell build AND the exact top-10
+    val cells = keyCounts
+      .select(col("kc"), explode(hashed(col("k"), col("w"))).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.bucket").as("bucket"))
+      .agg(sum(col("kc")).as("c"))
+    // exact top-10 = the probe set AND the judge surface
+    val ex = keyCounts
+      .orderBy(col("kc").desc, col("k")).limit(10)
+      .select(col("k").as("key"), col("kc").as("cnt"), col("w"))
       .localCheckpoint()
     val pr = ex.select(col("key"), col("cnt"),
       explode(hashed(col("key"), col("w"))).as("e"))

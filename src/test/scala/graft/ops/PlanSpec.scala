@@ -752,15 +752,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"tiny register frames shuffle-joined:\n$p")
   }
 
-  test("dp17: counters combine map-side; probes broadcast; ONE fact scan") {
+  test("dp17: counters combine map-side over the pinned key rollup; probes broadcast") {
     val p = plan(Relational.dp17CountMin)
-    assert(p.contains("partial_count"), s"counter build lost its partial phase in:\n$p")
-    // probes and width are localCheckpoint-pinned (their top-k ran as
-    // TakeOrderedAndProject inside the pin job) — the visible plan must
-    // scan lineitem exactly once, for the counter build
+    // the per-key rollup is pinned (ONE fact pass, shared with the exact
+    // top-10); the cell build sums key counts off that pin, so the
+    // visible plan holds NO parquet scan at all — and the giant
+    // (i, bucket) aggregate still combines map-side (partial_sum)
+    assert(p.contains("partial_sum"), s"cell build lost its partial phase in:\n$p")
     val finalPlan = p.split("== Initial Plan ==").head
-    assert("Scan parquet".r.findAllIn(finalPlan).size === 1,
-      s"expected exactly one fact scan (the counter build) in:\n$p")
+    assert(!finalPlan.contains("Scan parquet"),
+      s"fact table re-scanned above the key-rollup pin in:\n$p")
+    assert(finalPlan.contains("Scan ExistingRDD"),
+      s"pinned key rollup not read in:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast in:\n$p")
     assert(!p.contains("SortMergeJoin"), s"probe join shuffled the cell grid:\n$p")
   }
