@@ -608,6 +608,62 @@ object Multimodal {
     * [[SIG_HAMMING_MAX]]), then exact hamming verifies. The d4 SimHash
     * shape applied to binary payloads instead of token streams.
     */
+  private val payloadDotsCache =
+    new SessionCache[String, DataFrame](df => { df.unpersist(false); () })
+
+  /** Per-(doc, plane) SimHash projections over payload byte histograms —
+    * m6's signature kernel, session-persisted and shared with m16's
+    * incremental apply: one-pass byte histogram (≤256 narrow rows per
+    * doc — vs the hex-split explode this replaced: one 2-char string row
+    * per payload BYTE, measured 11.2s → ~1s at sf1) joined against the
+    * broadcast md5-derived 16×256 (plane, byte) weight table; `n_doc`
+    * rides the same aggregate for free (each byte contributes once per
+    * group, so SUM(cnt) = doc length on every plane). Returns
+    * (doc_id, p, dot, n_doc). At 100 TB this is the projection table a
+    * payload-dedup pipeline materializes once per corpus snapshot.
+    */
+  private[ops] def payloadDots(spark: SparkSession, dir: String): DataFrame =
+    payloadDotsCache.getOrElseUpdate(spark, dir) {
+      graft.functions.GraftExpressions.register(spark)
+      val c = Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          posexplode(graft.functions.GraftExpressions.byteHistArr(
+            col("text").cast("binary"))).as(Seq("bidx", "cnt")))
+        .filter(col("cnt") > 0)
+        .select(col("doc_id"), format_string("%02X", col("bidx")).as("byte"),
+          col("cnt"))
+      val planes = spark.range(SIG_PLANES).select(col("id").cast("int").as("p"))
+      val allBytes = spark.range(256)
+        .select(format_string("%02X", col("id")).as("wbyte"))
+      val pw = planes.crossJoin(allBytes)
+        .select(col("p"), col("wbyte"),
+          (DetHash.md5Long28(concat(lit("pw-"), col("p").cast("string"),
+            lit("-"), col("wbyte"))) % 1000 - 500).as("w"))
+      val d = c.join(broadcast(pw), col("byte") === col("wbyte"))
+        .groupBy(col("doc_id"), col("p"))
+        .agg(sum(col("cnt") * col("w")).as("dot"), sum(col("cnt")).as("n_doc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      d
+    }
+
+  /** Sign the (doc, plane) projections against the given 16-row center
+    * frame (p, gp, tot): bit p set iff dot·tot − n_doc·gp > 0 (the
+    * mean-centered comparison, exact in decimal128 internally). One
+    * definition for m6's full-corpus center and m16's standing-corpus
+    * center, so the two cannot drift. Returns (doc_id, sig).
+    */
+  private def signFrame(dots: DataFrame, g: DataFrame): DataFrame = {
+    val centered = expr(
+      "cast(dot as decimal(38,0)) * tot - cast(n_doc as decimal(38,0)) * gp")
+    dots
+      .join(broadcast(g.withColumnRenamed("p", "gp_p")), col("p") === col("gp_p"))
+      .withColumn("bit", when(centered > 0, expr("shiftleft(1L, p)")).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bit")).as("sig"))
+  }
+
   val m6PayloadSig: Q = Q.sql(
     "m6_payload_signature",
     s"Centered byte-histogram SimHash ($SIG_PLANES planes): near-dup payload pairs at hamming <= $SIG_HAMMING_MAX via banded join.",
@@ -646,45 +702,11 @@ object Multimodal {
        |   AND a.sig % 256 <> b.sig % 256)
        |WHERE hamming <= $SIG_HAMMING_MAX
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    // per-(doc, byte) counts off the one-pass histogram kernel: ≤256
-    // narrow rows per doc, vs the hex-split explode this replaces (one
-    // 2-char string row per payload BYTE — the whole corpus re-expanded
-    // just to be counted back down; measured 11.2s → ~1s at sf1)
-    graft.functions.GraftExpressions.register(spark)
-    val c = Tables.documents(spark, dir)
-      .filter(length(col("text")) > 0)
-      .select(col("doc_id"),
-        posexplode(graft.functions.GraftExpressions.byteHistArr(
-          col("text").cast("binary"))).as(Seq("bidx", "cnt")))
-      .filter(col("cnt") > 0)
-      .select(col("doc_id"), format_string("%02X", col("bidx")).as("byte"),
-        col("cnt"))
-    // md5-derived (plane, byte) weight table: 16×256, broadcast
-    val planes = spark.range(SIG_PLANES).select(col("id").cast("int").as("p"))
-    val allBytes = spark.range(256)
-      .select(format_string("%02X", col("id")).as("wbyte"))
-    val pw = planes.crossJoin(allBytes)
-      .select(col("p"), col("wbyte"),
-        (DetHash.md5Long28(concat(lit("pw-"), col("p").cast("string"),
-          lit("-"), col("wbyte"))) % 1000 - 500).as("w"))
-    // n_doc rides the same (doc, plane) aggregate for free: each byte
-    // contributes once per group, so SUM(cnt) = doc length on every plane
-    val dots = c.join(broadcast(pw), col("byte") === col("wbyte"))
-      .groupBy(col("doc_id"), col("p"))
-      .agg(sum(col("cnt") * col("w")).as("dot"), sum(col("cnt")).as("n_doc"))
-      // 2 consumers (plane globals + the sign pass) — checkpoint so the
-      // histogram join runs once
-      .localCheckpoint()
+    val dots = payloadDots(spark, dir)
     // corpus-center frame: 16 rows (plane sum + total bytes), broadcast
     val g = dots.groupBy(col("p"))
       .agg(sum(col("dot")).as("gp"), sum(col("n_doc")).as("tot"))
-    val centered = expr(
-      "cast(dot as decimal(38,0)) * tot - cast(n_doc as decimal(38,0)) * gp")
-    val sig = dots
-      .join(broadcast(g.withColumnRenamed("p", "gp_p")), col("p") === col("gp_p"))
-      .withColumn("bit", when(centered > 0, expr("shiftleft(1L, p)")).otherwise(0L))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("bit")).as("sig"))
+    val sig = signFrame(dots, g)
       .localCheckpoint() // 3 consumers below (2 band sides + the verify join)
     // banded candidates: equal low byte OR equal high byte → two
     // equi-joins, exactly the d4 shape (never an OR theta-join). The
@@ -1356,8 +1378,150 @@ object Multimodal {
       .orderBy("epoch", "rnk")
   }
 
+  // the "nightly asset ingest" slice: the d13/s21 residue convention on
+  // the documents-as-payloads table
+  private val M16_MOD = 20
+  private val M16_RES = 7
+
+  private val sigCenterCache = new SessionCache[String, DataFrame]()
+  private val sigIdxCache =
+    new SessionCache[String, DataFrame](df => { df.unpersist(false); () })
+
+  /** The STANDING SimHash center: per-plane projection sums over the
+    * corpus only (batch residue EXCLUDED) — the quantizer statistic the
+    * standing index was signed with; new payloads sign against it
+    * without re-centering (the s21 corpus-stats argument, for bytes).
+    * 16 rows, pinned.
+    */
+  private[ops] def sigCenter(spark: SparkSession, dir: String): DataFrame =
+    sigCenterCache.getOrElseUpdate(spark, dir) {
+      payloadDots(spark, dir)
+        .filter(col("doc_id") % M16_MOD =!= M16_RES)
+        .groupBy(col("p"))
+        .agg(sum(col("dot")).as("gp"), sum(col("n_doc")).as("tot"))
+        .localCheckpoint()
+    }
+
+  /** The session-persisted payload-signature INDEX over the standing
+    * corpus: (doc_id, sig) signed against [[sigCenter]] — the published
+    * artifact m16's nightly apply probes band-wise ([[Dedup.bandIndex]] /
+    * [[Similarity.annIndex]] for payload bytes).
+    */
+  private[ops] def payloadSigIndex(spark: SparkSession, dir: String): DataFrame =
+    sigIdxCache.getOrElseUpdate(spark, dir) {
+      val idx = signFrame(
+        payloadDots(spark, dir).filter(col("doc_id") % M16_MOD =!= M16_RES),
+        sigCenter(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx.count()
+      idx
+    }
+
+  /** Incremental payload apply — the d13/s21/g11 maintenance move for
+    * the multimodal family: a new payload batch (the fixed 5% residue
+    * `doc_id % `[[M16_MOD]]` = `[[M16_RES]]) is SimHash-signed against
+    * the STANDING center (no re-centering) and probes the
+    * session-persisted signature index through m6's two disjoint 8-bit
+    * band joins; every banded candidate is exact-verified by two-long
+    * bit_count, and each new payload gets the d13-style verdict:
+    * candidate count, near-dup count at hamming ≤ [[SIG_HAMMING_MAX]],
+    * lowest-id standing duplicate, admit flag.
+    *
+    * Scale shape: the projection table, center and index are built once
+    * per (session, corpus); the apply is linear in the BATCH — one
+    * histogram pass over new payloads, two band equi-joins against the
+    * persisted index (avg fan-in corpus/256 per band), one batch-keyed
+    * rollup. No corpus self-join in the incremental path; with this the
+    * maintenance shape exists for all four content families (documents,
+    * vectors, graphs, payloads).
+    */
+  val m16IncrementalPayloads: Q = Q.sql(
+    "m16_incremental_payloads",
+    s"Incremental payload apply: new-payload batch (doc_id % $M16_MOD = $M16_RES) signs against the standing SimHash center and probes the persisted band index; hamming verdicts per new payload.",
+    s"""WITH b AS (
+       |  SELECT doc_id, UNNEST(regexp_extract_all(hex(encode(text)), '[0-9A-F]{2}')) AS byte
+       |  FROM documents WHERE length(text) > 0),
+       |c AS MATERIALIZED (SELECT doc_id, byte, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+       |pw AS (
+       |  SELECT p.p, bb.byte,
+       |         ('0x' || substring(md5('pw-' || p.p || '-' || bb.byte), 1, 7))::BIGINT % 1000 - 500 AS w
+       |  FROM (SELECT UNNEST(range($SIG_PLANES)) AS p) p
+       |  CROSS JOIN (SELECT DISTINCT byte FROM c) bb),
+       |dots AS MATERIALIZED (
+       |  SELECT c.doc_id, pw.p, SUM(c.cnt * pw.w) AS dot, SUM(c.cnt) AS n_doc
+       |  FROM c JOIN pw ON c.byte = pw.byte GROUP BY 1, 2),
+       |g AS (
+       |  SELECT p, SUM(dot) AS gp, SUM(n_doc) AS tot FROM dots
+       |  WHERE doc_id % $M16_MOD <> $M16_RES GROUP BY p),
+       |sig AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |         CAST(SUM(CASE WHEN CAST(d.dot AS HUGEINT) * g.tot
+       |                            - CAST(d.n_doc AS HUGEINT) * g.gp > 0
+       |                       THEN 1 << d.p ELSE 0 END) AS BIGINT) AS sig
+       |  FROM dots d
+       |  JOIN g ON d.p = g.p
+       |  GROUP BY d.doc_id),
+       |bat AS (SELECT * FROM sig WHERE doc_id % $M16_MOD = $M16_RES),
+       |cor AS (SELECT * FROM sig WHERE doc_id % $M16_MOD <> $M16_RES),
+       |cand AS MATERIALIZED (
+       |  SELECT b.doc_id AS new_doc, c.doc_id AS corpus_doc,
+       |         CAST(bit_count(xor(b.sig, c.sig)) AS BIGINT) AS hamming
+       |  FROM bat b JOIN cor c ON b.sig % 256 = c.sig % 256
+       |  UNION ALL
+       |  SELECT b.doc_id, c.doc_id, CAST(bit_count(xor(b.sig, c.sig)) AS BIGINT)
+       |  FROM bat b JOIN cor c ON b.sig // 256 = c.sig // 256
+       |   AND b.sig % 256 <> c.sig % 256),
+       |roll AS (
+       |  SELECT new_doc, COUNT(*) AS n_candidates,
+       |         COUNT(CASE WHEN hamming <= $SIG_HAMMING_MAX THEN 1 END) AS n_dups,
+       |         MIN(CASE WHEN hamming <= $SIG_HAMMING_MAX THEN corpus_doc END) AS dup_of
+       |  FROM cand GROUP BY 1)
+       |SELECT b.doc_id, b.sig,
+       |       CAST(COALESCE(r.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |       CAST(COALESCE(r.n_dups, 0) AS BIGINT) AS n_dups,
+       |       r.dup_of,
+       |       CAST(CASE WHEN COALESCE(r.n_dups, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS admit
+       |FROM bat b LEFT JOIN roll r ON b.doc_id = r.new_doc
+       |ORDER BY b.doc_id""".stripMargin) { (spark, dir) =>
+    val idx = payloadSigIndex(spark, dir)
+    // batch side: sign the new payloads against the STANDING center;
+    // pinned (two band probes + the verdict spine share it)
+    val bat = signFrame(
+      payloadDots(spark, dir).filter(col("doc_id") % M16_MOD === M16_RES),
+      sigCenter(spark, dir))
+      .localCheckpoint()
+    // m6's two disjoint band joins, batch-vs-index (no a<b: the sides
+    // are different populations); candidates are NOT hamming-filtered —
+    // n_candidates is the probe-volume witness, n_dups the verified set
+    val cand = (0 until SIG_BANDS).map { band =>
+      val bandCol = if (band == 0) col("sig") % 256 else expr("sig div 256")
+      val l = bat.select(col("doc_id").as("new_doc"), col("sig").as("sig_a"),
+        bandCol.as("band"))
+      val r = idx.select(col("doc_id").as("corpus_doc"), col("sig").as("sig_b"),
+        bandCol.as("band2"))
+      val disjoint =
+        if (band == 0) lit(true) else expr("sig_a % 256 <> sig_b % 256")
+      l.join(r, col("band") === col("band2") && disjoint)
+        .select(col("new_doc"), col("corpus_doc"),
+          bit_count(expr("sig_a ^ sig_b")).cast("bigint").as("hamming"))
+    }.reduce(_ union _)
+    val roll = cand.groupBy(col("new_doc")).agg(
+      count(lit(1)).as("n_candidates"),
+      count(when(col("hamming") <= SIG_HAMMING_MAX, lit(1))).as("n_dups"),
+      min(when(col("hamming") <= SIG_HAMMING_MAX, col("corpus_doc"))).as("dup_of"))
+    bat.select(col("doc_id"), col("sig"))
+      .join(roll, col("doc_id") === col("new_doc"), "left_outer")
+      .select(col("doc_id"), col("sig"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("dup_of"),
+        when(coalesce(col("n_dups"), lit(0L)) === 0, lit(1L)).otherwise(lit(0L))
+          .as("admit"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(m1Meta, m2PayloadStats, m3FrameSample, m4TypedRollup,
     m5ShardPack, m6PayloadSig, m7ImageDecode, m8ImageAHash, m9AudioEnergy,
     m10SceneCut, m11PatchGrid, m12SceneStats, m13SilenceTrim,
-    m14CrossModalPairs, m15LoaderOrder)
+    m14CrossModalPairs, m15LoaderOrder, m16IncrementalPayloads)
 }

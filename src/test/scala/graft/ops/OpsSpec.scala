@@ -2267,6 +2267,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m16: every new payload gets one verdict; dups cite standing docs at hamming <= 1") {
+    val rows = Multimodal.m16IncrementalPayloads.run(spark, sf).collect()
+    val expected = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) > 0)
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 20 == 7).sorted.toSeq
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq === expected)
+    rows.foreach { r =>
+      val sig = r.getAs[Long]("sig")
+      assert(sig >= 0 && sig < (1L << 16), "16-plane signature out of range")
+      val nd = r.getAs[Long]("n_dups")
+      assert(nd <= r.getAs[Long]("n_candidates"))
+      assert(r.getAs[Long]("admit") === (if (nd == 0) 1L else 0L))
+      if (nd > 0) {
+        val dup = r.getAs[Long]("dup_of")
+        assert(dup % 20 != 7, s"dup_of $dup cites a batch doc, not the standing corpus")
+      } else assert(r.isNullAt(r.fieldIndex("dup_of")))
+    }
+  }
+
   test("w23: the streaming ANN apply equals batch s21 row-for-row") {
     // w22's stream==batch contract, lifted from documents to vectors:
     // two REAL micro-batches through the codebook-fold assignment +

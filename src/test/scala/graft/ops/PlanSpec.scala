@@ -1007,6 +1007,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!fp.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("m16: the payload apply probes the persisted signature index; no corpus self-join") {
+    val p = plan(Multimodal.m16IncrementalPayloads)
+    val fp = p.split("== Initial Plan ==").head
+    // the projection table + signature index are session-persisted and
+    // the batch signature frame is pinned — the nightly apply is two
+    // band equi-joins against the index plus one batch-keyed rollup
+    assert(fp.contains("InMemoryTableScan"), s"signature index not persisted in:\n$p")
+    assert(fp.contains("Scan ExistingRDD"), s"pinned batch signatures not read in:\n$p")
+    assert(!fp.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(fp.contains("HashAggregate") || fp.contains("ObjectHashAggregate") ||
+      fp.contains("SortAggregate"), s"no per-batch-doc rollup in:\n$p")
+  }
+
   test("m14: the pair mine is one page equi-join feeding a bounded per-image window") {
     val p = plan(Multimodal.m14CrossModalPairs)
     val fp = p.split("== Initial Plan ==").head
