@@ -1254,9 +1254,112 @@ object EtlQueries {
       .orderBy("k", "change_type")
   }
 
+  /** Nightly MAINTENANCE DAG — the second composed plan a training-data
+    * team runs (p15 covers curation; this covers upkeep): e10 small-file
+    * compaction → e12 CDC MERGE apply → the four incremental applies
+    * (d13 docs, s21 vectors, g11 edges, m16 payloads), rolled into ONE
+    * six-row run manifest with per-stage witnesses — the lineage record
+    * a maintenance orchestrator logs nightly. Both sides COMPOSE the
+    * component definitions verbatim: the Spark plan is a union of six
+    * constant-size rollups over the components' own dataflows (each
+    * probing its session-persisted artifact — band index, ANN index,
+    * standing adjacency, signature index — exactly once), and the oracle
+    * embeds each component's registered oracle SQL as a subquery, so the
+    * DAG can never drift from the stages it orchestrates.
+    *
+    * Manifest columns (uniform, all BIGINT): `n_rows` = the stage's
+    * verdict/output rows; `n_acted` = rows the stage acted on (files
+    * compacted away / rows updated+inserted / duplicates quarantined /
+    * edges the standing predictor had flagged); `n_kept` = rows surviving
+    * (docs kept, merged rows, admitted batch members, arriving edges);
+    * `witness` = the stage's integrity checksum (text-checksum sum, min
+    * merged key, duplicate-target id sums, triangle-delta sum).
+    *
+    * Scale shape: every stage is the already-laddered component plan —
+    * linear in its batch, artifact-probing, nothing quadratic; the
+    * manifest itself adds six 1-row aggregates and a 6-row union. At
+    * 100 TB this runs as one job whose stages share the published
+    * artifacts instead of six jobs re-deriving them.
+    */
+  val e18MaintenanceDag: Q = {
+    def sub(q: Q): String = q.oracle.get
+    Q.sql(
+      "e18_maintenance_dag",
+      "Nightly maintenance DAG: compaction -> MERGE apply -> four incremental applies (docs/vectors/edges/payloads), as one six-row manifest with per-stage witnesses.",
+      s"""SELECT * FROM (
+         |SELECT 1 AS stage_id, 'compact' AS stage,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(MAX(staged_files) AS BIGINT) AS n_acted,
+         |       CAST(SUM(n_docs) AS BIGINT) AS n_kept,
+         |       CAST(SUM(text_checksum) AS BIGINT) AS witness
+         |FROM (${sub(e10Compaction)}) c
+         |UNION ALL
+         |SELECT 2, 'merge', CAST(COUNT(*) AS BIGINT),
+         |       CAST(SUM(CASE WHEN status IN ('X', 'N') THEN n_rows ELSE 0 END) AS BIGINT),
+         |       CAST(SUM(n_rows) AS BIGINT),
+         |       CAST(MIN(min_key) AS BIGINT)
+         |FROM (${sub(e12MergeUpsert)}) m
+         |UNION ALL
+         |SELECT 3, 'dedup_apply', CAST(COUNT(*) AS BIGINT),
+         |       CAST(COUNT(CASE WHEN admit = 0 THEN 1 END) AS BIGINT),
+         |       CAST(SUM(admit) AS BIGINT),
+         |       CAST(SUM(COALESCE(dup_of, -1)) AS BIGINT)
+         |FROM (${sub(Dedup.d13IncrementalMinHash)}) d
+         |UNION ALL
+         |SELECT 4, 'ann_apply', CAST(COUNT(*) AS BIGINT),
+         |       CAST(COUNT(CASE WHEN admit = 0 THEN 1 END) AS BIGINT),
+         |       CAST(SUM(admit) AS BIGINT),
+         |       CAST(SUM(COALESCE(nn_id, -1)) AS BIGINT)
+         |FROM (${sub(Similarity.s21IncrementalAnnApply)}) s
+         |UNION ALL
+         |SELECT 5, 'edge_apply', CAST(COUNT(*) AS BIGINT),
+         |       CAST(SUM(predicted) AS BIGINT),
+         |       CAST(COUNT(*) AS BIGINT),
+         |       CAST(SUM(triangles_closed) AS BIGINT)
+         |FROM (${sub(Graph.g11IncrementalEdges)}) g
+         |UNION ALL
+         |SELECT 6, 'payload_apply', CAST(COUNT(*) AS BIGINT),
+         |       CAST(COUNT(CASE WHEN admit = 0 THEN 1 END) AS BIGINT),
+         |       CAST(SUM(admit) AS BIGINT),
+         |       CAST(SUM(COALESCE(dup_of, -1)) AS BIGINT)
+         |FROM (${sub(Multimodal.m16IncrementalPayloads)}) p
+         |) ORDER BY stage_id""".stripMargin) { (spark, dir) =>
+      def manifest(id: Long, name: String, df: org.apache.spark.sql.DataFrame,
+          nActed: org.apache.spark.sql.Column,
+          nKept: org.apache.spark.sql.Column,
+          witness: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            nActed.cast("bigint").as("n_acted"),
+            nKept.cast("bigint").as("n_kept"),
+            witness.cast("bigint").as("witness"))
+          .select(lit(id).as("stage_id"), lit(name).as("stage"),
+            col("n_rows"), col("n_acted"), col("n_kept"), col("witness"))
+      val stages = Seq(
+        manifest(1L, "compact", e10Compaction.run(spark, dir),
+          max(col("staged_files")), sum(col("n_docs")),
+          sum(col("text_checksum"))),
+        manifest(2L, "merge", e12MergeUpsert.run(spark, dir),
+          sum(when(col("status").isin("X", "N"), col("n_rows")).otherwise(0L)),
+          sum(col("n_rows")), min(col("min_key"))),
+        manifest(3L, "dedup_apply", Dedup.d13IncrementalMinHash.run(spark, dir),
+          count(when(col("admit") === 0, lit(1))), sum(col("admit")),
+          sum(coalesce(col("dup_of"), lit(-1L)))),
+        manifest(4L, "ann_apply", Similarity.s21IncrementalAnnApply.run(spark, dir),
+          count(when(col("admit") === 0, lit(1))), sum(col("admit")),
+          sum(coalesce(col("nn_id"), lit(-1L)))),
+        manifest(5L, "edge_apply", Graph.g11IncrementalEdges.run(spark, dir),
+          sum(col("predicted")), count(lit(1)),
+          sum(col("triangles_closed"))),
+        manifest(6L, "payload_apply", Multimodal.m16IncrementalPayloads.run(spark, dir),
+          count(when(col("admit") === 0, lit(1))), sum(col("admit")),
+          sum(coalesce(col("dup_of"), lit(-1L)))))
+      stages.reduce(_ unionAll _).orderBy("stage_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(e1ItemPipeline, e2AssessmentPipeline, e3JsonlRoundtrip,
     e4OrcRoundtrip, e5PartitionedRoundtrip, e6BucketedJoin, e7CsvRoundtrip,
     e8SchemaEvolution, e9SortedSkipping, e10Compaction, e11Zorder,
     e12MergeUpsert, e13TimeTravel, e14ForgetCascade, e15Vacuum,
-    e16DynamicOverwrite, e17ChangeFeed)
+    e16DynamicOverwrite, e17ChangeFeed, e18MaintenanceDag)
 }

@@ -1147,7 +1147,7 @@ object Graph {
       .orderBy("community")
   }
 
-  private val LP_MIN_CN = 2
+  private[ops] val LP_MIN_CN = 2
   private val LP_TOPN = 100
 
   /** Link prediction over the mutual-top-[[MUTUAL_TOP]] partner graph:
@@ -1219,8 +1219,51 @@ object Graph {
   // the "today's arrivals" slice of the mutual graph: a fixed ~10%
   // residue class of edges held out as the nightly batch (the d13/s21
   // convention, lifted to edges — deterministic in both engines)
-  private val G11_MOD = 10
-  private val G11_RES = 3
+  // private[ops]: w24 (the streaming twin) reuses g11's oracle verbatim,
+  // so its staging and standing-graph slices must reference these same
+  // constants — a local hardcode there could drift the stream==batch
+  // contract (the S21/w23 rule, applied to edges)
+  private[ops] val G11_MOD = 10
+  private[ops] val G11_RES = 3
+
+  private val standingAdjCache = new SessionCache[String, DataFrame]()
+  private val standingDegCache = new SessionCache[String, DataFrame]()
+
+  private def isG11Batch =
+    pmod(col("x") + col("y"), lit(G11_MOD)) === G11_RES
+
+  /** g11's arriving-edge batch: the fixed residue class of the mutual
+    * graph. Shared with w24's staging so batch and stream apply to the
+    * identical edge set.
+    */
+  private[ops] def g11BatchEdges(spark: SparkSession, dir: String): DataFrame =
+    mutualEdges(spark, dir).filter(isG11Batch).select(col("x"), col("y"))
+
+  /** The STANDING symmetric adjacency (batch residue excluded), pinned
+    * and session-shared: feeds g11's degree rollup and both neighbor
+    * probes, and is the static side of w24's stream-static joins (a
+    * stream-static join re-evaluates its static plan per micro-batch —
+    * the pin makes that a cached-frame read).
+    */
+  private[ops] def standingAdj(spark: SparkSession, dir: String): DataFrame =
+    standingAdjCache.getOrElseUpdate(spark, dir) {
+      mutualEdges(spark, dir).filter(!isG11Batch)
+        .select(explode(array(
+          struct(col("x").as("src"), col("y").as("dst")),
+          struct(col("y").as("src"), col("x").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .localCheckpoint()
+    }
+
+  /** Standing per-node degree over [[standingAdj]], pinned (w24 joins it
+    * per micro-batch; g11 broadcasts it twice).
+    */
+  private[ops] def standingDeg(spark: SparkSession, dir: String): DataFrame =
+    standingDegCache.getOrElseUpdate(spark, dir) {
+      standingAdj(spark, dir)
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+        .localCheckpoint()
+    }
 
   /** Incremental edge apply — the d13/s21 move for graphs: a batch of
     * NEW edges (the fixed residue class `(x + y) % `[[G11_MOD]]` =
@@ -1272,18 +1315,11 @@ object Graph {
        |LEFT JOIN deg dx ON b.x = dx.node
        |LEFT JOIN deg dy ON b.y = dy.node
        |ORDER BY supp_x, supp_y""".stripMargin) { (spark, dir) =>
-    val mut = mutualEdges(spark, dir)
-    val isBatch = pmod(col("x") + col("y"), lit(G11_MOD)) === G11_RES
-    val bat = mut.filter(isBatch).select(col("x"), col("y"))
-    // standing adjacency, pinned: feeds the degree rollup and BOTH
-    // neighbor probes of the per-edge intersection
-    val sed = mut.filter(!isBatch)
-      .select(explode(array(
-        struct(col("x").as("src"), col("y").as("dst")),
-        struct(col("y").as("src"), col("x").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
-    val deg = sed.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val bat = g11BatchEdges(spark, dir)
+    // standing adjacency, pinned & session-shared with w24: feeds the
+    // degree rollup and BOTH neighbor probes of the per-edge intersection
+    val sed = standingAdj(spark, dir)
+    val deg = standingDeg(spark, dir)
     val cn = bat
       .join(sed.select(col("src").as("x"), col("dst").as("na")), "x")
       .join(sed.select(col("src").as("y"), col("dst").as("na")), Seq("y", "na"))

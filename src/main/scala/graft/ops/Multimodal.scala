@@ -581,8 +581,8 @@ object Multimodal {
   }
 
   private val SIG_PLANES = 16
-  private val SIG_BANDS = 2
-  private val SIG_HAMMING_MAX = 1
+  private[ops] val SIG_BANDS = 2
+  private[ops] val SIG_HAMMING_MAX = 1
 
   /** Payload-signature near-dup: a CENTERED SimHash over each asset's
     * BYTE histogram — the codec-free analog of a perceptual hash.
@@ -633,20 +633,28 @@ object Multimodal {
         .filter(col("cnt") > 0)
         .select(col("doc_id"), format_string("%02X", col("bidx")).as("byte"),
           col("cnt"))
-      val planes = spark.range(SIG_PLANES).select(col("id").cast("int").as("p"))
-      val allBytes = spark.range(256)
-        .select(format_string("%02X", col("id")).as("wbyte"))
-      val pw = planes.crossJoin(allBytes)
-        .select(col("p"), col("wbyte"),
-          (DetHash.md5Long28(concat(lit("pw-"), col("p").cast("string"),
-            lit("-"), col("wbyte"))) % 1000 - 500).as("w"))
-      val d = c.join(broadcast(pw), col("byte") === col("wbyte"))
+      val d = c.join(broadcast(planeWeights(spark)), col("byte") === col("wbyte"))
         .groupBy(col("doc_id"), col("p"))
         .agg(sum(col("cnt") * col("w")).as("dot"), sum(col("cnt")).as("n_doc"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       d.count()
       d
     }
+
+  /** The md5-derived SIG_PLANES×256 (plane, byte-hex, weight) table —
+    * one definition for [[payloadDots]] (the batch projection) and
+    * [[signArtifactRow]] (w25's per-row streaming fold), so the two
+    * cannot drift.
+    */
+  private def planeWeights(spark: SparkSession): DataFrame = {
+    val planes = spark.range(SIG_PLANES).select(col("id").cast("int").as("p"))
+    val allBytes = spark.range(256)
+      .select(format_string("%02X", col("id")).as("wbyte"))
+    planes.crossJoin(allBytes)
+      .select(col("p"), col("wbyte"),
+        (DetHash.md5Long28(concat(lit("pw-"), col("p").cast("string"),
+          lit("-"), col("wbyte"))) % 1000 - 500).as("w"))
+  }
 
   /** Sign the (doc, plane) projections against the given 16-row center
     * frame (p, gp, tot): bit p set iff dot·tot − n_doc·gp > 0 (the
@@ -1379,9 +1387,11 @@ object Multimodal {
   }
 
   // the "nightly asset ingest" slice: the d13/s21 residue convention on
-  // the documents-as-payloads table
-  private val M16_MOD = 20
-  private val M16_RES = 7
+  // the documents-as-payloads table. private[ops]: w25 (the streaming
+  // twin) reuses m16's oracle verbatim and must slice with these same
+  // constants (the S21/w23 anti-drift rule)
+  private[ops] val M16_MOD = 20
+  private[ops] val M16_RES = 7
 
   private val sigCenterCache = new SessionCache[String, DataFrame]()
   private val sigIdxCache =
@@ -1416,6 +1426,50 @@ object Multimodal {
       idx.count()
       idx
     }
+
+  private val signArtCache = new SessionCache[String, DataFrame]()
+
+  /** The PUBLISHED signing artifact as ONE broadcastable row — `art:
+    * array<struct<p, bitv, gp, tot, wv>>` sorted by plane, where `wv` is
+    * the plane's 256 byte weights in byte order and (gp, tot) is the
+    * STANDING center. The w25 streaming apply joins this on a constant
+    * key and folds it per-row ([[sigOfExpr]]) — the codebookRow move
+    * (s21/w23), for payload SimHash. Pinned: the static side of a
+    * stream-static join is re-evaluated per micro-batch.
+    */
+  private[ops] def signArtifactRow(spark: SparkSession, dir: String): DataFrame = {
+    signArtCache.getOrElseUpdate(spark, dir) {
+      val wv = planeWeights(spark)
+        .groupBy(col("p"))
+        .agg(transform(sort_array(collect_list(struct(col("wbyte"), col("w")))),
+          s => s.getField("w")).as("wv"))
+      sigCenter(spark, dir).join(wv, "p")
+        .agg(sort_array(collect_list(struct(col("p"),
+          expr("shiftleft(1L, p)").as("bitv"),
+          col("gp"), col("tot"), col("wv")))).as("art"))
+        .localCheckpoint()
+    }
+  }
+
+  /** [[signFrame]] as a pure per-row expression over a binary payload
+    * and the [[signArtifactRow]] `art` column: the 256-cell histogram is
+    * one codegen'd pass ([[graft.functions.GraftExpressions.byteHistArr]]),
+    * each plane's projection is an exact integer fold over it, and the
+    * centered sign test is the identical decimal(38,0) comparison —
+    * stream-safe (no per-(doc, plane) aggregate, no shuffle at all).
+    */
+  private[ops] def sigOfExpr(bin: org.apache.spark.sql.Column,
+      art: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val hist = graft.functions.GraftExpressions.byteHistArr(bin)
+    val nDoc = aggregate(hist, lit(0L), (acc, h) => acc + h)
+    aggregate(art, lit(0L), (acc, pl) => {
+      val dot = aggregate(zip_with(hist, pl.getField("wv"), (h, w) => h * w),
+        lit(0L), (a, z) => a + z)
+      val centered = dot.cast("decimal(38,0)") * pl.getField("tot") -
+        nDoc.cast("decimal(38,0)") * pl.getField("gp")
+      acc + when(centered > 0, pl.getField("bitv")).otherwise(lit(0L))
+    })
+  }
 
   /** Incremental payload apply — the d13/s21/g11 maintenance move for
     * the multimodal family: a new payload batch (the fixed 5% residue

@@ -1283,16 +1283,16 @@ object Similarity {
     * (vec_id, v, cell, dist).
     */
   private def kmAssignOf(e: DataFrame, c: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dist = aggregate(
-      zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, z) => acc + z)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
-    e.crossJoin(broadcast(kmCentArr(c)))
-      .withColumn("dist", dist)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cell"), col("dist"))
+    // One-row sorted codebook, broadcast; per-row argmin fold. The old
+    // shape (crossJoin all KC centroid rows + row_number window) expanded
+    // n -> n*KC rows THROUGH AN EXCHANGE per Lloyd round; the fold keeps
+    // the frame at n rows and needs no shuffle at all.
+    val cb = kmCentArr(c)
+      .agg(sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+    e.crossJoin(broadcast(cb))
+      .withColumn("a", assignStructExpr(col("v"), col("cents")))
+      .select(col("vec_id"), col("v"),
+        col("a.cell").as("cell"), col("a.dist").as("dist"))
   }
 
   /** [[kmAssignOf]] over the full embeddings table. */
@@ -1954,7 +1954,6 @@ object Similarity {
        |       CAST(COALESCE(st.inertia_q, 0) AS BIGINT) AS inertia_q
        |FROM p$PQ_ROUNDS p LEFT JOIN st ON p.sub = st.sub AND p.cell = st.cell
        |ORDER BY p.sub, p.cell, p.pos""".stripMargin) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val sv = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), explode(expr(
@@ -1966,17 +1965,17 @@ object Similarity {
       c.groupBy(col("sub"), col("cell"))
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
           s => s.getField("c")).as("cv"))
-    val dist = aggregate(
-      zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, z) => acc + z)
-    val w = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("dist"), col("cell"))
+    // Per-sub sorted codebook (M rows, broadcast) + per-row argmin fold:
+    // the sv frame stays n*M rows end to end. The old shape joined every
+    // (row, cell) pair (n*M*KC rows) and shuffled them all through a
+    // (vec_id, sub) window to keep one — a xKC expansion per Lloyd round.
     def assign(c: DataFrame): DataFrame = sv
-      .join(broadcast(centArr(c)), "sub")
-      .withColumn("dist", dist)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("sv"), col("cell"), col("dist"))
+      .join(broadcast(centArr(c)
+        .groupBy(col("sub"))
+        .agg(sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))), "sub")
+      .withColumn("a", assignStructExpr(col("sv"), col("cents")))
+      .select(col("vec_id"), col("sub"), col("sv"),
+        col("a.cell").as("cell"), col("a.dist").as("dist"))
     var cent: DataFrame = sv.filter(col("vec_id") < PQ_KC)
       .select(col("sub"), col("vec_id").as("cell"),
         posexplode(col("sv")).as(Seq("pos", "c")))
@@ -2004,10 +2003,13 @@ object Similarity {
 
   // the "nightly vector batch": the d13 residue convention, lifted to the
   // embeddings table — a fixed 5% slice that grows with the corpus
-  private val S21_MOD = 20
-  private val S21_RES = 7
-  private val S21_K = 5       // SQ8 shortlist refined exactly per probe
-  private val S21_DUP = 0.98  // exact-cosine near-dup admit threshold
+  // private[ops]: w23 (the streaming twin) reuses s21's ORACLE verbatim,
+  // so its stream plan must reference these same constants — a local
+  // hardcode there could silently drift the stream==batch contract
+  private[ops] val S21_MOD = 20
+  private[ops] val S21_RES = 7
+  private[ops] val S21_K = 5       // SQ8 shortlist refined exactly per probe
+  private[ops] val S21_DUP = 0.98  // exact-cosine near-dup admit threshold
 
   /** s2's 4-hyperplane sign bucket as DuckDB SQL over a vector expr —
     * the same md5-derived [[planes]], so the bucket ids are bit-identical
@@ -2108,7 +2110,16 @@ object Similarity {
     * fold keeps the FIRST strict minimum, which is exactly
     * (ORDER BY dist, cell LIMIT 1). Stream-safe (no window).
     */
-  private[ops] def cellOfExpr(v: Column, cents: Column): Column = {
+  private[ops] def cellOfExpr(v: Column, cents: Column): Column =
+    assignStructExpr(v, cents).getField("cell")
+
+  /** The full (dist, cell) argmin over a sorted `cents:
+    * array<struct<cell, cv>>` column — [[cellOfExpr]] plus the winning
+    * distance, so batch assigns ([[kmAssignOf]], s20's PQ assign) can run
+    * the identical fold without a window. The cell-ascending fold with a
+    * strict-min comparison IS (ORDER BY dist, cell LIMIT 1).
+    */
+  private[ops] def assignStructExpr(v: Column, cents: Column): Column = {
     val dists = transform(cents, c => struct(
       aggregate(zip_with(v, c.getField("cv"), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, z) => acc + z).as("dist"),
@@ -2117,7 +2128,6 @@ object Similarity {
       struct(lit(Double.PositiveInfinity).as("dist"), lit(-1L).as("cell")),
       (acc, d) => when(d.getField("dist") < acc.getField("dist"), d)
         .otherwise(acc))
-      .getField("cell")
   }
 
   /** Incremental ANN index apply — the d13 move for vectors, closing the

@@ -1237,29 +1237,41 @@ object StreamingQueries {
   private val docsStagedDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Stage a batch frame as TWO key-halved parquet files with forced
+    * ascending modtimes, so `maxFilesPerTrigger=1` + AvailableNow runs
+    * two REAL deterministic micro-batches — the staging contract all
+    * four incremental-apply streams (w22/w23/w24/w25) share. The split
+    * point is the exact integer median of the key; each ROW lives in
+    * exactly one staged file, which is what makes the foreachBatch
+    * rollups batch-locally sound.
+    */
+  private def stageTwoHalves(prefix: String, batch: DataFrame, key: String): String = {
+    val out = fastTmpDir(prefix)
+    val med = batch
+      .agg(expr(s"CAST(percentile($key, 0.5) AS BIGINT)")).head.getLong(0)
+    Seq(("part-0", col(key) <= med), ("part-1", col(key) > med))
+      .foreach { case (name, cond) =>
+        val tmp = fastTmpDir(s"${prefix}_half_$name")
+        batch.filter(cond).repartition(1).write.mode("overwrite").parquet(tmp)
+        val f = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+          .filter(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet"))
+        require(f.length == 1, s"$prefix staging half $name: expected 1 file")
+        java.nio.file.Files.move(f(0).toPath,
+          java.nio.file.Paths.get(out, s"$name.parquet"))
+      }
+    val files = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+    val t0 = System.currentTimeMillis()
+    files.filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
+    out
+  }
+
   private def docsPath(spark: SparkSession, dir: String): String =
-    docsStagedDirs.getOrElseUpdate(dir, {
-      val out = fastTmpDir("graft_stream_docs")
-      val batch = Tables.documents(spark, dir)
-        .filter(col("doc_id") % Dedup.D13_MOD === Dedup.D13_RES)
-      val med = batch
-        .agg(expr("CAST(percentile(doc_id, 0.5) AS BIGINT)")).head.getLong(0)
-      Seq(("part-0", col("doc_id") <= med), ("part-1", col("doc_id") > med))
-        .foreach { case (name, cond) =>
-          val tmp = fastTmpDir(s"graft_stream_docs_half_$name")
-          batch.filter(cond).repartition(1).write.mode("overwrite").parquet(tmp)
-          val f = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
-            .filter(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet"))
-          require(f.length == 1, s"doc staging half $name: expected 1 file")
-          java.nio.file.Files.move(f(0).toPath,
-            java.nio.file.Paths.get(out, s"$name.parquet"))
-        }
-      val files = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
-      val t0 = System.currentTimeMillis()
-      files.filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
-        .zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
-      out
-    })
+    docsStagedDirs.getOrElseUpdate(dir,
+      stageTwoHalves("graft_stream_docs",
+        Tables.documents(spark, dir)
+          .filter(col("doc_id") % Dedup.D13_MOD === Dedup.D13_RES),
+        "doc_id"))
 
   /** Streaming incremental LSH dedup — d13's nightly apply run as a
     * STREAM: new documents arrive as files, the streaming plan computes
@@ -1370,28 +1382,11 @@ object StreamingQueries {
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def vecsPath(spark: SparkSession, dir: String): String =
-    vecsStagedDirs.getOrElseUpdate(dir, {
-      val out = fastTmpDir("graft_stream_vecs")
-      val batch = Tables.embeddings(spark, dir)
-        .filter(col("vec_id") % 20 === 7)
-      val med = batch
-        .agg(expr("CAST(percentile(vec_id, 0.5) AS BIGINT)")).head.getLong(0)
-      Seq(("part-0", col("vec_id") <= med), ("part-1", col("vec_id") > med))
-        .foreach { case (name, cond) =>
-          val tmp = fastTmpDir(s"graft_stream_vecs_half_$name")
-          batch.filter(cond).repartition(1).write.mode("overwrite").parquet(tmp)
-          val f = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
-            .filter(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet"))
-          require(f.length == 1, s"vec staging half $name: expected 1 file")
-          java.nio.file.Files.move(f(0).toPath,
-            java.nio.file.Paths.get(out, s"$name.parquet"))
-        }
-      val files = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
-      val t0 = System.currentTimeMillis()
-      files.filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
-        .zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
-      out
-    })
+    vecsStagedDirs.getOrElseUpdate(dir,
+      stageTwoHalves("graft_stream_vecs",
+        Tables.embeddings(spark, dir)
+          .filter(col("vec_id") % Similarity.S21_MOD === Similarity.S21_RES),
+        "vec_id"))
 
   /** Streaming incremental ANN apply — s21's nightly vector apply run as
     * a STREAM: new embeddings arrive as files; the STREAMING PLAN carries
@@ -1435,7 +1430,7 @@ object StreamingQueries {
         val ref = cand
           .withColumn("rnk", row_number().over(wr))
           .withColumn("n_cand", count(lit(1)).over(wc))
-          .filter(col("rnk") <= 5)
+          .filter(col("rnk") <= Similarity.S21_K)
         val wb = Window.partitionBy(col("vec_id"))
           .orderBy(col("cos").desc, col("neighbor_id"))
         val roll = ref.withColumn("brk", row_number().over(wb))
@@ -1443,7 +1438,7 @@ object StreamingQueries {
             max(col("n_cand")).as("n_cand"),
             max(when(col("brk") === 1, col("neighbor_id"))).as("nn_id"),
             max(when(col("brk") === 1, col("cos"))).as("nn_cos"),
-            count(when(col("cos") >= 0.98, lit(1))).as("n_dups"))
+            count(when(col("cos") >= Similarity.S21_DUP, lit(1))).as("n_dups"))
         val out = s"$root/b$batchId"
         b.select(col("vec_id"), col("cell"), col("bucket")).distinct()
           .join(roll, Seq("vec_id"), "left_outer")
@@ -1482,7 +1477,7 @@ object StreamingQueries {
       .select(col("vec_id").as("neighbor_id"), col("cell"),
         col("bucket"), col("q").as("nq"))
     val n = Dedup.normedVectors(spark, dir)
-      .filter(col("vec_id") % 20 =!= 7)
+      .filter(col("vec_id") % Similarity.S21_MOD =!= Similarity.S21_RES)
       .select(col("vec_id").as("nn_vec"), col("v").as("nv"), col("nrm").as("nnrm"))
     val sch = spark.read.parquet(staged).schema
     spark.readStream.schema(sch)
@@ -1506,10 +1501,209 @@ object StreamingQueries {
           Dedup.cosineCol(col("v"), col("nv"), col("nrm"), col("nnrm"))).as("cos"))
   }
 
+  /** Staged "new edges" stream — g11's arriving-edge residue class split
+    * into two x-halved parquet files ([[stageTwoHalves]]). The batch
+    * frame is [[Graph.g11BatchEdges]] itself, so stream and batch apply
+    * to the identical edge set by construction.
+    */
+  private val edgesStagedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def edgesPath(spark: SparkSession, dir: String): String =
+    edgesStagedDirs.getOrElseUpdate(dir,
+      stageTwoHalves("graft_stream_edges", Graph.g11BatchEdges(spark, dir), "x"))
+
+  /** Streaming incremental edge apply — g11's nightly graph maintenance
+    * run as a STREAM, completing the streaming-incremental symmetry for
+    * all four content families (docs w22, vectors w23, edges here,
+    * payloads w25): new mutual edges arrive as files and the STREAMING
+    * PLAN carries both neighbor probes against the session-pinned
+    * standing adjacency ([[Graph.standingAdj]] — two stream-static
+    * left joins meeting on the shared endpoint) plus both endpoint
+    * degree lookups ([[Graph.standingDeg]]) — all stateless. The only
+    * batch-local step is the per-edge common-neighbor rollup in
+    * `foreachBatch` (edges carry no event time; sound because each edge
+    * lives in exactly one staged file). The ORACLE IS g11's, verbatim:
+    * the streaming apply equals the batch apply row-for-row.
+    *
+    * 100 TB shape: the standing adjacency is degree-capped at top-K by
+    * construction, so per-arriving-edge work is two ≤K-row probes — the
+    * stream stays linear in the batch with bounded fan-out, and the
+    * static sides are pinned artifacts a deployment republishes per
+    * epoch. An ingest-timestamped deployment would replace the
+    * foreachBatch rollup with a watermarked aggregate.
+    */
+  val w24StreamIncrementalEdges: Q = Q.sql(
+    "w24_stream_incremental_edges",
+    "Streaming incremental edge apply: new-edge stream probes the pinned standing adjacency in-plan; verdicts equal batch g11 row-for-row.",
+    Graph.g11IncrementalEdges.oracle.get) { (spark, dir) =>
+    val stream = w24Stream(spark, dir)
+    val root = fastTmpDir("graft_w24_verdicts")
+    val written = scala.collection.mutable.ListBuffer.empty[String]
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        // batch-local rollup: one aggregate per arriving edge — count the
+        // common-neighbor hits, carry the (constant-per-edge) degrees,
+        // then g11's verdict expressions verbatim
+        val roll = b.groupBy(col("x"), col("y")).agg(
+          count(col("hit")).as("cn"),
+          max(col("deg_x")).as("deg_x"),
+          max(col("deg_y")).as("deg_y"))
+        val cnC = coalesce(col("cn"), lit(0L))
+        val dxC = coalesce(col("deg_x"), lit(0L))
+        val dyC = coalesce(col("deg_y"), lit(0L))
+        val out = s"$root/b$batchId"
+        roll.select(col("x").as("supp_x"), col("y").as("supp_y"),
+            cnC.as("triangles_closed"), dxC.as("deg_x"), dyC.as("deg_y"),
+            when(dxC + dyC - cnC === 0, lit(0L))
+              .otherwise(expr(
+                "CAST((1000000 * coalesce(cn, 0L)) DIV (coalesce(deg_x, 0L) + coalesce(deg_y, 0L) - coalesce(cn, 0L)) AS BIGINT)"))
+              .as("jaccard_ppm"),
+            when(cnC >= Graph.LP_MIN_CN, lit(1L)).otherwise(lit(0L))
+              .as("predicted"))
+          .write.mode("overwrite").parquet(out)
+        written.synchronized { written += out; () }
+        ()
+      }
+      .option("checkpointLocation", fastTmpDir("graft_ckpt_w24"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(written.nonEmpty, "w24: no micro-batch ran")
+    spark.read.parquet(written.toSeq.distinct: _*).orderBy("supp_x", "supp_y")
+  }
+
+  /** w24's streaming frame, unexecuted — PlanSpec pins its shape (four
+    * stateless LEFT joins: the two neighbor probes + the two degree
+    * lookups, all against pinned standing-graph frames).
+    */
+  private[graft] def w24Stream(spark: SparkSession, dir: String): DataFrame = {
+    val staged = edgesPath(spark, dir)
+    // static sides, pinned on the OUTER session (session-shared with
+    // batch g11, so stream and batch read the SAME standing artifacts)
+    val sedA = Graph.standingAdj(spark, dir)
+      .select(col("src").as("x"), col("dst").as("na"))
+    val sedB = Graph.standingAdj(spark, dir)
+      .select(col("src").as("y"), col("dst").as("na"), lit(1L).as("hit"))
+    val degX = Graph.standingDeg(spark, dir)
+      .select(col("node").as("x"), col("d").as("deg_x"))
+    val degY = Graph.standingDeg(spark, dir)
+      .select(col("node").as("y"), col("d").as("deg_y"))
+    val sch = spark.read.parquet(staged).schema
+    spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .join(sedA, Seq("x"), "left_outer")       // neighbors of x
+      .join(sedB, Seq("y", "na"), "left_outer") // hit iff also neighbor of y
+      .join(degX, Seq("x"), "left_outer")
+      .join(degY, Seq("y"), "left_outer")
+      .select(col("x"), col("y"), col("na"), col("hit"),
+        col("deg_x"), col("deg_y"))
+  }
+
+  /** Streaming incremental payload apply — m16's nightly asset ingest as
+    * a STREAM: new payloads arrive as files (the SAME staged dir as w22
+    * — m16's residue class on `documents` equals d13's) and the
+    * STREAMING PLAN carries the whole sign-and-probe path stateless:
+    * the byte histogram is one codegen'd expression, the SimHash sign
+    * against the STANDING center is a per-row fold over the one-row
+    * published artifact ([[Multimodal.signArtifactRow]] joined on a
+    * constant key — the w23 codebook move, for payload bytes), and the
+    * two disjoint 8-bit band probes are stream-static joins against the
+    * session-persisted signature index. `foreachBatch` only rolls the
+    * per-payload verdict (payloads carry no event time; each lives in
+    * exactly one staged file). The ORACLE IS m16's, verbatim.
+    *
+    * 100 TB shape: center/weights are a one-row pinned artifact, the
+    * index probes are stateless equi-joins with avg fan-in corpus/256
+    * per band, per-micro-batch work is linear in the batch. With this,
+    * all four content families have the batch+stream maintenance pair.
+    */
+  val w25StreamIncrementalPayloads: Q = Q.sql(
+    "w25_stream_incremental_payloads",
+    "Streaming incremental payload apply: new-payload stream signs against the standing SimHash center and probes the persisted band index in-plan; verdicts equal batch m16 row-for-row.",
+    Multimodal.m16IncrementalPayloads.oracle.get) { (spark, dir) =>
+    val stream = w25Stream(spark, dir)
+    val root = fastTmpDir("graft_w25_verdicts")
+    val written = scala.collection.mutable.ListBuffer.empty[String]
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        // batch-local rollup — mirrors m16's roll exactly (bands are
+        // disjoint by construction, so candidates need no distinct)
+        val roll = b.filter(col("corpus_doc").isNotNull)
+          .groupBy(col("doc_id").as("rd")).agg(
+            count(lit(1)).as("n_candidates"),
+            count(when(col("hamming") <= Multimodal.SIG_HAMMING_MAX, lit(1)))
+              .as("n_dups"),
+            min(when(col("hamming") <= Multimodal.SIG_HAMMING_MAX,
+              col("corpus_doc"))).as("dup_of"))
+        val out = s"$root/b$batchId"
+        b.select(col("doc_id"), col("sig")).distinct()
+          .join(roll, col("doc_id") === col("rd"), "left_outer")
+          .select(col("doc_id"), col("sig"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+            col("dup_of"),
+            when(coalesce(col("n_dups"), lit(0L)) === 0, lit(1L))
+              .otherwise(lit(0L)).as("admit"))
+          .write.mode("overwrite").parquet(out)
+        written.synchronized { written += out; () }
+        ()
+      }
+      .option("checkpointLocation", fastTmpDir("graft_ckpt_w25"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(written.nonEmpty, "w25: no micro-batch ran")
+    spark.read.parquet(written.toSeq.distinct: _*).orderBy("doc_id")
+  }
+
+  /** w25's streaming frame, unexecuted — PlanSpec pins its shape (the
+    * one-row artifact join + two band probes per union branch, exactly
+    * one LEFT OUTER so zero-candidate payloads keep a row; no stateful
+    * operator before foreachBatch).
+    */
+  private[graft] def w25Stream(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(spark)
+    // w25 rides w22's staged dir: m16's residue class on documents IS
+    // d13's. The require keeps that reuse honest if either ever moves.
+    require(Multimodal.M16_MOD == Dedup.D13_MOD &&
+      Multimodal.M16_RES == Dedup.D13_RES,
+      "w25 stages via docsPath; m16/d13 residue classes must match")
+    val staged = docsPath(spark, dir)
+    val art = Multimodal.signArtifactRow(spark, dir).withColumn("k", lit(1))
+    val idx = Multimodal.payloadSigIndex(spark, dir)
+      .select(col("doc_id").as("corpus_doc"), col("sig").as("sig_b"))
+    val sch = spark.read.parquet(staged).schema
+    val s = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .filter(length(col("text")) > 0)
+      .withColumn("k", lit(1))
+      .join(art, "k")
+      .withColumn("sig",
+        Multimodal.sigOfExpr(col("text").cast("binary"), col("art")))
+      .select(col("doc_id"), col("sig"))
+    // m6/m16's two DISJOINT band probes: low byte (left outer — the
+    // verdict spine) and high byte (inner, only where the low bands
+    // differ, so a pair is emitted exactly once and no distinct is
+    // needed — the m6 no-distinct argument, in-stream)
+    val ham = bit_count(expr("sig ^ sig_b")).cast("bigint")
+    val b0 = s.join(idx.withColumn("band2", col("sig_b") % 256),
+        col("sig") % 256 === col("band2"), "left_outer")
+      .select(col("doc_id"), col("sig"), col("corpus_doc"),
+        when(col("corpus_doc").isNotNull, ham).as("hamming"))
+    val b1 = s.join(idx.withColumn("band2", expr("sig_b div 256")),
+        expr("sig div 256") === col("band2") &&
+          (col("sig") % 256 =!= col("sig_b") % 256))
+      .select(col("doc_id"), col("sig"), col("corpus_doc"),
+        ham.as("hamming"))
+    b0.union(b1)
+  }
+
   val all: Seq[Q] = Seq(w3StreamTumbling, w4StreamSession, w5StreamDedup,
     w6CustomSessionizer, w7StreamJoin, w10StreamStatic, w11StreamUpsert,
     w12StreamHopping, w13StreamOuterJoin, w14StreamFullOuter,
     w15StreamTimeoutSessions, w16StreamRestart, w17StreamLateDrop,
     w18StreamStateRestart, w19StreamSemiJoin, w20ChainedAgg, w21JoinThenAgg,
-    w22StreamIncrementalDedup, w23StreamIncrementalAnn)
+    w22StreamIncrementalDedup, w23StreamIncrementalAnn,
+    w24StreamIncrementalEdges, w25StreamIncrementalPayloads)
 }

@@ -2162,6 +2162,50 @@ class OpsSpec extends AnyFunSuite {
       Dedup.d13IncrementalMinHash.oracle)
   }
 
+  test("w24: the streaming edge apply equals batch g11 row-for-row") {
+    // the w22 stream==batch contract for the GRAPH family: two real
+    // micro-batches of arriving edges through the standing-adjacency
+    // probes must reproduce g11's verdicts exactly (one shared oracle)
+    val batch = Graph.g11IncrementalEdges.run(spark, sf).collect().toSeq
+    val stream = StreamingQueries.w24StreamIncrementalEdges.run(spark, sf)
+      .collect().toSeq
+    assert(stream === batch)
+    assert(StreamingQueries.w24StreamIncrementalEdges.oracle ===
+      Graph.g11IncrementalEdges.oracle)
+  }
+
+  test("e18: the manifest rows are internally consistent with their stage semantics") {
+    val rows = EtlQueries.e18MaintenanceDag.run(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("stage_id")).toSeq === (1L to 6L))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ===
+      Seq("compact", "merge", "dedup_apply", "ann_apply", "edge_apply",
+        "payload_apply"))
+    rows.foreach { r =>
+      val (n, acted, kept) = (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_acted"), r.getAs[Long]("n_kept"))
+      assert(n > 0, s"${r.getAs[String]("stage")}: empty stage")
+      r.getAs[String]("stage") match {
+        case "dedup_apply" | "ann_apply" | "payload_apply" =>
+          // quarantined + admitted partition the batch
+          assert(acted + kept === n)
+        case "edge_apply" => assert(kept === n && acted <= n)
+        case "merge" => assert(acted <= kept)
+        case _ => ()
+      }
+    }
+  }
+
+  test("w25: the streaming payload apply equals batch m16 row-for-row") {
+    // ... and for the PAYLOAD family: the per-row SimHash sign fold +
+    // two band probes must reproduce m16's verdicts exactly
+    val batch = Multimodal.m16IncrementalPayloads.run(spark, sf).collect().toSeq
+    val stream = StreamingQueries.w25StreamIncrementalPayloads.run(spark, sf)
+      .collect().toSeq
+    assert(stream === batch)
+    assert(StreamingQueries.w25StreamIncrementalPayloads.oracle ===
+      Multimodal.m16IncrementalPayloads.oracle)
+  }
+
   test("m15: the epoch schedule is a dense per-epoch permutation of m5's packs, worker-strided") {
     val rows = Multimodal.m15LoaderOrder.run(spark, sf).collect()
     val packs = Multimodal.m5ShardPack.run(spark, sf).collect()

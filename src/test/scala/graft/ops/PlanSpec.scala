@@ -585,14 +585,17 @@ class PlanSpec extends AnyFunSuite {
 
   test("s14: centroids broadcast every round; corpus never shuffle-joins") {
     val p = plan(Similarity.s14KmeansTrain)
-    // each Lloyd round crossJoins the corpus against the 8-row broadcast
-    // centroid table; the (cell,pos) update aggregate is map-side partial
+    // each Lloyd round crossJoins the corpus against the 1-row broadcast
+    // sorted codebook; the (cell,pos) update aggregate is map-side partial
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"centroids not broadcast in:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus shuffle-join in:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"no partial aggregation in:\n$p")
+    // the assign stage is a per-row argmin fold — the old shape expanded
+    // the corpus xKC rows through a (vec_id) window exchange per round
+    assert(!p.contains("Window"), s"assign stage regressed to a window:\n$p")
   }
 
   test("s16: search joins probes on the cell id against the PINNED index") {
@@ -930,6 +933,9 @@ class PlanSpec extends AnyFunSuite {
       s"embeddings re-scanned downstream of the subvector pin:\n$p")
     assert(fp.contains("BroadcastHashJoin"), s"codebook join not broadcast in:\n$p")
     assert(!fp.contains("CartesianProduct"))
+    // PQ assign is the per-sub argmin fold over the broadcast codebook —
+    // no (vec_id, sub) window exchange, no xKC row expansion
+    assert(!fp.contains("Window"), s"PQ assign regressed to a window:\n$p")
   }
 
   test("p14: split derives from the persisted cluster table; rollup and witness share the pinned assignment") {
@@ -1112,6 +1118,49 @@ class PlanSpec extends AnyFunSuite {
     assert(joins.size == 4, s"expected 4 artifact/probe/refine joins in:\n$plan")
     assert(joins.count(_.joinType.sql == "LEFT OUTER") == 2,
       s"zero-candidate vectors must keep a row (left outer probes) in:\n$plan")
+    assert(plan.collect { case a: Aggregate if a.isStreaming => a }.isEmpty &&
+      plan.collect { case d: Deduplicate if d.isStreaming => d }.isEmpty,
+      s"stateful op crept into the streaming plan:\n$plan")
+  }
+
+  test("e18: the maintenance manifest unions six constant-size stage rollups; artifacts pinned") {
+    val p = plan(EtlQueries.e18MaintenanceDag)
+    val fp = p.split("== Initial Plan ==").head
+    // one Union of the six stage aggregates; the incremental applies
+    // probe their session-persisted artifacts (band index, ANN index,
+    // standing adjacency, signature index) as pinned-frame reads
+    assert(fp.contains("Union"), s"stage rollups not unioned in:\n$p")
+    assert(fp.contains("Scan ExistingRDD"), s"no pinned artifact read in:\n$p")
+    assert(!fp.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // six FINAL 1-row stage aggregates feed the union (partials print as
+    // partial_count, so this counts exactly the per-stage finals)
+    assert("functions=\\[count\\(1\\)".r.findAllIn(fp).size == 6,
+      s"expected 6 stage rollups in:\n$p")
+  }
+
+  test("w24: the streaming plan is four stateless LEFT joins against pinned standing frames") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join}
+    val plan = optimizedStreaming(StreamingQueries.w24Stream(spark, sf))
+    val joins = plan.collect { case j: Join if j.isStreaming => j }
+    // two neighbor probes + two degree lookups, all left outer so an
+    // edge with no standing neighbors still gets its verdict row
+    assert(joins.size == 4, s"expected 2 probes + 2 degree joins in:\n$plan")
+    assert(joins.forall(_.joinType.sql == "LEFT OUTER"),
+      s"neighborless edges must keep a row (left outer) in:\n$plan")
+    assert(plan.collect { case a: Aggregate if a.isStreaming => a }.isEmpty &&
+      plan.collect { case d: Deduplicate if d.isStreaming => d }.isEmpty,
+      s"stateful op crept into the streaming plan:\n$plan")
+  }
+
+  test("w25: the streaming plan signs per-row and probes two disjoint bands, no stateful op") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join}
+    val plan = optimizedStreaming(StreamingQueries.w25Stream(spark, sf))
+    // per union branch: the one-row artifact join + one band probe —
+    // exactly one probe is LEFT OUTER (the verdict spine)
+    val joins = plan.collect { case j: Join if j.isStreaming => j }
+    assert(joins.size == 4, s"expected 2x(artifact + band probe) joins in:\n$plan")
+    assert(joins.count(_.joinType.sql == "LEFT OUTER") == 1,
+      s"zero-candidate payloads must keep exactly the band-0 spine row in:\n$plan")
     assert(plan.collect { case a: Aggregate if a.isStreaming => a }.isEmpty &&
       plan.collect { case d: Deduplicate if d.isStreaming => d }.isEmpty,
       s"stateful op crept into the streaming plan:\n$plan")
