@@ -515,6 +515,40 @@ object Graph {
         .localCheckpoint()
     }
 
+  private val wedgeCache = new SessionCache[String, DataFrame]()
+
+  /** Wedge (distance-≤2 pair) common-neighbor counts over the mutual
+    * graph: for every unordered pair u < v with at least one shared
+    * neighbor, the shared-neighbor count `cn`. ONE mine, session-pinned,
+    * shared by the two wedge consumers: g10 (link prediction scores
+    * non-EDGES by cn/Jaccard) and g4 (triangles ARE the edges' cn —
+    * tri-per-node(s) = ½·Σ cn over s's incident edges, since each
+    * triangle {s,b,c} is seen by exactly the two incident edges (s,b)
+    * and (s,c)). Before the share, g4 ran its own 3-way closure join
+    * over the same frame g10's self-join already enumerates — the two
+    * heaviest graph mines each paid the wedge cost separately.
+    *
+    * Scale shape: the mutual graph caps degree at [[MUTUAL_TOP]] by
+    * construction, so the symmetric self-join fans out ≤ K²/2 rows per
+    * node — linear in |V| at any corpus scale. The localCheckpoint
+    * truncates the two-join lineage and lets every consumer read the
+    * tiny counted frame instead of re-running the mine.
+    */
+  private[ops] def wedgeCounts(spark: SparkSession, dir: String): DataFrame =
+    wedgeCache.getOrElseUpdate(spark, dir) {
+      val ed = mutualEdges(spark, dir)
+        .select(explode(array(
+          struct(col("x").as("src"), col("y").as("dst")),
+          struct(col("y").as("src"), col("x").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      ed.select(col("src"), col("dst").as("u"))
+        .join(ed.select(col("src"), col("dst").as("v")), "src")
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("cn"))
+        .localCheckpoint()
+    }
+
   /** Triangle count + local clustering coefficient over the mutual-top-K
     * co-purchase partner graph. The raw supplier–supplier projection of a
     * co-purchase bipartite graph is DENSE (at gate scale it is complete —
@@ -529,14 +563,14 @@ object Graph {
     *
     * Distributed shape: the pair mine is the shared [[coPairs]] frame;
     * top-K is a per-supplier window (no global sort); the mutual filter
-    * is a self equi-join on the reversed key; triangles are the two-join
-    * wedge closure over id-oriented edges (a<b<c — each triangle found
-    * exactly once), and per-node credit is a map-side 3-way explode of
-    * the triangle rows followed by one aggregate. Every join is an
-    * equi-join; the oriented frame comes out of a `localCheckpoint`, so
-    * the planner sees its true (tiny) size and broadcasts it into the
-    * closure joins on its own — at 1e9 nodes those become shuffle joins
-    * on the same keys with no code change.
+    * is a self equi-join on the reversed key; triangles ride the SHARED
+    * [[wedgeCounts]] frame (also g10's candidate mine): an edge (u,v)'s
+    * triangle count IS its wedge cn, so per-node credit is one equi-join
+    * of the pinned wedge frame onto the edge list, a 2-way endpoint
+    * explode, and one aggregate — the 3-way closure join this query ran
+    * before the share is gone. Every join is an equi-join over
+    * localCheckpoint-pinned frames; at 1e9 nodes the joins shuffle on
+    * the same keys with no code change.
     */
   val g4TriangleCount: Q = Q.sql(
     "g4_triangles",
@@ -588,13 +622,13 @@ object Graph {
        |FROM degm d LEFT JOIN tc ON d.s = tc.s
        |ORDER BY supp_key""".stripMargin) { (spark, dir) =>
     val mut = mutualEdges(spark, dir)
-    val tri = mut.as("ab").join(mut.as("bc"), col("ab.y") === col("bc.x"))
-      .join(mut.as("ac"),
-        col("ac.x") === col("ab.x") && col("ac.y") === col("bc.y"))
-      .select(col("ab.x").as("ta"), col("ab.y").as("tb"), col("bc.y").as("tcn"))
-    val tc = tri
-      .select(explode(array(col("ta"), col("tb"), col("tcn"))).as("s"))
-      .groupBy(col("s")).agg(count(lit(1)).as("tri"))
+    // an edge's wedge cn IS its triangle count; each triangle {s,b,c} is
+    // credited to s by both incident edges, hence the exact DIV 2
+    val edgeTri = wedgeCounts(spark, dir)
+      .join(mut.select(col("x").as("u"), col("y").as("v")), Seq("u", "v"))
+    val tc = edgeTri
+      .select(explode(array(col("u"), col("v"))).as("s"), col("cn"))
+      .groupBy(col("s")).agg(expr("sum(cn) DIV 2").as("tri"))
     val degm = mut
       .select(explode(array(col("x"), col("y"))).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("deg"))
@@ -1158,13 +1192,14 @@ object Graph {
     * curation pass emits. Top-[[LP_TOPN]] by (jaccard, keys) with the
     * [[LP_MIN_CN]]-common-neighbor floor.
     *
-    * Scale shape: candidate pairs are WEDGES — the ed⋈ed self-join on
-    * the shared endpoint — and the mutual graph caps degree at
-    * [[MUTUAL_TOP]] by construction, so per-node wedge fan-out is
-    * ≤ K²/2 = 32 rows: the mine is linear in |V| at any corpus scale
-    * (same bound g4's triangle count rides). Existing edges leave via a
-    * broadcast-able anti-join against the edge list; degrees join from a
-    * map-side-partial count. Jaccard is a floor-divided ppm of
+    * Scale shape: candidate pairs are WEDGES — the shared session-pinned
+    * [[wedgeCounts]] frame (ONE ed⋈ed self-join on the shared endpoint,
+    * also the frame g4's triangle count reads) — and the mutual graph
+    * caps degree at [[MUTUAL_TOP]] by construction, so per-node wedge
+    * fan-out is ≤ K²/2 = 32 rows: the mine is linear in |V| at any
+    * corpus scale and paid once per session across both consumers.
+    * Existing edges leave via a broadcast-able anti-join against the
+    * edge list; degrees join from a map-side-partial count. Jaccard is a floor-divided ppm of
     * all-positive integers (|N(u)∩N(v)| / |N(u)∪N(v)| with the union by
     * inclusion-exclusion) — bit-identical across engines; the LIMIT
     * rides a total order.
@@ -1191,19 +1226,12 @@ object Graph {
        |FROM pred
        |ORDER BY jaccard_ppm DESC, supp_u, supp_v LIMIT $LP_TOPN""".stripMargin) { (spark, dir) =>
     val mut = mutualEdges(spark, dir)
-    val ed = mut
-      .select(explode(array(
-        struct(col("x").as("src"), col("y").as("dst")),
-        struct(col("y").as("src"), col("x").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint() // feeds deg and BOTH wedge sides
-    val deg = ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
-    val wedges = ed.select(col("src"), col("dst").as("u"))
-      .join(ed.select(col("src"), col("dst").as("v")), "src")
-      .filter(col("u") < col("v"))
-      .groupBy(col("u"), col("v"))
-      .agg(count(lit(1)).as("cn"))
-      .filter(col("cn") >= LP_MIN_CN)
+    // the wedge mine is the shared session-pinned frame (g4 reads the
+    // same one for triangles); degrees are one pass over the pinned
+    // mutual edge list
+    val deg = mut.select(explode(array(col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val wedges = wedgeCounts(spark, dir).filter(col("cn") >= LP_MIN_CN)
     wedges
       .join(mut.select(col("x").as("u"), col("y").as("v")), Seq("u", "v"), "left_anti")
       .join(deg.select(col("node").as("u"), col("d").as("deg_u")), "u")

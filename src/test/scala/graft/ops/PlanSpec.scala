@@ -223,6 +223,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("g4: triangles ride the shared pinned wedge frame (no parquet rescan, no 3-way closure)") {
+    val p = plan(Graph.g4TriangleCount)
+    val fp = p.split("== Initial Plan ==").head
+    // the wedge mine is session-shared with g10; g4's plan must read the
+    // pinned frames (wedgeCounts + mutualEdges), never re-mine from facts
+    assert(!fp.contains("Scan parquet"),
+      s"fact tables re-scanned below the wedge/mutual pins:\n$p")
+    assert(fp.contains("Scan ExistingRDD"), s"pinned frames not read in:\n$p")
+    // one edge⋈wedge join + one left join onto degrees — the old triple
+    // self-join closure (3 joins before the aggregate) must not return
+    val joins = Graph.g4TriangleCount.run(spark, sf).queryExecution.optimizedPlan
+      .collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      .size
+    assert(joins <= 2, s"triangle stage grew back to a closure join chain ($joins joins):\n$p")
+  }
+
   test("q39: distribution windows are partitioned (no single-task window)") {
     val wins = Relational.q39Distribution.run(spark, sf)
       .queryExecution.optimizedPlan.collect {

@@ -29,18 +29,31 @@ for name in $(python3 -c "import json,sys; print('\n'.join(sorted(json.load(open
   [ -f "$CACHE/$name.pkl" ] && continue
   [ -f "$CACHE/$name.err" ] && continue
   attempt "$name"
+  # Retry ONLY allocation-flavored deaths (not 'process failure', which
+  # includes the 3600s timeout kill rc=124 — a legit timeout must not get
+  # a second full-hour attempt). The retry is claimed via an atomic
+  # noclobber marker so a concurrent fwd/rev loop can never clobber the
+  # .err this loop just wrote and duplicate the re-run.
   if [ ! -f "$CACHE/$name.pkl" ] && [ -f "$CACHE/$name.err" ] && \
-     grep -qiE "bad allocation|out of memory|failed to allocate|process failure" "$CACHE/$name.err"; then
-    echo "[retry-solo] $name: allocation-flavored failure — clearing dead spill dirs and retrying once"
-    rm -f "$CACHE/$name.err"
-    # only reap spill dirs whose owning pid is gone: a concurrent loop
-    # (fwd/rev pairing) must keep its live duck_tmp_<pid>
-    for d in "$CACHE"/duck_tmp_*; do
-      [ -d "$d" ] || continue
-      pid="${d##*duck_tmp_}"
-      kill -0 "$pid" 2>/dev/null || rm -rf "$d"
-    done
-    attempt "$name"
+     grep -qiE "bad allocation|out of memory|failed to allocate" "$CACHE/$name.err"; then
+    if ( set -o noclobber; : > "$CACHE/$name.retried" ) 2>/dev/null; then
+      echo "[retry-solo] $name: allocation-flavored failure — clearing dead spill dirs and retrying once"
+      rm -f "$CACHE/$name.err"
+      # only reap spill dirs whose owning pid is gone AND was actually an
+      # oracle process: bare kill -0 is fooled by pid reuse, leaving a dead
+      # loop's multi-GB spill dir in place on exactly the OOM path that
+      # needs the disk back
+      for d in "$CACHE"/duck_tmp_*; do
+        [ -d "$d" ] || continue
+        pid="${d##*duck_tmp_}"
+        if kill -0 "$pid" 2>/dev/null && \
+           tr '\0' ' ' < "/proc/$pid/cmdline" 2>/dev/null | grep -q "oracle_cache.py"; then
+          continue  # live oracle process owns this spill dir
+        fi
+        rm -rf "$d"
+      done
+      attempt "$name"
+    fi
   fi
 done
 echo "LOOP_DONE"

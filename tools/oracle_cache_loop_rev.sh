@@ -22,16 +22,25 @@ for name in $(python3 -c "import json,sys; print('\n'.join(sorted(json.load(open
   [ -f "$CACHE/$name.pkl" ] && continue
   [ -f "$CACHE/$name.err" ] && continue
   attempt "$name"
+  # Allocation-flavored deaths only (timeout rc=124 must not re-run), and
+  # the retry is claimed via an atomic noclobber marker so the concurrent
+  # forward loop can never duplicate it (see the forward loop's header).
   if [ ! -f "$CACHE/$name.pkl" ] && [ -f "$CACHE/$name.err" ] && \
-     grep -qiE "bad allocation|out of memory|failed to allocate|process failure" "$CACHE/$name.err"; then
-    echo "[retry-solo] $name: allocation-flavored failure — clearing dead spill dirs and retrying once"
-    rm -f "$CACHE/$name.err"
-    for d in "$CACHE"/duck_tmp_*; do
-      [ -d "$d" ] || continue
-      pid="${d##*duck_tmp_}"
-      kill -0 "$pid" 2>/dev/null || rm -rf "$d"
-    done
-    attempt "$name"
+     grep -qiE "bad allocation|out of memory|failed to allocate" "$CACHE/$name.err"; then
+    if ( set -o noclobber; : > "$CACHE/$name.retried" ) 2>/dev/null; then
+      echo "[retry-solo] $name: allocation-flavored failure — clearing dead spill dirs and retrying once"
+      rm -f "$CACHE/$name.err"
+      for d in "$CACHE"/duck_tmp_*; do
+        [ -d "$d" ] || continue
+        pid="${d##*duck_tmp_}"
+        if kill -0 "$pid" 2>/dev/null && \
+           tr '\0' ' ' < "/proc/$pid/cmdline" 2>/dev/null | grep -q "oracle_cache.py"; then
+          continue
+        fi
+        rm -rf "$d"
+      done
+      attempt "$name"
+    fi
   fi
 done
 echo "LOOP_DONE"
