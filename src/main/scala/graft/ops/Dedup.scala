@@ -1270,8 +1270,127 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // the "retire" slice of the STANDING corpus: a fixed quarter residue
+  // class of index docs deleted in one maintenance pass (a license-class
+  // expiry / bulk takedown — the deletion half of index maintenance that
+  // d13's insert-only apply doesn't cover). A quarter (not 5%) so the
+  // affected-probe set is non-trivial at gate scale; disjoint from the
+  // batch class by construction (batch ids are ≡ 7 mod 20 ⇒ ≡ 3 mod 4).
+  private[ops] val D14_MOD = 4
+  private[ops] val D14_RES = 1
+
+  /** Retire + re-probe — DELETION maintenance for the dedup index, the
+    * other half of the d13 lifecycle: a corpus residue class is retired
+    * (license expiry, GDPR, takedown) and the query re-verdicts ONLY the
+    * batch probes the deletion can affect — those with at least one
+    * retired candidate — against the index minus the retired docs,
+    * emitting old-vs-new verdicts. Because deletion can only REMOVE
+    * candidates, `n_dups` can only fall and an admit can only flip
+    * 0 → 1: retiring a doc RESURRECTS the batch docs it had suppressed
+    * (the un-dedup effect a real takedown pass must surface, or the
+    * corpus silently loses retained coverage).
+    *
+    * Scale shape: the touch set is |affected| ≈ |retired| × band fan-in,
+    * NOT the corpus — affected probes come from one filter over the same
+    * (band, bh) candidate join d13 runs, the exact-Jaccard verify runs
+    * once over the affected docs' candidates only (both rolls read ONE
+    * pinned verify frame; the new roll is a filter of it, so retire
+    * and keep verdicts cannot drift), and nothing rescans or re-signs
+    * the corpus: the band index and shingle frame are the same
+    * session-persisted artifacts d3/d13 share. At 100 TB this is the
+    * nightly takedown pass: linear in the retired set, zero index
+    * rebuild.
+    */
+  val d14RetireReprobe: Q = Q.sql(
+    "d14_retire_reprobe",
+    s"Deletion maintenance: retire corpus docs (doc_id % $D14_MOD = $D14_RES) from the band index; re-verdict only affected batch probes (admits can only resurrect).",
+    s"""WITH $bandsSqlCtes,
+       |idx AS (SELECT * FROM bands WHERE doc_id % $D13_MOD <> $D13_RES),
+       |bat AS (SELECT * FROM bands WHERE doc_id % $D13_MOD = $D13_RES),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS new_doc, i.doc_id AS corpus_doc
+       |  FROM bat b JOIN idx i ON b.band = i.band AND b.bh = i.bh),
+       |aff AS (SELECT DISTINCT new_doc FROM cand
+       |        WHERE corpus_doc % $D14_MOD = $D14_RES),
+       |ver AS (
+       |  SELECT c.new_doc, c.corpus_doc,
+       |         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |           / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j
+       |  FROM cand c
+       |  JOIN aff a ON c.new_doc = a.new_doc
+       |  JOIN sh sa ON c.new_doc = sa.doc_id
+       |  JOIN sh sb ON c.corpus_doc = sb.doc_id),
+       |old_roll AS (
+       |  SELECT new_doc, COUNT(*) AS n_candidates,
+       |         COUNT(CASE WHEN j >= 0.7 THEN 1 END) AS n_dups,
+       |         MIN(CASE WHEN j >= 0.7 THEN corpus_doc END) AS dup_of
+       |  FROM ver GROUP BY 1),
+       |new_roll AS (
+       |  SELECT new_doc, COUNT(*) AS n_candidates,
+       |         COUNT(CASE WHEN j >= 0.7 THEN 1 END) AS n_dups,
+       |         MIN(CASE WHEN j >= 0.7 THEN corpus_doc END) AS dup_of
+       |  FROM ver WHERE corpus_doc % $D14_MOD <> $D14_RES GROUP BY 1)
+       |SELECT o.new_doc AS doc_id,
+       |       CAST(o.n_candidates AS BIGINT) AS old_n_candidates,
+       |       CAST(o.n_dups AS BIGINT) AS old_n_dups,
+       |       o.dup_of AS old_dup_of,
+       |       CASE WHEN o.n_dups = 0 THEN 1 ELSE 0 END AS old_admit,
+       |       CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS new_n_candidates,
+       |       CAST(COALESCE(n.n_dups, 0) AS BIGINT) AS new_n_dups,
+       |       n.dup_of AS new_dup_of,
+       |       CASE WHEN COALESCE(n.n_dups, 0) = 0 THEN 1 ELSE 0 END AS new_admit,
+       |       CASE WHEN o.n_dups > 0 AND COALESCE(n.n_dups, 0) = 0
+       |            THEN 1 ELSE 0 END AS resurrected
+       |FROM old_roll o LEFT JOIN new_roll n ON o.new_doc = n.new_doc
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val bands = bandIndex(spark, dir)
+    val idx = bands.filter(col("doc_id") % D13_MOD =!= D13_RES)
+    val bat = bands.filter(col("doc_id") % D13_MOD === D13_RES)
+    val cand = bat.as("b").join(idx.as("i"),
+        col("b.band") === col("i.band") && col("b.bh") === col("i.bh"))
+      .select(col("b.doc_id").as("new_doc"), col("i.doc_id").as("corpus_doc"))
+      .distinct()
+      .localCheckpoint() // feeds the affected filter AND the verify join
+    val aff = cand.filter(col("corpus_doc") % D14_MOD === D14_RES)
+      .select(col("new_doc")).distinct()
+    val docs = shingledDocs(spark, dir)
+    // verify cost is ∝ the AFFECTED docs' candidates (semi-join prunes
+    // BEFORE the exact-Jaccard join); broadcast sides as in d13
+    val nCommon = GraftExpressions.intersectCount(col("sa.s"), col("sb.s"))
+    val j = nCommon.cast("double") /
+      (size(col("sa.s")) + size(col("sb.s")) - nCommon)
+    val ver = cand
+      .join(aff, Seq("new_doc"), "left_semi")
+      .join(broadcast(docs.filter(col("doc_id") % D13_MOD === D13_RES).as("sa")),
+        col("new_doc") === col("sa.doc_id"))
+      .join(broadcast(docs.as("sb")), col("corpus_doc") === col("sb.doc_id"))
+      .select(col("new_doc"), col("corpus_doc"), j.as("j"))
+      .localCheckpoint() // ONE verify pass; both rolls read it
+    def roll(df: DataFrame): DataFrame = df.groupBy(col("new_doc")).agg(
+      count(lit(1)).as("n_candidates"),
+      count(when(col("j") >= 0.7, lit(1))).as("n_dups"),
+      min(when(col("j") >= 0.7, col("corpus_doc"))).as("dup_of"))
+    val oldR = roll(ver)
+    val newR = roll(ver.filter(col("corpus_doc") % D14_MOD =!= D14_RES))
+    oldR.as("o").join(newR.as("n"),
+        col("o.new_doc") === col("n.new_doc"), "left_outer")
+      .select(col("o.new_doc").as("doc_id"),
+        col("o.n_candidates").as("old_n_candidates"),
+        col("o.n_dups").as("old_n_dups"),
+        col("o.dup_of").as("old_dup_of"),
+        when(col("o.n_dups") === 0, lit(1)).otherwise(lit(0)).as("old_admit"),
+        coalesce(col("n.n_candidates"), lit(0L)).as("new_n_candidates"),
+        coalesce(col("n.n_dups"), lit(0L)).as("new_n_dups"),
+        col("n.dup_of").as("new_dup_of"),
+        when(coalesce(col("n.n_dups"), lit(0L)) === 0, lit(1)).otherwise(lit(0))
+          .as("new_admit"),
+        when(col("o.n_dups") > 0 && coalesce(col("n.n_dups"), lit(0L)) === 0,
+          lit(1)).otherwise(lit(0)).as("resurrected"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d5EmbeddingCosine, d6DedupClusters, d7DedupApply, d8Containment,
     d9SemanticDedup, d10EmbeddingNearDup, d11ParagraphDedup,
-    d12SubstringDedup, d13IncrementalMinHash)
+    d12SubstringDedup, d13IncrementalMinHash, d14RetireReprobe)
 }

@@ -2150,6 +2150,42 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d14: retire re-probe touches only affected probes and old verdicts equal d13") {
+    // the deletion pass re-verdicts EXACTLY the batch docs with >= 1
+    // retired candidate: old columns must equal d13's verdict for the
+    // same doc, the retired candidates must actually leave (strictly
+    // fewer new candidates), dups can only fall, and admits only flip
+    // 0 -> 1 (resurrection)
+    // sf0.01: the affected set (batch probes citing a retired candidate)
+    // is empty at smoke scale — the corpus is too sparse for band hits
+    val dir = "/root/testdata/sf0.01"
+    val d13 = Dedup.d13IncrementalMinHash.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_dups"),
+          if (r.isNullAt(r.fieldIndex("dup_of"))) None
+          else Some(r.getAs[Long]("dup_of")))).toMap
+    val rows = Dedup.d14RetireReprobe.run(spark, dir).collect()
+    assert(rows.nonEmpty, "no affected probes at sf0.01 — retire class too thin")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (c13, d13n, d13dup) = d13(id)
+      assert(r.getAs[Long]("old_n_candidates") === c13)
+      assert(r.getAs[Long]("old_n_dups") === d13n)
+      assert((if (r.isNullAt(r.fieldIndex("old_dup_of"))) None
+              else Some(r.getAs[Long]("old_dup_of"))) === d13dup)
+      assert(r.getAs[Long]("new_n_candidates") < r.getAs[Long]("old_n_candidates"),
+        s"doc $id lost no candidate — not actually affected")
+      assert(r.getAs[Long]("new_n_dups") <= r.getAs[Long]("old_n_dups"))
+      val oldAdmit = r.getAs[Int]("old_admit")
+      val newAdmit = r.getAs[Int]("new_admit")
+      assert(oldAdmit === (if (d13n == 0) 1 else 0))
+      assert(!(oldAdmit == 1 && newAdmit == 0),
+        s"doc $id: deletion cannot create a new duplicate")
+      assert(r.getAs[Int]("resurrected") ===
+        (if (oldAdmit == 0 && newAdmit == 1) 1 else 0))
+    }
+  }
+
   test("w22: the streaming apply equals batch d13 row-for-row") {
     // the Structured Streaming contract at the dedup level: two REAL
     // micro-batches through the LSH probe + verify must reproduce the

@@ -987,6 +987,21 @@ class PlanSpec extends AnyFunSuite {
       fp.contains("SortAggregate"), s"no per-batch-doc rollup in:\n$p")
   }
 
+  test("d14: the retire re-probe reads the persisted index; one pinned verify frame feeds both rolls") {
+    val p = plan(Dedup.d14RetireReprobe)
+    val fp = p.split("== Initial Plan ==").head
+    // the deletion pass must not re-sign or rescan the corpus: candidates
+    // and the verify frame are localCheckpoint-pinned (the band-index
+    // InMemoryTableScan sits BELOW the cand pin, so the executed plan
+    // reads only pinned frames), and the old/new rolls read ONE pinned
+    // verify frame
+    assert(fp.contains("Scan ExistingRDD"), s"pinned verify frame not read in:\n$p")
+    assert(!fp.contains("Scan parquet"), s"corpus re-scanned above the pins:\n$p")
+    assert(!fp.contains("CartesianProduct"))
+    assert(fp.contains("HashAggregate") || fp.contains("ObjectHashAggregate") ||
+      fp.contains("SortAggregate"), s"no per-doc rollup in:\n$p")
+  }
+
   test("s21: the incremental apply probes the persisted ANN index; no retrain stage") {
     val p = plan(Similarity.s21IncrementalAnnApply)
     val fp = p.split("== Initial Plan ==").head
