@@ -21,7 +21,12 @@ object Bench {
     // see HarnessConf: dev-only RocksDB state-store A/B switch
     val spark = HarnessConf.stateStoreConf.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // default: one shuffle partition per core. At soak scales (sf100:
+      // billion-row shuffles) override so partitions fit in memory — the
+      // design rule is partitions sized to the target SF, and AQE
+      // coalescing folds the excess away on small queries.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); see Tables.events

@@ -13,7 +13,9 @@ object Verify {
     // see HarnessConf: dev-only RocksDB state-store A/B switch
     val spark = HarnessConf.stateStoreConf.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // see Bench: overridable at soak scales so partitions fit in memory
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS); see Tables.events

@@ -122,13 +122,30 @@ object Dedup {
     val ex = docs.select(col("doc_id"), size(col("s")).as("nsh"),
         explode(col("s")).as("s"))
       .select(col("doc_id"), col("nsh"), xxhash64(col("s")).as("sh"))
+    // df=1 shingles are dropped BEFORE the back-join and the per-doc
+    // collect: a singleton shingle can never produce a candidate (no
+    // other doc shares it), and removing singletons from a doc's
+    // canonical (df asc, hash) order only moves true shared shingles
+    // EARLIER — every canonical-prefix shared shingle stays inside the
+    // first p slots, so the candidate set is a SUPERSET of the canonical
+    // prefix filter's (lossless; the verify is exact regardless). At
+    // sf100 this is the difference between a run and an OOM: the decade
+    // suffixing makes MOST shingles corpus-unique, so the df≥2 cut
+    // shrinks the back-join, the collect_list, and the persisted index
+    // by the singleton fraction (the dominant fraction), and the 70 GB
+    // RAM-scratch spill that killed the first sf100 bench disappears at
+    // the source.
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
     // prefix selection by aggregate + per-row array sort, not a window:
     // a window must sort every (doc, shingle) row of a partition; the
     // aggregate hash-groups and then sorts each doc's own ~n-element
     // array — measured faster at sf0.1 and no giant partition sorts at
     // scale. (df, sh) pairs are unique per doc, so array_sort's order is
-    // total and equals the window's (df asc, hash asc) canonical order.
+    // total and equals the window's (df asc, hash asc) canonical order
+    // restricted to df≥2 rows. The prefix LENGTH still comes from the
+    // full shingle count (docs.s), so p is the canonical
+    // nsh − ceil(t·nsh) + 1 whatever the cut removed.
     ex.join(dfreq, "sh")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("arr"),
