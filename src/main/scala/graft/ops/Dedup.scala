@@ -118,42 +118,67 @@ object Dedup {
     * jaccard, so the t-threshold prefix guarantee stays lossless (the
     * verify step is exact on the real shingle sets regardless).
     */
-  private def prefixIndex(docs: DataFrame, t: Double): DataFrame = {
+  /** df≥2 shingle postings (doc_id, nsh, sh, df) — singleton shingles
+    * are dropped at the SOURCE: a df=1 shingle appears in exactly one
+    * document, so in any candidate join (prefix self-join, prefix ×
+    * postings) it can only ever meet its own document, which the
+    * doc-inequality predicate excludes — singletons produce NOTHING
+    * downstream. Dropping them is also lossless for prefix SELECTION:
+    * removing singletons from a doc's canonical (df asc, hash) order
+    * only moves true shared shingles EARLIER, so every canonical-prefix
+    * shared shingle stays inside the first p slots and the candidate
+    * set is a SUPERSET of the canonical filter's (the verify is exact
+    * on real shingle sets regardless). At sf100 this is the difference
+    * between a run and an OOM: the decade suffixing makes MOST shingles
+    * corpus-unique, so the cut shrinks the df back-join, the per-doc
+    * collect, the persisted index, AND d8's postings side by the
+    * singleton fraction — the ~70 GB RAM-scratch spills that killed the
+    * first sf100 bench (d2, then d8) disappear at the source.
+    */
+  private def postings(docs: DataFrame): DataFrame = {
     val ex = docs.select(col("doc_id"), size(col("s")).as("nsh"),
         explode(col("s")).as("s"))
       .select(col("doc_id"), col("nsh"), xxhash64(col("s")).as("sh"))
-    // df=1 shingles are dropped BEFORE the back-join and the per-doc
-    // collect: a singleton shingle can never produce a candidate (no
-    // other doc shares it), and removing singletons from a doc's
-    // canonical (df asc, hash) order only moves true shared shingles
-    // EARLIER — every canonical-prefix shared shingle stays inside the
-    // first p slots, so the candidate set is a SUPERSET of the canonical
-    // prefix filter's (lossless; the verify is exact regardless). At
-    // sf100 this is the difference between a run and an OOM: the decade
-    // suffixing makes MOST shingles corpus-unique, so the df≥2 cut
-    // shrinks the back-join, the collect_list, and the persisted index
-    // by the singleton fraction (the dominant fraction), and the 70 GB
-    // RAM-scratch spill that killed the first sf100 bench disappears at
-    // the source.
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
-    // prefix selection by aggregate + per-row array sort, not a window:
-    // a window must sort every (doc, shingle) row of a partition; the
-    // aggregate hash-groups and then sorts each doc's own ~n-element
-    // array — measured faster at sf0.1 and no giant partition sorts at
-    // scale. (df, sh) pairs are unique per doc, so array_sort's order is
-    // total and equals the window's (df asc, hash asc) canonical order
-    // restricted to df≥2 rows. The prefix LENGTH still comes from the
-    // full shingle count (docs.s), so p is the canonical
-    // nsh − ceil(t·nsh) + 1 whatever the cut removed.
     ex.join(dfreq, "sh")
-      .groupBy(col("doc_id"))
+  }
+
+  private val postCache = new SessionCache[String, DataFrame](df => { df.unpersist(false); () })
+
+  /** Session-persisted [[postings]] — ONE 1B-row explode + df aggregate
+    * per (session, dataset), shared by the prefix-index builds (d2/d8's
+    * cached indexes at their thresholds) and d8's full-postings join
+    * side. At 100 TB this is the shared-shingle posting table a dedup
+    * sweep materializes once next to the shingle index.
+    */
+  private[ops] def sharedPostings(spark: SparkSession, dir: String): DataFrame =
+    postCache.getOrElseUpdate(spark, dir) {
+      val p = postings(shingledDocs(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count() // eager barrier: see prefixIndexCached
+      p
+    }
+
+  /** Prefix selection from a postings frame: by aggregate + per-row
+    * array sort, not a window — a window must sort every (doc, shingle)
+    * row of a partition; the aggregate hash-groups and then sorts each
+    * doc's own ~n-element array. (df, sh) pairs are unique per doc, so
+    * array_sort's order is total and equals the window's (df asc, hash
+    * asc) canonical order restricted to df≥2 rows. The prefix LENGTH
+    * still comes from the full shingle count, so p is the canonical
+    * nsh − ceil(t·nsh) + 1 whatever the singleton cut removed.
+    */
+  private def prefixIndexFrom(post: DataFrame, t: Double): DataFrame =
+    post.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("arr"),
         first(col("nsh")).as("nsh"))
       .select(col("doc_id"), explode(slice(col("arr"), lit(1),
         (col("nsh") - ceil(col("nsh") * t) + 1).cast("int"))).as("e"))
       .select(col("doc_id"), col("e.sh").as("sh"))
-  }
+
+  private def prefixIndex(docs: DataFrame, t: Double): DataFrame =
+    prefixIndexFrom(postings(docs), t)
 
   private def prefixSelfJoin(prefixes: DataFrame): DataFrame =
     prefixes.as("a").join(prefixes.as("b"),
@@ -238,7 +263,7 @@ object Dedup {
     */
   private def prefixIndexCached(spark: SparkSession, dir: String, t: Double): DataFrame =
     prefixIdxCache.getOrElseUpdate(spark, (dir, t)) {
-      val idx = prefixIndex(shingledDocs(spark, dir), t)
+      val idx = prefixIndexFrom(sharedPostings(spark, dir), t)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       idx.count()
       idx
@@ -778,9 +803,14 @@ object Dedup {
        |WHERE CAST(c.n_common AS DOUBLE) / LEAST(ca.nsh, cb.nsh) >= $CONTAIN_T
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     val docs = shingledDocs(spark, dir)
-    val full = docs
-      .select(col("doc_id"), explode(col("s")).as("s0"))
-      .select(col("doc_id"), xxhash64(col("s0")).as("sh"))
+    // postings side = the session-persisted df≥2 table, NOT a fresh
+    // full-corpus explode: a singleton posting could only ever meet its
+    // own doc's prefix entry (excluded below), so the df≥2 cut loses
+    // nothing and drops the postings join side by the singleton fraction
+    // (at sf100 that fraction is dominant — the first full-postings run
+    // spilled ~70 GB and died; see sharedPostings)
+    val full = sharedPostings(spark, dir)
+      .select(col("doc_id"), col("sh"))
     val cand = prefixIndexCached(spark, dir, CONTAIN_T).as("p")
       .join(full.as("f"),
         col("p.sh") === col("f.sh") && col("p.doc_id") =!= col("f.doc_id"))
