@@ -136,13 +136,22 @@ object Bench {
       }
       if (trace) System.err.println(s"[bench] ${System.currentTimeMillis()} start $name")
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // record failures explicitly: a thrown count() used to leave an
+      // indistinguishable wall-clock number in the record (at sf100 a
+      // driver-maxResultSize abort looked like a normal 42s query) —
+      // failed queries now land in the record's "errors" list
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 if (trace) System.err.println(
+                   s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+                 false }
       val sec = (System.nanoTime() - t0) / 1e9
       val (poolMb, pins) = storageSample()
-      (name, sec, (poolMb, pins))
+      (name, sec, (poolMb, pins), ok)
     }
-    val results = triples.map { case (n, s, _) => n -> s }.toMap
-    val storage = triples.map { case (n, _, sp) => n -> sp }.toMap
+    val results = triples.map { case (n, s, _, _) => n -> s }.toMap
+    val storage = triples.map { case (n, _, sp, _) => n -> sp }.toMap
+    val failed = triples.collect { case (n, _, _, false) => n }.sorted
     // re-run the parallel probe AFTER the query loop: contention that
     // arrives mid-run is invisible to the start-of-run sample, so the
     // pair brackets the run (matching values = clean run; a higher end
@@ -178,9 +187,11 @@ object Bench {
       // chunk record: each listed family ran in its own fresh session,
       // in this order (so every number is a solo-session number)
       val ch = chunkFamilies.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val er = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = if (results.nonEmpty) results.values.sum else 0.0
       val norm = if (calMeasured > 0) total * (calRef / calMeasured) else total
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""errors":$er,""" +
         s""""value_normalized":${fmt(norm)},"cal_ref":${fmt(calRef)},""" +
         s""""cal_single_sec":${fmt(calSingle)},"cal_parallel_sec":${fmt(calPar)},""" +
         s""""cal_parallel_end_sec":${fmt(calParEnd)},""" +

@@ -154,10 +154,14 @@ object Dedup {
     */
   private[ops] def sharedPostings(spark: SparkSession, dir: String): DataFrame =
     postCache.getOrElseUpdate(spark, dir) {
-      val p = postings(shingledDocs(spark, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count() // eager barrier: see prefixIndexCached
-      p
+      // localCheckpoint, not persist: it materializes eagerly (the same
+      // AQE-zombie barrier as a count()) AND truncates lineage, so the
+      // 1B-row explode + df-aggregate shuffle files behind it become
+      // ContextCleaner-reapable instead of staying pinned by this
+      // session-lived frame's lineage for the whole family run (measured
+      // at sf100: the d-family session held ~65 GB of dead construction
+      // shuffle in RAM-backed scratch, which is what OOM-killed the box)
+      postings(shingledDocs(spark, dir)).localCheckpoint()
     }
 
   /** Prefix selection from a postings frame: by aggregate + per-row
@@ -263,10 +267,10 @@ object Dedup {
     */
   private def prefixIndexCached(spark: SparkSession, dir: String, t: Double): DataFrame =
     prefixIdxCache.getOrElseUpdate(spark, (dir, t)) {
-      val idx = prefixIndexFrom(sharedPostings(spark, dir), t)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      idx.count()
-      idx
+      // localCheckpoint: eager barrier + lineage truncation (the
+      // collect_list shuffle files behind the index become reapable;
+      // see sharedPostings)
+      prefixIndexFrom(sharedPostings(spark, dir), t).localCheckpoint()
     }
 
   /** Verified jaccard ≥ t pairs, persisted once per (session, dataset,
@@ -284,10 +288,10 @@ object Dedup {
       // persisted instead of being dropped after the pair build.
       val idx = prefixIndexCached(spark, dir, t)
       val cand = prefixSelfJoin(idx)
-      val pairs = jaccardVerify(docs, cand, t)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pairs.count() // eager: the pair table is the product
-      pairs
+      // localCheckpoint: eager (the pair table is the product) and the
+      // candidate-distinct + verify-join shuffles behind it become
+      // reapable (see sharedPostings)
+      jaccardVerify(docs, cand, t).localCheckpoint()
     }
 
   /** Prefix-filtered pair pipeline (uncached), exposed for the
@@ -1288,19 +1292,20 @@ object Dedup {
       .select(col("b.doc_id").as("new_doc"), col("i.doc_id").as("corpus_doc"))
       .distinct()
     val docs = shingledDocs(spark, dir)
-    // gate-scale broadcast for the verify joins (d3's idiom); at corpus
-    // scale both become doc_id-keyed co-partitioned shuffle joins —
-    // candidates only, never the corpus against itself. The sa side only
-    // ever matches batch-residue new_docs, so broadcast the 5% batch
-    // slice, not the full corpus shingle frame (the sb side stays the
-    // corpus — candidates may cite any corpus doc).
+    // verify joins are doc_id-keyed SHUFFLE joins: both sides carry
+    // corpus-fraction shingle frames (the 5% batch slice and the full
+    // corpus), and a broadcast of either serializes it through the
+    // driver — measured FAILING at sf100 (spark.driver.maxResultSize:
+    // the corpus shingle frame is ~8 GB serialized at 5M docs). The
+    // planner's shuffle join moves each array exactly once, keyed on
+    // doc_id, at every scale; candidates only, never corpus×corpus.
     val nCommon = GraftExpressions.intersectCount(col("sa.s"), col("sb.s"))
     val j = nCommon.cast("double") /
       (size(col("sa.s")) + size(col("sb.s")) - nCommon)
     val ver = cand
-      .join(broadcast(docs.filter(col("doc_id") % D13_MOD === D13_RES).as("sa")),
+      .join(docs.filter(col("doc_id") % D13_MOD === D13_RES).as("sa"),
         col("new_doc") === col("sa.doc_id"))
-      .join(broadcast(docs.as("sb")), col("corpus_doc") === col("sb.doc_id"))
+      .join(docs.as("sb"), col("corpus_doc") === col("sb.doc_id"))
       .select(col("new_doc"), col("corpus_doc"), j.as("j"))
     val roll = ver.groupBy(col("new_doc")).agg(
       count(lit(1)).as("n_candidates"),
@@ -1402,15 +1407,17 @@ object Dedup {
       .select(col("new_doc")).distinct()
     val docs = shingledDocs(spark, dir)
     // verify cost is ∝ the AFFECTED docs' candidates (semi-join prunes
-    // BEFORE the exact-Jaccard join); broadcast sides as in d13
+    // BEFORE the exact-Jaccard join); shuffle joins as in d13 — a
+    // broadcast of a corpus-fraction shingle frame fails at sf100
+    // (driver maxResultSize), see d13
     val nCommon = GraftExpressions.intersectCount(col("sa.s"), col("sb.s"))
     val j = nCommon.cast("double") /
       (size(col("sa.s")) + size(col("sb.s")) - nCommon)
     val ver = cand
       .join(aff, Seq("new_doc"), "left_semi")
-      .join(broadcast(docs.filter(col("doc_id") % D13_MOD === D13_RES).as("sa")),
+      .join(docs.filter(col("doc_id") % D13_MOD === D13_RES).as("sa"),
         col("new_doc") === col("sa.doc_id"))
-      .join(broadcast(docs.as("sb")), col("corpus_doc") === col("sb.doc_id"))
+      .join(docs.as("sb"), col("corpus_doc") === col("sb.doc_id"))
       .select(col("new_doc"), col("corpus_doc"), j.as("j"))
       .localCheckpoint() // ONE verify pass; both rolls read it
     def roll(df: DataFrame): DataFrame = df.groupBy(col("new_doc")).agg(

@@ -58,7 +58,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("d2: inverted-index join is an equi-join on the shingle, not a cross join") {
-    val p = plan(Dedup.d2NgramJaccard)
+    // the executed d2 reads the localCheckpoint-pinned pair table, so the
+    // join shape is pinned on the UNCACHED pipeline (same plan the pin
+    // build runs once per session)
+    val p = Dedup.jaccardPairsPrefix(spark, sf, 0.8)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"no equi-join in:\n$p")
