@@ -133,7 +133,12 @@ object Dedup {
     * corpus-unique, so the cut shrinks the df back-join, the per-doc
     * collect, the persisted index, AND d8's postings side by the
     * singleton fraction — the ~70 GB RAM-scratch spills that killed the
-    * first sf100 bench (d2, then d8) disappear at the source.
+    * first sf100 bench (d2, then d8) disappear at the source. The
+    * pipeline is recomputed per consumer rather than materialized: its
+    * output is ~600M rows at sf100 (checkpointing that measured slower
+    * than recomputing) while its transient shuffle files are reaped
+    * between queries; at 100 TB a dedup sweep would write this posting
+    * table to real storage once, next to the shingle index.
     */
   private def postings(docs: DataFrame): DataFrame = {
     val ex = docs.select(col("doc_id"), size(col("s")).as("nsh"),
@@ -144,25 +149,6 @@ object Dedup {
     ex.join(dfreq, "sh")
   }
 
-  private val postCache = new SessionCache[String, DataFrame](df => { df.unpersist(false); () })
-
-  /** Session-persisted [[postings]] — ONE 1B-row explode + df aggregate
-    * per (session, dataset), shared by the prefix-index builds (d2/d8's
-    * cached indexes at their thresholds) and d8's full-postings join
-    * side. At 100 TB this is the shared-shingle posting table a dedup
-    * sweep materializes once next to the shingle index.
-    */
-  private[ops] def sharedPostings(spark: SparkSession, dir: String): DataFrame =
-    postCache.getOrElseUpdate(spark, dir) {
-      // localCheckpoint, not persist: it materializes eagerly (the same
-      // AQE-zombie barrier as a count()) AND truncates lineage, so the
-      // 1B-row explode + df-aggregate shuffle files behind it become
-      // ContextCleaner-reapable instead of staying pinned by this
-      // session-lived frame's lineage for the whole family run (measured
-      // at sf100: the d-family session held ~65 GB of dead construction
-      // shuffle in RAM-backed scratch, which is what OOM-killed the box)
-      postings(shingledDocs(spark, dir)).localCheckpoint()
-    }
 
   /** Prefix selection from a postings frame: by aggregate + per-row
     * array sort, not a window — a window must sort every (doc, shingle)
@@ -267,10 +253,18 @@ object Dedup {
     */
   private def prefixIndexCached(spark: SparkSession, dir: String, t: Double): DataFrame =
     prefixIdxCache.getOrElseUpdate(spark, (dir, t)) {
-      // localCheckpoint: eager barrier + lineage truncation (the
-      // collect_list shuffle files behind the index become reapable;
-      // see sharedPostings)
-      prefixIndexFrom(sharedPostings(spark, dir), t).localCheckpoint()
+      // localCheckpoint, not persist: same eager barrier (one job, the
+      // AQE-zombie guard) but the lineage is TRUNCATED, so the ~45 GB of
+      // construction shuffle behind the index (1B-row df back-join +
+      // collect_list regroup) becomes ContextCleaner-reapable instead of
+      // staying pinned in RAM-backed scratch for the whole family run —
+      // the residual driver of the sf100 OOM kills. The checkpointed
+      // index itself is the SMALL artifact (two longs per kept prefix
+      // entry). The postings pipeline is deliberately NOT materialized:
+      // at sf100 checkpointing its ~600M raw rows measured slower than
+      // recomputing it per consumer, and its transient shuffle files
+      // are reaped between queries.
+      prefixIndexFrom(postings(shingledDocs(spark, dir)), t).localCheckpoint()
     }
 
   /** Verified jaccard ≥ t pairs, persisted once per (session, dataset,
@@ -290,7 +284,7 @@ object Dedup {
       val cand = prefixSelfJoin(idx)
       // localCheckpoint: eager (the pair table is the product) and the
       // candidate-distinct + verify-join shuffles behind it become
-      // reapable (see sharedPostings)
+      // reapable (see prefixIndexCached)
       jaccardVerify(docs, cand, t).localCheckpoint()
     }
 
@@ -807,14 +801,14 @@ object Dedup {
        |WHERE CAST(c.n_common AS DOUBLE) / LEAST(ca.nsh, cb.nsh) >= $CONTAIN_T
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     val docs = shingledDocs(spark, dir)
-    // postings side = the session-persisted df≥2 table, NOT a fresh
-    // full-corpus explode: a singleton posting could only ever meet its
-    // own doc's prefix entry (excluded below), so the df≥2 cut loses
-    // nothing and drops the postings join side by the singleton fraction
-    // (at sf100 that fraction is dominant — the first full-postings run
-    // spilled ~70 GB and died; see sharedPostings)
-    val full = sharedPostings(spark, dir)
-      .select(col("doc_id"), col("sh"))
+    // postings side = the df≥2 pipeline, NOT a fresh full-corpus
+    // explode: a singleton posting could only ever meet its own doc's
+    // prefix entry (excluded below), so the df≥2 cut loses nothing and
+    // drops the postings join side by the singleton fraction (at sf100
+    // that fraction is dominant — the first full-postings run spilled
+    // ~70 GB and died; see the postings scaladoc for why the pipeline
+    // is recomputed here rather than materialized)
+    val full = postings(docs).select(col("doc_id"), col("sh"))
     val cand = prefixIndexCached(spark, dir, CONTAIN_T).as("p")
       .join(full.as("f"),
         col("p.sh") === col("f.sh") && col("p.doc_id") =!= col("f.doc_id"))
