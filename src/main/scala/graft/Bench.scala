@@ -45,8 +45,18 @@ object Bench {
       // while CPU calibration stays clean); RAM-backed local dirs take
       // host disk out of the measurement. A real cluster points this at
       // executor-local NVMe.
-      .config("spark.local.dir",
-        ops.StreamingQueries.fastTmpDir("graft_local_bench"))
+      .config("spark.local.dir", {
+        val shm = ops.StreamingQueries.fastTmpDir("graft_local_bench")
+        // soak runs set SPARK_GRAFT_SCRATCH_DISK to a disk path: Spark
+        // round-robins blocks across the two roots, halving the RAM
+        // pressure of tmpfs-only scratch (the sf100 OOM class) the way
+        // executor-local NVMe would on a real cluster
+        sys.env.get("SPARK_GRAFT_SCRATCH_DISK") match {
+          case Some(d) =>
+            shm + "," + ops.StreamingQueries.scratchDirAt(d, "graft_local_bench")
+          case None => shm
+        }
+      })
       // single-use localCheckpoint pins (d12 windows, e17 changelog, t14
       // bigrams…) become garbage the moment their query's count() ends,
       // but ContextCleaner only reaps them after a DRIVER GC — and the

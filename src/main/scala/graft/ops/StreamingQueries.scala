@@ -87,6 +87,23 @@ object StreamingQueries {
     p.toString
   }
 
+  /** Scratch dir under an EXPLICIT root (registered for shutdown
+    * cleanup like [[fastTmpDir]]): used to add a disk root next to the
+    * tmpfs root in `spark.local.dir` — Spark round-robins shuffle/spill
+    * blocks across the listed dirs, so a RAM-backed-only scratch (which
+    * competes with the heap for physical RAM and OOM-killed the sf100
+    * soak at ~70 GB of spill) splits its pressure with the disk, the
+    * way executor-local NVMe would on a real cluster.
+    */
+  private[graft] def scratchDirAt(rootPath: String, prefix: String): String = {
+    val root = java.nio.file.Paths.get(rootPath)
+    java.nio.file.Files.createDirectories(root)
+    val p = java.nio.file.Files.createTempDirectory(root, prefix)
+    scratchCleanup
+    scratchRoots.add(p.toFile)
+    p.toString
+  }
+
   /** Checkpoint dirs of the last crash-recovery gate runs (w16/w18) —
     * exposed so the recovery pin in PlanSpec can assert the restarted
     * phase RESUMED the committed offsets log (contiguous batch ids from
