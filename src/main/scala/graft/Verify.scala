@@ -37,12 +37,19 @@ object Verify {
     // from one query would otherwise slow every later dump
     spark.sparkContext.setLocalProperty("spark.job.interruptOnCancel", "true")
     new java.io.File(outDir).mkdirs()
+    // coalesce(1) keeps gate-scale dumps single-file for the driver's
+    // reader; soak dumps (sf100: multi-hundred-million-row results) set
+    // SPARK_GRAFT_NO_COALESCE=1 to write in parallel — compare_cached
+    // globs <dir>/*.parquet either way
+    val noCoalesce = sys.env.get("SPARK_GRAFT_NO_COALESCE").contains("1")
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        (if (noCoalesce) df else df.coalesce(1)).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

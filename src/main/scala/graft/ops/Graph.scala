@@ -50,14 +50,17 @@ object Graph {
     *
     * Persisted once per (session, dataset) — g1 and g2 iterate over the
     * SAME static graph, and at 100 TB this is the edge table a graph job
-    * materializes once. The orders side is explicitly broadcast: it is
-    * the |orders| ≪ |lineitem| dimension of this join, and the broadcast
-    * keeps the fact scan shuffle-free up to the distinct.
+    * materializes once. The orders side is NOT hint-broadcast: plan-time
+    * statistics broadcast it on their own while the parquet footprint is
+    * small, and at soak scale (sf100: 150M orders, ~2.4 GB serialized)
+    * a forced broadcast aborts on spark.driver.maxResultSize — the
+    * d13/d14 lesson, for facts: never hardcode a broadcast whose side
+    * grows with the corpus.
     */
   private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
     edgeCache.getOrElseUpdate(spark, dir) {
-      val eg = broadcast(Tables.orders(spark, dir)
-          .select(col("o_orderkey"), col("o_custkey")))
+      val eg = Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.lineitem(spark, dir)
             .select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
