@@ -57,7 +57,7 @@ object Bench {
           case None => shm
         }
       })
-      // single-use localCheckpoint pins (d12 windows, e17 changelog, t14
+      // single-use localCheckpoint pins (d12 windows, t14
       // bigrams…) become garbage the moment their query's count() ends,
       // but ContextCleaner only reaps them after a DRIVER GC — and the
       // default periodic GC (30 min) never fires inside one chunk. A 45s
@@ -198,10 +198,16 @@ object Bench {
       // in this order (so every number is a solo-session number)
       val ch = chunkFamilies.map("\"" + _ + "\"").mkString("[", ",", "]")
       val er = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val total = if (results.nonEmpty) results.values.sum else 0.0
+      // headline totals count SUCCESSFUL queries only — a failed query's
+      // elapsed time (often a multi-minute abort) would skew comparisons
+      // between runs with different error sets; its wall time is still
+      // visible per-query and summed separately in failed_sec
+      val failedSet = failed.toSet
+      val total = m.collect { case (k, v) if !failedSet(k) => v }.sum
+      val failedSec = m.collect { case (k, v) if failedSet(k) => v }.sum
       val norm = if (calMeasured > 0) total * (calRef / calMeasured) else total
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
-        s""""errors":$er,""" +
+        s""""errors":$er,"failed_sec":${fmt(failedSec)},""" +
         s""""value_normalized":${fmt(norm)},"cal_ref":${fmt(calRef)},""" +
         s""""cal_single_sec":${fmt(calSingle)},"cal_parallel_sec":${fmt(calPar)},""" +
         s""""cal_parallel_end_sec":${fmt(calParEnd)},""" +

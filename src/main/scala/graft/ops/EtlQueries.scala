@@ -1176,12 +1176,15 @@ object EtlQueries {
     * both with a changed (status, price) image → `update_preimage` +
     * `update_postimage` — Delta's four `_change_type` values exactly.
     *
-    * Scale shape: both snapshots reconstruct from ONE changelog scan
-    * (the e13 last-writer-wins window over ver ≤ snap, shuffled once on
-    * (snap, key)); the diff is a self-partitioned full-outer join on the
-    * key — co-partitioned with the window's output, no extra shuffle at
-    * 100 TB where the log arrives key-bucketed. Update rows fan out 2×
-    * inside the row (explode), never a second pass. Decimal(18,2)
+    * Scale shape: both snapshots fold in ONE aggregation over ONE
+    * changelog scan — per key, `max(struct(ver, …))` gated on `ver <= 1`
+    * and ungated IS last-writer-wins for v1 and v2 (one entry per
+    * (k, ver)), so the whole diff is a single shuffle on the key with
+    * map-side combine, no window sorts, no full-outer join, and nothing
+    * pinned in executor memory (the r11 sf100 failure was a
+    * localCheckpoint holding the 240M-row log in storage while the diff
+    * machinery wanted the same RAM as execution memory). Update rows fan
+    * out 2× inside the row (explode), never a second pass. Decimal(18,2)
     * images cast to double only at emission (exact — 2-dp decimals are
     * dyadic-representable under 2^53).
     */
@@ -1219,21 +1222,25 @@ object EtlQueries {
        |  FROM d WHERE status_pre IS NOT NULL AND status_post IS NOT NULL)
        |SELECT k, change_type, status, CAST(price AS DOUBLE) AS price
        |FROM feed ORDER BY k, change_type""".stripMargin) { (spark, dir) =>
-    val log = cdcLogFrame(spark, dir).localCheckpoint() // feeds both snapshots
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("k")).orderBy(col("ver").desc)
-    def stateAt(v: Int) = log.filter(col("ver") <= v)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") =!= "D")
-      .select(col("k"), col("status"), col("price"))
-    val d = stateAt(1).select(col("k"),
-        col("status").as("status_pre"), col("price").as("price_pre"))
-      .join(stateAt(2).select(col("k"),
-        col("status").as("status_post"), col("price").as("price_post")),
-        Seq("k"), "full_outer")
-      .filter(col("status_pre").isNull || col("status_post").isNull ||
-        col("status_pre") =!= col("status_post") ||
-        col("price_pre") =!= col("price_post"))
+    // Both snapshots fold in ONE aggregation pass: per key, the latest
+    // entry <= v is max(struct(ver, ...)) — ver leads the struct, and the
+    // changelog has at most one entry per (k, ver), so struct-max IS
+    // last-writer-wins. No pinned changelog (the r11 sf100 OOM: a
+    // localCheckpoint held a 240M-row log in storage memory), no window
+    // sorts, no full-outer join — one shuffle on k with map-side combine.
+    val log = cdcLogFrame(spark, dir)
+    val entry = struct(col("ver"), col("op"), col("status"), col("price"))
+    def live(s: String) = // a snapshot state is live unless absent or D-terminated
+      when(col(s)("op") =!= "D", col(s))
+    val d = log.groupBy(col("k"))
+      .agg(max(when(col("ver") <= 1, entry)).as("a1"), max(entry).as("a2"))
+      .select(col("k"),
+        live("a1")("status").as("status_pre"), live("a1")("price").as("price_pre"),
+        live("a2")("status").as("status_post"), live("a2")("price").as("price_post"))
+      .filter((col("status_pre").isNotNull || col("status_post").isNotNull) &&
+        (col("status_pre").isNull || col("status_post").isNull ||
+          col("status_pre") =!= col("status_post") ||
+          col("price_pre") =!= col("price_post")))
     val isIns = col("status_pre").isNull
     val isDel = col("status_post").isNull
     def fr(ct: String, s: org.apache.spark.sql.Column,

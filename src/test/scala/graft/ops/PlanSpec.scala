@@ -893,18 +893,18 @@ class PlanSpec extends AnyFunSuite {
       s"code scan degraded to a cartesian:\n$p")
   }
 
-  test("e17: feed derives from ONE pinned changelog; rank sort is group-limited") {
+  test("e17: feed is ONE pass — single scan, one aggregate, no pin/window/join") {
     val p = plan(EtlQueries.e17ChangeFeed)
     val fp = p.split("== Initial Plan ==").head
-    // the changelog is localCheckpoint-pinned (both snapshots replay it);
-    // a parquet scan below the pin means orders was re-read per snapshot
-    assert(!fp.contains("Scan parquet"),
-      s"orders re-scanned downstream of the changelog pin:\n$p")
-    assert(fp.contains("Scan ExistingRDD"), s"pinned changelog not read in:\n$p")
-    // last-writer-wins prunes to the top version per key BEFORE the
-    // exchange — full version history never sorts at scale
-    assert(fp.contains("WindowGroupLimit"), s"no rank pushdown in:\n$p")
-    assert(!fp.contains("CartesianProduct"))
+    // both snapshots fold in one struct-max aggregation over ONE orders
+    // scan; a second scan means the snapshots diverged back into two
+    // passes, a Window/Join means the r11 OOM shape returned
+    assert("Scan parquet".r.findAllIn(fp).size == 1,
+      s"expected exactly one orders scan in:\n$p")
+    assert(!fp.contains("Scan ExistingRDD"),
+      s"changelog pinned in executor memory again (r11 sf100 OOM shape):\n$p")
+    assert(!fp.contains("Window"), s"window sort crept back into:\n$p")
+    assert(!fp.contains("Join"), s"snapshot diff degraded to a join in:\n$p")
   }
 
   test("m12: scene rollup reads the SHARED pinned diff frame — no second decode") {

@@ -27,15 +27,23 @@ attempt() { # $1 = query name
 
 for name in $(python3 -c "import json,sys; print('\n'.join(sorted(json.load(open('$JSON')))))"); do
   [ -f "$CACHE/$name.pkl" ] && continue
+  # an operator clearing a .err asks for a FRESH attempt — that includes a
+  # fresh retry budget, so drop any stale .retried claim marker from a
+  # previous round (otherwise the next allocation failure gets no retry)
+  if [ ! -f "$CACHE/$name.err" ] && [ -f "$CACHE/$name.retried" ]; then
+    rm -f "$CACHE/$name.retried"
+  fi
   [ -f "$CACHE/$name.err" ] && continue
   attempt "$name"
-  # Retry ONLY allocation-flavored deaths (not 'process failure', which
-  # includes the 3600s timeout kill rc=124 — a legit timeout must not get
-  # a second full-hour attempt). The retry is claimed via an atomic
-  # noclobber marker so a concurrent fwd/rev loop can never clobber the
-  # .err this loop just wrote and duplicate the re-run.
+  # Retry allocation-flavored deaths AND kernel OOM-kills (SIGKILL
+  # surfaces as rc=137/-9 with no allocator message — the most common
+  # failure class this retry exists for). rc=124 (the 3600s timeout
+  # kill) is explicitly excluded: a legit timeout must not get a second
+  # full-hour attempt. The retry is claimed via an atomic noclobber
+  # marker so a concurrent fwd/rev loop can never clobber the .err this
+  # loop just wrote and duplicate the re-run.
   if [ ! -f "$CACHE/$name.pkl" ] && [ -f "$CACHE/$name.err" ] && \
-     grep -qiE "bad allocation|out of memory|failed to allocate" "$CACHE/$name.err"; then
+     grep -qiE "bad allocation|out of memory|failed to allocate|rc=137|rc=-9" "$CACHE/$name.err"; then
     if ( set -o noclobber; : > "$CACHE/$name.retried" ) 2>/dev/null; then
       echo "[retry-solo] $name: allocation-flavored failure — clearing dead spill dirs and retrying once"
       rm -f "$CACHE/$name.err"

@@ -23,15 +23,29 @@ for line in open(log, errors="replace"):
     if m:
         fails.add(m.group(1))
 qs = {}
+dups = set()
 for (t0, n), (t1, _) in zip(starts, starts[1:]):
-    qs[n] = round(t1 - t0, 3)
+    if n in qs:
+        # a chunk re-run after a crash-recovered session starts the same
+        # query twice: sum the gaps (both attempts burned wall clock) and
+        # flag the name so the record says which numbers are multi-attempt
+        dups.add(n)
+        qs[n] = round(qs[n] + (t1 - t0), 3)
+    else:
+        qs[n] = round(t1 - t0, 3)
+note = (
+    "recovered from trace start lines; per-query wall = gap to next "
+    "start (includes between-query overhead); last in-flight query "
+    "excluded; session chunk teardown+startup overhead lands in the "
+    "LAST query of the previous family (the gap runs to the next "
+    "family's first start)"
+)
+if dups:
+    note += "; multi-attempt (gaps summed): " + ",".join(sorted(dups))
 rec = {
     "metric": "total", "value": round(sum(qs.values()), 3), "unit": "sec",
     "n_queries": len(qs), "partial": True,
-    "note": "recovered from trace start lines; per-query wall = gap to "
-            "next start (includes between-query overhead); last in-flight "
-            "query excluded; session chunk restarts land in the first "
-            "query of each family",
+    "note": note,
     "errors": sorted(fails),
     "queries": dict(sorted(qs.items(), key=lambda kv: -kv[1])),
     "sf": sf,
