@@ -2966,20 +2966,27 @@ object Relational {
       |SELECT item_a, item_b, n_ab, n_a, n_b, lift_ppm, conf_ab_ppm, conf_ba_ppm
       |FROM scored
       |ORDER BY lift_ppm DESC, item_a, item_b LIMIT 50""".stripMargin) { (spark, dir) =>
-    // one fact scan: the basket frame feeds three consumers (total,
-    // item counts, pair mine) — pin it so they share a materialization
-    val baskets = Tables.lineitem(spark, dir)
+    // ONE fact scan and ONE full-fact shuffle: group straight to the
+    // per-order sorted distinct-item array (collect_set dedups, so the
+    // oracle's DISTINCT pre-pass and its extra (ok, item) shuffle are
+    // folded into the same exchange). All three consumers (total, item
+    // counts, pair mine) derive from the GROUPED frame, so the pinned
+    // artifact is |orders| rows of ≤|brand-universe| arrays — bounded per
+    // row — never the raw corpus-scale basket frame (the r11 sf100
+    // lesson: corpus-sized localCheckpoints compete with the very
+    // execution memory their consumers need).
+    val grouped = Tables.lineitem(spark, dir)
       .join(broadcast(Tables.part(spark, dir)),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
-      .distinct()
-      .localCheckpoint()
-    val nOrders = baskets.select(col("ok")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val itemCounts = baskets.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-    // pair-mine inside the row: sorted distinct items -> all a<b pairs
-    val pairs = baskets.groupBy(col("ok"))
+      .groupBy(col("ok"))
       .agg(sort_array(collect_set(col("item"))).as("items"))
+      .localCheckpoint()
+    val nOrders = grouped.agg(count(lit(1)).as("n_orders"))
+    val itemCounts = grouped.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    // pair-mine inside the row: sorted distinct items -> all a<b pairs
+    val pairs = grouped
       .select(explode(flatten(expr(
         "transform(items, (x, i) -> transform(slice(items, i + 2, size(items)), y -> struct(x AS item_a, y AS item_b)))"
       ))).as("p"))

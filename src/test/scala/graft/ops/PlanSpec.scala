@@ -802,11 +802,13 @@ class PlanSpec extends AnyFunSuite {
     assert(fp.contains("*("), s"no codegen span in:\n$p")
   }
 
-  test("dp19: pair mine runs on the pinned basket frame; stats broadcast") {
+  test("dp19: pair mine runs on the pinned GROUPED basket frame; stats broadcast") {
     val p = plan(Relational.dp19AssocRules)
-    // baskets are localCheckpoint-pinned (three consumers share one fact
-    // scan); pairs come from in-row array expansion, never a self-join,
-    // and item counts + the 1-row total are broadcast
+    // the per-order item-array frame is localCheckpoint-pinned (three
+    // consumers share one fact scan + ONE shuffle; the pin is |orders|
+    // rows of bounded arrays, never the raw corpus-scale basket frame);
+    // pairs come from in-row array expansion, never a self-join, and
+    // item counts + the 1-row total are broadcast
     assert(!p.contains("Scan parquet"),
       s"fact table re-scanned downstream of the basket pin:\n$p")
     assert(p.contains("Scan ExistingRDD"), s"pinned baskets not read in:\n$p")
