@@ -35,6 +35,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // storage region evicts under concurrent query pressure and recompute
   // cascades — the machine has 128 GiB, so headroom is free locally.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // G1's GCLocker default gives an allocation TWO retries while a JNI
+  // critical section (lz4/zstd codecs) holds the locker; under 32
+  // concurrent shuffle tasks that surfaces as a spurious
+  // "Retried waiting for GCLocker too often" heap OOM on a 5-WORD
+  // allocation with tens of GB free (killed e18's sf100 solo run).
+  "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=64",
 ) ++
   // dev-only GC visibility: SPARK_GRAFT_GC_LOG=/path writes a unified
   // GC log from the forked JVM (perf triage; never set by the driver)

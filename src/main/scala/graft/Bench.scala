@@ -18,8 +18,8 @@ object Bench {
   private def buildSession(sfDir: String, cpus: String): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    // see HarnessConf: dev-only RocksDB state-store A/B switch
-    val spark = HarnessConf.stateStoreConf.foldLeft(SparkSession.builder()
+    // see HarnessConf: dev-only RocksDB + soak zstd-shuffle switches
+    val spark = HarnessConf.extraConf.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       // default: one shuffle partition per core. At soak scales (sf100:
       // billion-row shuffles) override so partitions fit in memory — the

@@ -15,4 +15,20 @@ object HarnessConf {
       Map("spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     else Map.empty
+
+  /** SPARK_GRAFT_SHUFFLE_ZSTD=1 switches shuffle/spill block compression
+    * from lz4 to zstd. Soak-scale runs are scratch-BYTES-bound, not
+    * CPU-bound (the sf100 pair mine writes an ~11B-row exchange whose
+    * lz4 footprint exceeds this box's tmpfs+disk scratch); zstd's ~2×
+    * better ratio on packed integer shuffle blocks is the difference
+    * between fitting and ENOSPC. Default stays lz4 (Spark's default) so
+    * gate/bench scales measure the stock configuration.
+    */
+  val shuffleCodecConf: Map[String, String] =
+    if (sys.env.get("SPARK_GRAFT_SHUFFLE_ZSTD").contains("1"))
+      Map("spark.io.compression.codec" -> "zstd")
+    else Map.empty
+
+  /** All shared dev/soak session extras, applied by Bench and Verify. */
+  val extraConf: Map[String, String] = stateStoreConf ++ shuffleCodecConf
 }

@@ -10,8 +10,8 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // see HarnessConf: dev-only RocksDB state-store A/B switch
-    val spark = HarnessConf.stateStoreConf.foldLeft(SparkSession.builder()
+    // see HarnessConf: dev-only RocksDB + soak zstd-shuffle switches
+    val spark = HarnessConf.extraConf.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       // see Bench: overridable at soak scales so partitions fit in memory
       .config("spark.sql.shuffle.partitions",
@@ -24,9 +24,17 @@ object Verify {
       // stages leave zombie tasks that slow every later dump
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       // shuffle/spill scratch on tmpfs (see Bench) — the dump itself
-      // still writes results wherever outDir points
-      .config("spark.local.dir",
-        ops.StreamingQueries.fastTmpDir("graft_local_verify"))
+      // still writes results wherever outDir points; soak dumps add a
+      // disk root (SPARK_GRAFT_SCRATCH_DISK, round-robined) so a heavy
+      // spill splits across RAM and disk like executor-local NVMe would
+      .config("spark.local.dir", {
+        val shm = ops.StreamingQueries.fastTmpDir("graft_local_verify")
+        sys.env.get("SPARK_GRAFT_SCRATCH_DISK") match {
+          case Some(d) =>
+            shm + "," + ops.StreamingQueries.scratchDirAt(d, "graft_local_verify")
+          case None => shm
+        }
+      })
       // reap dead single-use localCheckpoint pins between queries (see
       // Bench.scala — the full-dump session accumulates them the same way)
       .config("spark.cleaner.periodicGC.interval", "45s")

@@ -349,61 +349,90 @@ object Graph {
 
   private val incidenceCache = new SessionCache[String, DataFrame]()
 
-  /** Uncached capped incidence plan — exposed (with [[pairMinePlan]]) so
-    * PlanSpec can pin that the cap window sits BELOW the pair self-join
-    * (the caches hide the subtree from the consumers' executed plans).
+  /** Uncached capped per-customer supplier ARRAY plan — exposed (with
+    * [[pairMinePlan]]) so PlanSpec can pin that the degree cap is applied
+    * IN-ROW below the pair explode (the caches hide the subtree from the
+    * consumers' executed plans).
+    *
+    * The md5-ranked top-[[DEGREE_CAP]] selection happens inside the row:
+    * collect each customer's (distinct) suppliers, sort by
+    * (md5(c#s), s) via natural struct order, slice the cap, re-sort the
+    * survivors ascending by id so the pair mine can emit s1 < s2
+    * directly. The r11 shape ranked with a row_number WINDOW over the
+    * full incidence — at sf100 that sorts 550M rows carrying 32-char md5
+    * keys through an exchange (~45 GB of sort spill); the in-row fold
+    * shuffles 16-byte (c, s) rows once and sorts ≤ a few hundred
+    * elements per row. Hot keys stay bounded: one array row per
+    * customer, capped at [[DEGREE_CAP]] before it leaves the aggregate.
     */
-  private[ops] def cappedIncidencePlan(spark: SparkSession, dir: String): DataFrame = {
+  private[ops] def cappedArraysPlan(spark: SparkSession, dir: String): DataFrame = {
     // the cached undirected frame holds each edge once per direction;
     // keeping only even (customer-side) sources recovers the distinct
     // customer→supplier incidence exactly
     val cs = copurchaseEdges(spark, dir)
       .filter(col("a") % 2 === 0)
       .select(expr("a div 2").as("c"), expr("b div 2").as("s"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("c"))
-      .orderBy(md5(concat_ws("#", col("c"), col("s"))), col("s"))
-    cs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= DEGREE_CAP)
-      .select(col("c"), col("s"))
+    cs.groupBy(col("c"))
+      .agg(collect_list(col("s")).as("raw"))
+      .select(col("c"), expr(
+        s"""array_sort(transform(
+           |  slice(array_sort(transform(raw,
+           |    x -> struct(md5(concat_ws('#', c, x)) AS h, x AS s))),
+           |    1, $DEGREE_CAP),
+           |  e -> e.s))""".stripMargin).as("ss"))
   }
 
-  /** Degree-capped customer→supplier incidence (see [[DEGREE_CAP]]) —
-    * the frame every pair-mine consumer starts from. One window shuffle
-    * on the customer key; localCheckpoint-pinned so the g3 degree frame
-    * and the pair self-join read one materialization.
+  /** Capped arrays, session-pinned: ONE materialization feeds the pair
+    * mine, the exploded incidence view, and g3's degree frame.
     */
-  private def cappedIncidence(spark: SparkSession, dir: String): DataFrame =
+  private def cappedArrays(spark: SparkSession, dir: String): DataFrame =
     incidenceCache.getOrElseUpdate(spark, dir) {
-      cappedIncidencePlan(spark, dir).localCheckpoint()
+      cappedArraysPlan(spark, dir).localCheckpoint()
     }
 
-  /** Uncached pair-mine plan for PlanSpec (cap-below-join pin). */
-  private[ops] def pairMinePlan(spark: SparkSession, dir: String): DataFrame = {
-    val cs = cappedIncidencePlan(spark, dir)
-    cs.as("x").join(cs.as("y"),
-        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
-      .groupBy(col("x.s").as("s1"), col("y.s").as("s2"))
-      .agg(count(lit(1)).as("co"))
-  }
+  /** Degree-capped customer→supplier incidence (see [[DEGREE_CAP]]) as
+    * (c, s) rows — a map-side explode over the pinned [[cappedArrays]]
+    * frame, no shuffle of its own.
+    */
+  private def cappedIncidence(spark: SparkSession, dir: String): DataFrame =
+    cappedArrays(spark, dir)
+      .select(col("c"), explode(col("ss")).as("s"))
+
+  /** Uncached pair-mine plan for PlanSpec (in-row cap + no-join pin). */
+  private[ops] def pairMinePlan(spark: SparkSession, dir: String): DataFrame =
+    pairsFromArrays(cappedArraysPlan(spark, dir))
+
+  /** In-row pair explode over the capped arrays, with the (s1, s2) key
+    * PACKED into one long through the exchange: the aggregate's input is
+    * ~deg²/2 rows per customer (11B rows at sf100 — the single biggest
+    * shuffle in the registry), so halving the key bytes halves the one
+    * shuffle that dominates the whole graph family. Ids are div-2 node
+    * keys < 2^31 at any reachable scale; shiftleft(32) cannot collide.
+    */
+  private def pairsFromArrays(arrs: DataFrame): DataFrame =
+    arrs.select(explode(flatten(expr(
+        "transform(ss, (x, i) -> transform(slice(ss, i + 2, size(ss)), y -> shiftleft(x, 32) + y))"
+      ))).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("co"))
+      .select(expr("shiftright(pk, 32)").as("s1"),
+        expr("pk & 4294967295").as("s2"), col("co"))
 
   private val pairCache = new SessionCache[String, DataFrame](df => { df.unpersist(false); () })
 
   /** Shared-customer counts per supplier pair (s1 < s2) — the pair-mine
     * aggregate both g3 (affinity top-k) and g4 (mutual-kNN triangles)
     * start from, over the DEGREE-CAPPED incidence ([[DEGREE_CAP]] — the
-    * hot-key guard that keeps the mine linear at 100 TB). It is the
-    * expensive half of either query (an inverted index self-join on the
-    * customer key), so it is persisted once per (session, dataset) with
-    * an eager count barrier, like [[copurchaseEdges]].
+    * hot-key guard that keeps the mine linear at 100 TB). Pairs are
+    * generated INSIDE the row from the pinned capped array (sorted
+    * ascending, so s1 < s2 by construction — the r11 self-join on the
+    * customer key is gone: it re-sorted the 550M-row incidence twice at
+    * sf100 before emitting the same 11B pair rows). It is the expensive
+    * half of either query, so it is persisted once per (session,
+    * dataset) with an eager count barrier, like [[copurchaseEdges]].
     */
   private def coPairs(spark: SparkSession, dir: String): DataFrame =
     pairCache.getOrElseUpdate(spark, dir) {
-      val cs = cappedIncidence(spark, dir)
-      val df = cs.as("x").join(cs.as("y"),
-          col("x.c") === col("y.c") && col("x.s") < col("y.s"))
-        .groupBy(col("x.s").as("s1"), col("y.s").as("s2"))
-        .agg(count(lit(1)).as("co"))
+      val df = pairsFromArrays(cappedArrays(spark, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df

@@ -163,25 +163,26 @@ class PlanSpec extends AnyFunSuite {
       s"pair generation degraded to a cross join:\n$p")
   }
 
-  test("g3: the hot-key degree cap sits BELOW the pair self-join") {
+  test("g3: the hot-key degree cap is applied IN-ROW below the pair explode") {
     // the session caches hide the pair-mine subtree from g3's executed
-    // plan, so the pin inspects the uncached builder: every input of the
-    // pair self-join must carry the row_number cap window — i.e. no
-    // uncapped incidence row ever reaches the quadratic pair explode
+    // plan, so the pin inspects the uncached builder: pairs must be
+    // generated inside the row from the capped array — NO self-join (it
+    // re-sorted the full incidence twice at sf100) and NO window (the
+    // full-incidence md5 rank sort) may reappear; the slice cap must sit
+    // below the pair aggregate so no uncapped row reaches the explode
     val plan = Graph.pairMinePlan(spark, sf).queryExecution.optimizedPlan
     val joins = plan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }
-    assert(joins.nonEmpty, s"no join in pair-mine plan:\n$plan")
-    joins.foreach { j =>
-      j.children.foreach { side =>
-        val wins = side.collect {
-          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-        }
-        assert(wins.nonEmpty,
-          s"pair-join input lacks the degree-cap window:\n$side")
-      }
+    assert(joins.isEmpty, s"pair mine degraded back to a self-join:\n$plan")
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
+    assert(wins.isEmpty, s"full-incidence rank window reappeared:\n$plan")
+    val s = plan.toString
+    assert(s.contains("slice") && s.contains(Graph.DEGREE_CAP.toString),
+      s"degree-cap slice missing from the in-row mine:\n$plan")
+    assert(s.contains("explode"), s"no in-row pair explode in:\n$plan")
   }
 
   test("t14: bigram stats shuffle on the bigram and the doc key only") {
