@@ -169,20 +169,71 @@ object Bench {
     val calT1 = System.nanoTime()
     spark.range(3000000000L).selectExpr("sum(id % 1000)").collect()
     val calParEnd = (System.nanoTime() - calT1) / 1e9
+    val (full, compact) = renderRecords(results, failed, storage,
+      chunkFamilies.toSeq, calSingle, calPar, calParEnd, sfDir)
+    // the full map to a bare file at an absolute path (sbt's cwd is the
+    // repo root; resolve explicitly so a different launcher cwd still
+    // lands it somewhere findable)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      java.nio.file.Paths.get(sys.props("user.dir"), "bench_out.json").toString)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), full + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
+    spark.stop()
+    // stdout LAST, after spark.stop(), so no late WARN line splits it;
+    // the driver keeps only the final ~2000 chars of output, so the full
+    // 210-query map gets truncated mid-line — print the full line first
+    // for humans, then a compact line (full-run totals, top-20 query
+    // breakdown) as the very last output so at least one complete
+    // parseable JSON line sits inside the tail window.
+    println(full)
+    println(compact)
+  }
+
+  /** Render the (full, compact) record lines. Pure — unit-tested by
+    * BenchRecordSpec. BOTH lines carry totals computed from the FULL
+    * results map; the compact line differs only in its per-query
+    * breakdown (top-20 by time) and in omitting storage snapshots.
+    * Round-12 regression (VERDICT r12 item 1): the renderer used to sum
+    * the map it was GIVEN, so the compact line — the only complete JSON
+    * line inside the driver's 2000-char tail window — reported the
+    * top-20 sum (107.2s) as the 210-query total (really 265.5s).
+    *
+    * Headline totals count SUCCESSFUL queries only — a failed query's
+    * elapsed time (often a multi-minute abort) would skew comparisons
+    * between runs with different error sets; its wall time stays visible
+    * per-query and in failed_sec, and n_failed makes the denominator
+    * asymmetry explicit (ADVICE r12).
+    *
+    * Host-noise normalization: the bench box is a shared VM, and the
+    * recorded back-to-back evidence (176.7s vs 124.6s identical runs,
+    * start calibrations 0.975 vs 0.541 — SURVEY §7.8) means a single
+    * contended run can false-fail a 2× wall-clock gate. The calibration
+    * probes measure fixed work, so host contention is a multiplier on
+    * them too: value_normalized = value × (CAL_REF / cal_measured),
+    * where cal_measured is the mean of the start/end parallel brackets
+    * (contention arriving mid-run is visible in the end bracket) and
+    * CAL_REF is the clean-host parallel calibration recorded in round 5.
+    * The raw value stays authoritative; the normalized one is what
+    * cross-round comparisons should read (README "Benchmark" section).
+    */
+  private[graft] def renderRecords(
+      results: Map[String, Double],
+      failed: Seq[String],
+      storage: Map[String, (Double, Int)],
+      chunkFamilies: Seq[String],
+      calSingle: Double,
+      calPar: Double,
+      calParEnd: Double,
+      sfDir: String): (String, String) = {
     def fmt(v: Double): String = f"$v%.3f"
-    // Host-noise normalization: the bench box is a shared VM, and the
-    // recorded back-to-back evidence (176.7s vs 124.6s identical runs,
-    // start calibrations 0.975 vs 0.541 — SURVEY §7.8) means a single
-    // contended run can false-fail a 2× wall-clock gate. The calibration
-    // probes measure fixed work, so host contention is a multiplier on
-    // them too: value_normalized = value × (CAL_REF / cal_measured),
-    // where cal_measured is the mean of the start/end parallel brackets
-    // (contention arriving mid-run is visible in the end bracket) and
-    // CAL_REF is the clean-host parallel calibration recorded in round 5.
-    // The raw value stays authoritative; the normalized one is what
-    // cross-round comparisons should read (README "Benchmark" section).
     val calRef = 0.320
     val calMeasured = (calPar + calParEnd) / 2.0
+    val failedSet = failed.toSet
+    val totalSec = results.collect { case (k, v) if !failedSet(k) => v }.sum
+    val failedSec = results.collect { case (k, v) if failedSet(k) => v }.sum
+    val normSec =
+      if (calMeasured > 0) totalSec * (calRef / calMeasured) else totalSec
     def jsonLine(m: Map[String, Double], withStorage: Boolean): String = {
       val qs = m.toSeq.sortBy(-_._2)
         .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
@@ -198,40 +249,17 @@ object Bench {
       // in this order (so every number is a solo-session number)
       val ch = chunkFamilies.map("\"" + _ + "\"").mkString("[", ",", "]")
       val er = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      // headline totals count SUCCESSFUL queries only — a failed query's
-      // elapsed time (often a multi-minute abort) would skew comparisons
-      // between runs with different error sets; its wall time is still
-      // visible per-query and summed separately in failed_sec
-      val failedSet = failed.toSet
-      val total = m.collect { case (k, v) if !failedSet(k) => v }.sum
-      val failedSec = m.collect { case (k, v) if failedSet(k) => v }.sum
-      val norm = if (calMeasured > 0) total * (calRef / calMeasured) else total
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+      s"""{"metric":"total","value":${fmt(totalSec)},"unit":"sec","n_queries":${results.size},""" +
+        s""""n_failed":${failed.size},""" +
         s""""errors":$er,"failed_sec":${fmt(failedSec)},""" +
-        s""""value_normalized":${fmt(norm)},"cal_ref":${fmt(calRef)},""" +
+        s""""value_normalized":${fmt(normSec)},"cal_ref":${fmt(calRef)},""" +
         s""""cal_single_sec":${fmt(calSingle)},"cal_parallel_sec":${fmt(calPar)},""" +
         s""""cal_parallel_end_sec":${fmt(calParEnd)},""" +
         s""""session_chunks":$ch,""" +
         s""""queries":$qs$st,"sf":"$sfDir"}"""
     }
-    val full = jsonLine(results, withStorage = true)
-    // the full map to a bare file at an absolute path (sbt's cwd is the
-    // repo root; resolve explicitly so a different launcher cwd still
-    // lands it somewhere findable)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      java.nio.file.Paths.get(sys.props("user.dir"), "bench_out.json").toString)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outPath), full + "\n")
-    catch { case scala.util.control.NonFatal(_) => () }
-    spark.stop()
-    // stdout LAST, after spark.stop(), so no late WARN line splits it;
-    // the driver keeps only the final ~2000 chars of output, so the full
-    // 71-query map (~2.3 KB) gets truncated mid-line — print the full
-    // line first for humans, then a compact top-20 line as the very last
-    // output so at least one complete parseable JSON line sits inside
-    // the tail window.
-    println(full)
-    println(jsonLine(results.toSeq.sortBy(-_._2).take(20).toMap,
-      withStorage = false))
+    (jsonLine(results, withStorage = true),
+      jsonLine(results.toSeq.sortBy(-_._2).take(20).toMap,
+        withStorage = false))
   }
 }

@@ -362,8 +362,13 @@ object Graph {
     * full incidence — at sf100 that sorts 550M rows carrying 32-char md5
     * keys through an exchange (~45 GB of sort spill); the in-row fold
     * shuffles 16-byte (c, s) rows once and sorts ≤ a few hundred
-    * elements per row. Hot keys stay bounded: one array row per
-    * customer, capped at [[DEGREE_CAP]] before it leaves the aggregate.
+    * elements per row. Hot keys stay bounded for the CONSUMERS: one
+    * array row per customer, sliced to [[DEGREE_CAP]] in the projection
+    * immediately after the aggregate. (The collect_list buffer itself
+    * holds the customer's full distinct supplier list — bounded by the
+    * supplier universe, not by the cap; fine at measured scales. A true
+    * cap-inside-the-aggregate would need a custom
+    * TypedImperativeAggregate.)
     */
   private[ops] def cappedArraysPlan(spark: SparkSession, dir: String): DataFrame = {
     // the cached undirected frame holds each edge once per direction;

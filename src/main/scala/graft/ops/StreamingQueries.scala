@@ -9,17 +9,21 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 /** Structured Streaming pipelines under the DuckDB oracle gate: each
   * query REALLY runs the streaming engine — `readStream` over the events
   * parquet, the `graft.streaming.EventsStream` transform, a
-  * `Trigger.AvailableNow` run into a memory sink — and the drained sink
-  * is compared against the batch-SQL oracle. This is the hard evidence
+  * `Trigger.AvailableNow` run into a sink — and the drained sink is
+  * compared against the batch-SQL oracle. This is the hard evidence
   * that the streaming operators compute the same answer as their batch
   * twins (the Structured Streaming contract), not just that their specs
   * pass.
   *
-  * Memory-sink caveat (gate-only): the sink collects to the driver, which
-  * is fine for the oracle's row counts; a production 100 TB stream writes
-  * `writeStream.format("parquet")` with the same transforms — the plan
-  * shape (shuffle on group keys, state-store sharding by key, watermark
-  * eviction) is identical.
+  * Sink discipline (round 13): append-mode streams sink straight to a
+  * parquet FILE sink — tasks write executor-side, only commit metadata
+  * reaches the driver, so result size never rides
+  * `spark.driver.maxResultSize` (at sf100 the old memory sink aborted
+  * w14 at 1.05 GB and w15 at 1.8 GB of serialized task results). That
+  * is also the production 100 TB shape. Complete-mode aggregates keep
+  * the memory sink (the file sink is append-only); their result is
+  * bounded by group-key cardinality, not the corpus, and is drained to
+  * temp parquet immediately after the run so nothing stays pinned.
   */
 object StreamingQueries {
 
@@ -121,30 +125,50 @@ object StreamingQueries {
     val saved = spark.conf.get(key)
     val target = sys.env.getOrElse("GRAFT_STREAM_PARTITIONS", "4").toInt
     if (saved.toInt > target) spark.conf.set(key, target.toString)
+    val out = fastTmpDir(s"graft_sink_$name")
+    val append = mode == OutputMode.Append()
     try {
-      val q = df.writeStream
-        .format("memory")
-        .queryName(name)
+      // Append-mode streams sink STRAIGHT to parquet: the file sink's
+      // tasks write their partitions executor-side and send only commit
+      // metadata to the driver, so the result size never touches
+      // spark.driver.maxResultSize. The memory sink, by contrast, ships
+      // every task's ROWS to the driver inside the micro-batch itself —
+      // at sf100 w14's joined output (1.05 GB serialized) and w15's
+      // session frame (1.8 GB) aborted the stage on maxResultSize
+      // (round-12 soak). This is also exactly what a production 100 TB
+      // deployment does: writeStream.format("parquet") with the same
+      // transforms and plan shape (shuffle on group keys, state-store
+      // sharding by key, watermark eviction).
+      // Complete-mode aggregates keep the memory sink — the file sink
+      // only supports Append, and a Complete result is bounded by the
+      // group-key cardinality, not the corpus.
+      val writer0 = df.writeStream
         .outputMode(mode)
         .option("checkpointLocation", fastTmpDir(s"graft_ckpt_$name"))
         .trigger(Trigger.AvailableNow())
-        .start()
+      val q =
+        if (append) writer0.format("parquet").option("path", out).start()
+        else writer0.format("memory").queryName(name).start()
       q.awaitTermination()
     } finally spark.conf.set(key, saved)
-    // drain the sink to a temp parquet and hand back a reader over it,
-    // then drop the sink's temp view — the memory sink would otherwise
-    // pin the full result on the driver heap (for w5, a whole copy of
-    // the events table) for the session lifetime, and a LocalRelation
-    // copy would pin a SECOND driver-side copy. The parquet roundtrip
-    // keeps driver memory bounded regardless of sf (executors stream
-    // the write), at the cost of one small local write per gate run.
-    val sink = spark.table(name)
-    val out = fastTmpDir(s"graft_sink_$name")
-    sink.write.mode("overwrite").parquet(out)
-    spark.catalog.dropTempView(name)
-    // temp-dir hygiene: fastTmpDir registered the root with the recursive
-    // shutdown hook, which handles the staged files too
-    spark.read.parquet(out)
+    if (append) {
+      // explicit schema: a legitimately-empty result leaves a metadata
+      // log with zero committed files, where schema inference would fail
+      spark.read.schema(df.schema).parquet(out)
+    } else {
+      // drain the sink to a temp parquet and hand back a reader over it,
+      // then drop the sink's temp view — the memory sink would otherwise
+      // pin the full result on the driver heap for the session lifetime,
+      // and a LocalRelation copy would pin a SECOND driver-side copy.
+      // The parquet roundtrip keeps driver memory bounded, at the cost
+      // of one small local write per gate run.
+      val sink = spark.table(name)
+      sink.write.mode("overwrite").parquet(out)
+      spark.catalog.dropTempView(name)
+      // temp-dir hygiene: fastTmpDir registered the root with the
+      // recursive shutdown hook, which handles the staged files too
+      spark.read.parquet(out)
+    }
   }
 
   /** The test tables are single parquet FILES; the file streaming source

@@ -29,22 +29,33 @@ for name in $(python3 -c "import json,sys; print('\n'.join(sorted(json.load(open
   [ -f "$CACHE/$name.pkl" ] && continue
   # an operator clearing a .err asks for a FRESH attempt — that includes a
   # fresh retry budget, so drop any stale .retried claim marker from a
-  # previous round (otherwise the next allocation failure gets no retry)
+  # previous round (otherwise the next allocation failure gets no retry).
+  # BUT "no .err + .retried present" is also exactly what a PEER loop
+  # mid-retry looks like (it removed the .err it just claimed): the
+  # marker carries the claiming loop's PID, and we only clear it when
+  # that PID is dead — a live claimant means the query is in flight, so
+  # skip it entirely rather than duplicate the run.
   if [ ! -f "$CACHE/$name.err" ] && [ -f "$CACHE/$name.retried" ]; then
+    cpid="$(cat "$CACHE/$name.retried" 2>/dev/null)"
+    if [ -n "$cpid" ] && kill -0 "$cpid" 2>/dev/null && \
+       tr '\0' ' ' < "/proc/$cpid/cmdline" 2>/dev/null | grep -q "oracle_cache_loop"; then
+      continue  # live peer loop owns this retry
+    fi
     rm -f "$CACHE/$name.retried"
   fi
   [ -f "$CACHE/$name.err" ] && continue
   attempt "$name"
-  # Retry allocation-flavored deaths AND kernel OOM-kills (SIGKILL
-  # surfaces as rc=137/-9 with no allocator message — the most common
-  # failure class this retry exists for). rc=124 (the 3600s timeout
-  # kill) is explicitly excluded: a legit timeout must not get a second
-  # full-hour attempt. The retry is claimed via an atomic noclobber
-  # marker so a concurrent fwd/rev loop can never clobber the .err this
-  # loop just wrote and duplicate the re-run.
+  # Retry allocation-flavored deaths AND kernel OOM-kills (a SIGKILLed
+  # subprocess surfaces as bash rc=137 with no allocator message — the
+  # most common failure class this retry exists for). rc=124 (the 3600s
+  # timeout kill) is explicitly excluded: a legit timeout must not get a
+  # second full-hour attempt. The retry is claimed via an atomic
+  # noclobber marker carrying OUR PID so a concurrent fwd/rev loop can
+  # never clobber the .err this loop just wrote and duplicate the re-run
+  # (and so the stale-marker cleanup above can tell in-flight from dead).
   if [ ! -f "$CACHE/$name.pkl" ] && [ -f "$CACHE/$name.err" ] && \
-     grep -qiE "bad allocation|out of memory|failed to allocate|rc=137|rc=-9" "$CACHE/$name.err"; then
-    if ( set -o noclobber; : > "$CACHE/$name.retried" ) 2>/dev/null; then
+     grep -qiE "bad allocation|out of memory|failed to allocate|rc=137" "$CACHE/$name.err"; then
+    if ( set -o noclobber; echo $$ > "$CACHE/$name.retried" ) 2>/dev/null; then
       echo "[retry-solo] $name: allocation-flavored failure — clearing dead spill dirs and retrying once"
       rm -f "$CACHE/$name.err"
       # only reap spill dirs whose owning pid is gone AND was actually an

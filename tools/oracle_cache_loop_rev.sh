@@ -20,19 +20,26 @@ attempt() { # $1 = query name
 
 for name in $(python3 -c "import json,sys; print('\n'.join(sorted(json.load(open('$JSON')), reverse=True)))"); do
   [ -f "$CACHE/$name.pkl" ] && continue
-  # cleared .err = fresh attempt = fresh retry budget (see forward loop)
+  # cleared .err = fresh attempt = fresh retry budget; a marker whose
+  # claiming PID is still a live loop means the query is mid-retry in
+  # the peer — skip, don't duplicate (see forward loop)
   if [ ! -f "$CACHE/$name.err" ] && [ -f "$CACHE/$name.retried" ]; then
+    cpid="$(cat "$CACHE/$name.retried" 2>/dev/null)"
+    if [ -n "$cpid" ] && kill -0 "$cpid" 2>/dev/null && \
+       tr '\0' ' ' < "/proc/$cpid/cmdline" 2>/dev/null | grep -q "oracle_cache_loop"; then
+      continue  # live peer loop owns this retry
+    fi
     rm -f "$CACHE/$name.retried"
   fi
   [ -f "$CACHE/$name.err" ] && continue
   attempt "$name"
-  # Allocation-flavored deaths and kernel OOM-kills (rc=137/-9); timeout
+  # Allocation-flavored deaths and kernel OOM-kills (rc=137); timeout
   # rc=124 must not re-run. The retry is claimed via an atomic noclobber
-  # marker so the concurrent forward loop can never duplicate it (see the
-  # forward loop's header).
+  # marker carrying OUR PID so the concurrent forward loop can never
+  # duplicate it (see the forward loop's header).
   if [ ! -f "$CACHE/$name.pkl" ] && [ -f "$CACHE/$name.err" ] && \
-     grep -qiE "bad allocation|out of memory|failed to allocate|rc=137|rc=-9" "$CACHE/$name.err"; then
-    if ( set -o noclobber; : > "$CACHE/$name.retried" ) 2>/dev/null; then
+     grep -qiE "bad allocation|out of memory|failed to allocate|rc=137" "$CACHE/$name.err"; then
+    if ( set -o noclobber; echo $$ > "$CACHE/$name.retried" ) 2>/dev/null; then
       echo "[retry-solo] $name: allocation-flavored failure — clearing dead spill dirs and retrying once"
       rm -f "$CACHE/$name.err"
       for d in "$CACHE"/duck_tmp_*; do
