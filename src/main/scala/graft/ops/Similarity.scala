@@ -149,6 +149,20 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** IVF cell count — a FIXED gate constant, shared verbatim by every
+    * oracle SQL that mirrors the cell assignment, so cross-engine parity
+    * holds at any scale factor. Scale caveat (measured, round 13): with
+    * cells and plane buckets fixed, per-bucket occupancy grows linearly
+    * with the corpus and probe count grows with it too, so the
+    * candidate fan of the index-probe queries (s12/s18/s21 and the w23
+    * streaming apply) is QUADRATIC in corpus size — w23 measured 38.8s
+    * at sf10 vs 4159.6s at sf100 (~107× for 10× rows). A deployment
+    * sizes the cell count ∝ √N (the standard IVF rule: ~√N cells of
+    * ~√N vectors keeps probe work O(√N) per vector); the gate keeps the
+    * tiny fixed constant because the DuckDB oracles hardcode the same
+    * assignment arithmetic and a data-dependent k would have to be
+    * mirrored into every oracle string at dump time.
+    */
   private val N_CELLS = 8
   private val IVF_K = 5
 

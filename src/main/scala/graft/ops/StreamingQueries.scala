@@ -15,20 +15,22 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   * twins (the Structured Streaming contract), not just that their specs
   * pass.
   *
-  * Sink discipline (round 13): append-mode streams sink straight to a
-  * parquet FILE sink — tasks write executor-side, only commit metadata
-  * reaches the driver, so result size never rides
-  * `spark.driver.maxResultSize` (at sf100 the old memory sink aborted
-  * w14 at 1.05 GB and w15 at 1.8 GB of serialized task results). That
-  * is also the production 100 TB shape. Complete-mode aggregates keep
-  * the memory sink (the file sink is append-only); their result is
-  * bounded by group-key cardinality, not the corpus, and is drained to
-  * temp parquet immediately after the run so nothing stays pinned.
+  * Sink discipline (round 13): NO memory sink anywhere. Append-mode
+  * streams sink straight to a parquet FILE sink — tasks write
+  * executor-side, only commit metadata reaches the driver, so result
+  * size never rides `spark.driver.maxResultSize` (at sf100 the old
+  * memory sink aborted w14 at 1.05 GB and w15 at 1.8 GB of serialized
+  * task results). Complete-mode aggregates drain through `foreachBatch`
+  * with an executor-side parquet overwrite per batch — the last batch
+  * leaves the complete answer (the memory sink collected the Complete
+  * result to the driver every batch; w4's per-user session result has
+  * corpus-scale group cardinality and kernel-OOM-killed the sf100 JVM
+  * at 68 GB RSS). Both are the production 100 TB shapes.
   */
 object StreamingQueries {
 
   /** Drive a streaming frame through the engine with AvailableNow and
-    * return the drained memory sink as a DataFrame.
+    * return the drained sink as a DataFrame.
     *
     * The state store materializes one file per shuffle partition per
     * operator per micro-batch; at the oracle/bench scale that fixed IO
@@ -148,27 +150,24 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
       val q =
         if (append) writer0.format("parquet").option("path", out).start()
-        else writer0.format("memory").queryName(name).start()
+        else writer0.foreachBatch { (b: DataFrame, _: Long) =>
+          // Complete mode re-emits the FULL updated result each batch:
+          // overwrite the snapshot, executor-side — the last batch leaves
+          // the complete answer as parquet. The memory sink used here
+          // before round 13 collected the result to the driver inside
+          // the micro-batch; at sf100 w4's per-user session result
+          // (corpus-scale group cardinality) kernel-OOM-killed the JVM
+          // at 68 GB RSS. foreachBatch + parquet keeps rows executor-side
+          // whatever the group cardinality.
+          b.write.mode("overwrite").parquet(out); ()
+        }.start()
       q.awaitTermination()
     } finally spark.conf.set(key, saved)
-    if (append) {
-      // explicit schema: a legitimately-empty result leaves a metadata
-      // log with zero committed files, where schema inference would fail
-      spark.read.schema(df.schema).parquet(out)
-    } else {
-      // drain the sink to a temp parquet and hand back a reader over it,
-      // then drop the sink's temp view — the memory sink would otherwise
-      // pin the full result on the driver heap for the session lifetime,
-      // and a LocalRelation copy would pin a SECOND driver-side copy.
-      // The parquet roundtrip keeps driver memory bounded, at the cost
-      // of one small local write per gate run.
-      val sink = spark.table(name)
-      sink.write.mode("overwrite").parquet(out)
-      spark.catalog.dropTempView(name)
-      // temp-dir hygiene: fastTmpDir registered the root with the
-      // recursive shutdown hook, which handles the staged files too
-      spark.read.parquet(out)
-    }
+    // explicit schema on the read-back: an append-mode stream that
+    // legitimately emits zero rows leaves a metadata log with zero
+    // committed files (and a zero-batch Complete run writes nothing),
+    // where schema inference would fail
+    spark.read.schema(df.schema).parquet(out)
   }
 
   /** The test tables are single parquet FILES; the file streaming source
