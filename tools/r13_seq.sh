@@ -4,8 +4,13 @@
 # between solo runs. Each step is a fresh forked JVM; logs under sfgen/.
 set -u
 cd /root/repo
-echo "[seq] waiting for in-flight bench to exit"
-while pgrep -f "graft.Bench" >/dev/null; do sleep 30; done
+# wait on the EXPLICIT pid of the in-flight run (pgrep -f on the class
+# name false-matched sibling watcher shells whose cmdline quoted it)
+WAIT_PID="${1:-}"
+if [ -n "$WAIT_PID" ]; then
+  echo "[seq] waiting for pid $WAIT_PID to exit"
+  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 30; done
+fi
 rm -rf /dev/shm/graft_* /root/sparktmp/graft_* 2>/dev/null
 
 echo "[seq] d14 sf10 spark dump"
