@@ -148,6 +148,14 @@ object StreamingQueries {
         .outputMode(mode)
         .option("checkpointLocation", fastTmpDir(s"graft_ckpt_$name"))
         .trigger(Trigger.AvailableNow())
+      // The overwrite-per-batch drain below is CORRECT ONLY for
+      // Complete mode (each batch re-emits the full result). An
+      // Update-mode stream would keep only the last batch's changed
+      // rows — fail loudly rather than return a silently-partial
+      // result if a future caller passes Update.
+      require(append || mode == OutputMode.Complete(),
+        s"runStream($name): unsupported output mode $mode — only " +
+          "Append (file sink) and Complete (overwrite drain) are wired")
       val q =
         if (append) writer0.format("parquet").option("path", out).start()
         else writer0.foreachBatch { (b: DataFrame, _: Long) =>
@@ -1435,20 +1443,28 @@ object StreamingQueries {
     * reproduces the min-L2/tie-low rule without a window), the s2 plane
     * bucket, the SQ8 encode against the standing corpus stats, the
     * stream-static LEFT join against the session-persisted
-    * [[Similarity.annIndex]], the integer-dot candidate score, and the
-    * exact-cosine refine against the persisted normed corpus — all
-    * stateless. The only batch-local step is the per-vector top-k rollup
-    * in `foreachBatch` (vectors carry no event time to watermark on;
-    * sound because each vector lives in exactly one staged file). The
-    * ORACLE IS s21's, verbatim: the streaming apply equals the batch
-    * apply row-for-row — w22's stream==batch contract, lifted from
-    * documents to vectors.
+    * [[Similarity.annIndex]], and the integer-dot candidate score — all
+    * stateless. The batch-local steps in `foreachBatch` mirror batch
+    * s21 stage-for-stage: the `rnk <= S21_K` shortlist FIRST (on the
+    * codegen'd integer dot already computed in-stream), THEN the
+    * exact-cosine refine against the persisted normed corpus on the
+    * ≤K-per-probe shortlist, then the top-k rollup (vectors carry no
+    * event time to watermark on; sound because each vector lives in
+    * exactly one staged file). The ORACLE IS s21's, verbatim: the
+    * streaming apply equals the batch apply row-for-row — w22's
+    * stream==batch contract, lifted from documents to vectors.
     *
     * 100 TB shape: codebook/stats are one-row pinned artifacts; the
     * index probe is a stateless stream-static equi-join on
     * (cell, bucket) against the persisted index; per-micro-batch work is
-    * linear in the batch. A deployment with ingest-timestamped vectors
-    * would replace the foreachBatch rollup with a watermarked aggregate.
+    * linear in the batch. Crucially the per-candidate cost is 8-byte
+    * SQ8 codes + one long dot — the 512-byte double vectors and the
+    * cosine fold only ever touch the ≤K-per-probe shortlist (the
+    * round-13 plan refined EVERY banded candidate with the exact cosine
+    * in-stream, 265× adrift of batch s21 at sf100; this plan is the
+    * batch twin's shortlist-then-refine order). A deployment with
+    * ingest-timestamped vectors would replace the foreachBatch rollup
+    * with a watermarked aggregate.
     */
   val w23StreamIncrementalAnn: Q = Q.sql(
     "w23_stream_incremental_ann",
@@ -1460,17 +1476,30 @@ object StreamingQueries {
     val written = scala.collection.mutable.ListBuffer.empty[String]
     val q = stream.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
-        // batch-local rollup — mirrors Similarity.s21's shortlist/refine
-        // rollup exactly (cos is already computed in-stream; the window
-        // rank is the only piece streaming cannot run)
+        // batch-local shortlist → refine → rollup, mirroring batch s21
+        // stage-for-stage (Similarity.scala s21IncrementalAnnApply):
+        // prune to the top-K by the codegen'd integer dot FIRST, and
+        // only THEN join the persisted normed corpus and compute the
+        // exact cosine on the ≤K-per-probe shortlist — the 64-double
+        // vectors never cross the candidate fan
         val cand = b.filter(col("neighbor_id").isNotNull)
         val wr = Window.partitionBy(col("vec_id"))
           .orderBy(col("dotq").desc, col("neighbor_id"))
         val wc = Window.partitionBy(col("vec_id"))
-        val ref = cand
+        val rk = cand
           .withColumn("rnk", row_number().over(wr))
           .withColumn("n_cand", count(lit(1)).over(wc))
           .filter(col("rnk") <= Similarity.S21_K)
+        val nrm = Dedup.normedVectors(spark, dir)
+          .select(col("vec_id"), col("v"), col("nrm"))
+        val ref = rk
+          .join(nrm.select(col("vec_id").as("p_vid"), col("v").as("pv"),
+            col("nrm").as("pnrm")), col("vec_id") === col("p_vid"))
+          .join(nrm.select(col("vec_id").as("neighbor_id"),
+            col("v").as("nv"), col("nrm").as("nnrm")), "neighbor_id")
+          .select(col("vec_id"), col("neighbor_id"), col("n_cand"),
+            Dedup.cosineCol(col("pv"), col("nv"), col("pnrm"), col("nnrm"))
+              .as("cos"))
         val wb = Window.partitionBy(col("vec_id"))
           .orderBy(col("cos").desc, col("neighbor_id"))
         val roll = ref.withColumn("brk", row_number().over(wb))
@@ -1500,25 +1529,24 @@ object StreamingQueries {
     spark.read.parquet(written.toSeq.distinct: _*).orderBy("vec_id")
   }
 
-  /** w23's streaming frame, unexecuted — PlanSpec pins its shape (four
-    * stateless joins: two one-row artifact joins + the index probe + the
-    * normed-corpus refine; no stateful operator before foreachBatch).
+  /** w23's streaming frame, unexecuted — PlanSpec pins its shape (three
+    * stateless joins: two one-row artifact joins + the index probe; no
+    * stateful operator and NO wide-vector refine before foreachBatch —
+    * each candidate row carries only ids + the 8-byte-code integer dot).
     */
   private[graft] def w23Stream(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftExpressions
     GraftExpressions.register(spark)
     val staged = vecsPath(spark, dir)
     // static sides, built and pinned on the OUTER session: the published
-    // codebook + quantizer stats (one-row artifacts), the persisted ANN
-    // index, and the persisted normed corpus (refine side)
+    // codebook + quantizer stats (one-row artifacts) and the persisted
+    // ANN index (the normed corpus is joined only in foreachBatch, after
+    // the top-K shortlist — never against the full candidate fan)
     val cb = Similarity.codebookRow(spark, dir).withColumn("k", lit(1))
     val stats = Similarity.sq8CorpusStats(spark, dir).withColumn("k", lit(1))
     val idx = Similarity.annIndex(spark, dir)
       .select(col("vec_id").as("neighbor_id"), col("cell"),
         col("bucket"), col("q").as("nq"))
-    val n = Dedup.normedVectors(spark, dir)
-      .filter(col("vec_id") % Similarity.S21_MOD =!= Similarity.S21_RES)
-      .select(col("vec_id").as("nn_vec"), col("v").as("nv"), col("nrm").as("nnrm"))
     val sch = spark.read.parquet(staged).schema
     spark.readStream.schema(sch)
       .option("maxFilesPerTrigger", 1).parquet(staged)
@@ -1530,15 +1558,11 @@ object StreamingQueries {
       .join(stats, "k")
       .withColumn("bucket", Similarity.planeBucketCol(col("v")).cast("long"))
       .withColumn("q", Similarity.sq8ClampedCodeCol)
-      .withColumn("nrm", sqrt(GraftExpressions.dot(col("v"), col("v"))))
-      .drop("lo", "hi", "k")
+      .drop("v", "lo", "hi", "k")
       .join(idx, Seq("cell", "bucket"), "left_outer")
-      .join(n, col("neighbor_id") === col("nn_vec"), "left_outer")
       .select(col("vec_id"), col("cell"), col("bucket"), col("neighbor_id"),
         when(col("neighbor_id").isNotNull,
-          GraftExpressions.dotl(col("q"), col("nq"))).as("dotq"),
-        when(col("neighbor_id").isNotNull,
-          Dedup.cosineCol(col("v"), col("nv"), col("nrm"), col("nnrm"))).as("cos"))
+          GraftExpressions.dotl(col("q"), col("nq"))).as("dotq"))
   }
 
   /** Staged "new edges" stream — g11's arriving-edge residue class split

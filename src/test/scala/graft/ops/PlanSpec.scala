@@ -1142,20 +1142,27 @@ class PlanSpec extends AnyFunSuite {
       s"stateful op crept into the streaming plan:\n$plan")
   }
 
-  test("w23: the streaming plan is four stateless joins, no stateful op before foreachBatch") {
+  test("w23: the streaming plan is three stateless joins, no refine before foreachBatch") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join}
     val plan = optimizedStreaming(StreamingQueries.w23Stream(spark, sf))
     // restrict to STREAM-side nodes: the persisted static artifacts
-    // (ANN index, normed corpus) keep their full logical lineage at this
-    // level (cache substitution is physical-planning-time), and that
-    // lineage legitimately contains the index build's joins/aggregates —
-    // what must be stateless is the streaming path itself
+    // (ANN index) keep their full logical lineage at this level (cache
+    // substitution is physical-planning-time), and that lineage
+    // legitimately contains the index build's joins/aggregates — what
+    // must be stateless is the streaming path itself
     val joins = plan.collect { case j: Join if j.isStreaming => j }
     // codebook + stats (one-row artifacts, inner on a constant key) +
-    // index probe + normed-corpus refine (both left outer)
-    assert(joins.size == 4, s"expected 4 artifact/probe/refine joins in:\n$plan")
-    assert(joins.count(_.joinType.sql == "LEFT OUTER") == 2,
-      s"zero-candidate vectors must keep a row (left outer probes) in:\n$plan")
+    // index probe (left outer). The normed-corpus refine must NOT be
+    // here — it runs in foreachBatch AFTER the top-K shortlist (the
+    // round-13 in-stream refine was 265× adrift of batch s21 at sf100)
+    assert(joins.size == 3, s"expected 2 artifact joins + index probe in:\n$plan")
+    assert(joins.count(_.joinType.sql == "LEFT OUTER") == 1,
+      s"zero-candidate vectors must keep a row (left outer probe) in:\n$plan")
+    // no 64-double vector column may survive past the probe: each
+    // candidate row is ids + the 8-byte-code integer dot only
+    assert(!plan.output.map(_.name).contains("cos") &&
+      !plan.output.map(_.name).contains("v"),
+      s"wide-vector refine crept back into the streaming frame:\n${plan.output}")
     assert(plan.collect { case a: Aggregate if a.isStreaming => a }.isEmpty &&
       plan.collect { case d: Deduplicate if d.isStreaming => d }.isEmpty,
       s"stateful op crept into the streaming plan:\n$plan")

@@ -41,7 +41,17 @@ for name in $(python3 -c "import json,sys; print('\n'.join(sorted(json.load(open
        tr '\0' ' ' < "/proc/$cpid/cmdline" 2>/dev/null | grep -q "oracle_cache_loop"; then
       continue  # live peer loop owns this retry
     fi
-    rm -f "$CACHE/$name.retried"
+    # Dead claimant: take over ATOMICALLY via rename — two loops making
+    # the same dead-PID observation would otherwise both rm the marker
+    # and both re-attempt (the duplicated multi-hundred-second run the
+    # marker exists to prevent). mv of the same source succeeds in
+    # exactly one process; the loser skips and the winner proceeds with
+    # a fresh retry budget (the marker is consumed, not held).
+    if mv "$CACHE/$name.retried" "$CACHE/$name.retried.stale.$$" 2>/dev/null; then
+      rm -f "$CACHE/$name.retried.stale.$$"
+    else
+      continue  # a peer won the takeover; it owns this attempt
+    fi
   fi
   [ -f "$CACHE/$name.err" ] && continue
   attempt "$name"

@@ -29,7 +29,14 @@ for name in $(python3 -c "import json,sys; print('\n'.join(sorted(json.load(open
        tr '\0' ' ' < "/proc/$cpid/cmdline" 2>/dev/null | grep -q "oracle_cache_loop"; then
       continue  # live peer loop owns this retry
     fi
-    rm -f "$CACHE/$name.retried"
+    # dead claimant: atomic mv takeover — exactly one loop wins the
+    # rename, so two loops observing the same dead PID can never both
+    # re-attempt (see forward loop for the full rationale)
+    if mv "$CACHE/$name.retried" "$CACHE/$name.retried.stale.$$" 2>/dev/null; then
+      rm -f "$CACHE/$name.retried.stale.$$"
+    else
+      continue  # a peer won the takeover; it owns this attempt
+    fi
   fi
   [ -f "$CACHE/$name.err" ] && continue
   attempt "$name"
