@@ -326,12 +326,17 @@ object Graph {
     * failure class. The cap bounds every customer's pair fan-out at
     * CAP² = 2304 rows regardless of corpus scale, which is what keeps
     * the mine volume-linear at 100 TB. Selection is DETERMINISTIC —
-    * top-[[DEGREE_CAP]] by md5(c#s) with an (s) tie-break, the same
-    * hash-as-random-tape contract as dp14/g8 — so both engines truncate
-    * to the SAME supplier subset and the capped semantics are themselves
-    * oracle-verified (the cap FIRES at the sf0.01 gate: p99 degree 55,
-    * max 67). Chosen over sampling because a uniform hash pick preserves
-    * co-occurrence statistics in expectation without an RNG seam.
+    * top-[[DEGREE_CAP]] by the 60-bit md5(c#s) prefix with an (s)
+    * tie-break, the same hash-as-random-tape contract as dp14/g8 — so
+    * both engines truncate to the SAME supplier subset and the capped
+    * semantics are themselves oracle-verified (the cap FIRES at the
+    * sf0.01 gate: p99 degree 55, max 67). Chosen over sampling because a
+    * uniform hash pick preserves co-occurrence statistics in expectation
+    * without an RNG seam. (The rank key is the numeric 15-hex-char md5
+    * prefix rather than the 32-char string so the cap can live INSIDE a
+    * k-bounded [[graft.functions.TopKPairs]] aggregate buffer; both
+    * engines rank by the same prefix, and a prefix tie — 2^-60 per
+    * supplier pair per customer — falls to the same (s) tie-break.)
     */
   private[ops] val DEGREE_CAP = 48
 
@@ -343,7 +348,7 @@ object Graph {
     s"""egc AS MATERIALIZED (
        |  SELECT c, s FROM (
        |    SELECT c, s, ROW_NUMBER() OVER (PARTITION BY c
-       |      ORDER BY md5(concat_ws('#', c, s)), s) AS rn
+       |      ORDER BY ('0x' || substring(md5(concat_ws('#', c, s)), 1, 15))::BIGINT, s) AS rn
        |    FROM eg)
        |  WHERE rn <= $DEGREE_CAP)""".stripMargin
 
@@ -354,23 +359,25 @@ object Graph {
     * IN-ROW below the pair explode (the caches hide the subtree from the
     * consumers' executed plans).
     *
-    * The md5-ranked top-[[DEGREE_CAP]] selection happens inside the row:
-    * collect each customer's (distinct) suppliers, sort by
-    * (md5(c#s), s) via natural struct order, slice the cap, re-sort the
-    * survivors ascending by id so the pair mine can emit s1 < s2
-    * directly. The r11 shape ranked with a row_number WINDOW over the
-    * full incidence — at sf100 that sorts 550M rows carrying 32-char md5
-    * keys through an exchange (~45 GB of sort spill); the in-row fold
-    * shuffles 16-byte (c, s) rows once and sorts ≤ a few hundred
-    * elements per row. Hot keys stay bounded for the CONSUMERS: one
-    * array row per customer, sliced to [[DEGREE_CAP]] in the projection
-    * immediately after the aggregate. (The collect_list buffer itself
-    * holds the customer's full distinct supplier list — bounded by the
-    * supplier universe, not by the cap; fine at measured scales. A true
-    * cap-inside-the-aggregate would need a custom
-    * TypedImperativeAggregate.)
+    * The hash-ranked top-[[DEGREE_CAP]] selection lives INSIDE the
+    * aggregate: [[graft.functions.TopKPairs]] keeps a k-bounded buffer
+    * per customer on the MAP side (score = the negated 60-bit md5(c#s)
+    * prefix, so (score DESC, id ASC) == (md5-prefix ASC, s ASC) — the
+    * deterministic cap order), and the shuffle carries at most
+    * [[DEGREE_CAP]] suppliers per (partition, customer). The r11 shape
+    * ranked with a row_number WINDOW over the full incidence — at sf100
+    * that sorts 550M rows carrying 32-char md5 keys through an exchange
+    * (~45 GB of sort spill); the r12–r13 shape collect_list'ed each
+    * customer's FULL distinct supplier list before an in-row slice — a
+    * buffer bounded by the supplier universe, not the cap, which a true
+    * hot key over a huge entity universe at 100 TB would blow. This
+    * shape bounds BOTH the shuffle and the buffer at the cap: a
+    * degree-10M crawler account costs 4·CAP longs of aggregate state
+    * per map partition, nothing more. Survivors are re-sorted ascending
+    * by id so the pair mine can emit s1 < s2 directly.
     */
   private[ops] def cappedArraysPlan(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(spark)
     // the cached undirected frame holds each edge once per direction;
     // keeping only even (customer-side) sources recovers the distinct
     // customer→supplier incidence exactly
@@ -378,13 +385,10 @@ object Graph {
       .filter(col("a") % 2 === 0)
       .select(expr("a div 2").as("c"), expr("b div 2").as("s"))
     cs.groupBy(col("c"))
-      .agg(collect_list(col("s")).as("raw"))
-      .select(col("c"), expr(
-        s"""array_sort(transform(
-           |  slice(array_sort(transform(raw,
-           |    x -> struct(md5(concat_ws('#', c, x)) AS h, x AS s))),
-           |    1, $DEGREE_CAP),
-           |  e -> e.s))""".stripMargin).as("ss"))
+      .agg(graft.functions.GraftExpressions.topk(
+        expr("-CAST(conv(substring(md5(concat_ws('#', c, s)), 1, 15), 16, 10) AS BIGINT)"),
+        col("s"), DEGREE_CAP).as("top"))
+      .select(col("c"), expr("array_sort(transform(top, e -> e.id))").as("ss"))
   }
 
   /** Capped arrays, session-pinned: ONE materialization feeds the pair

@@ -149,19 +149,21 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
-  /** IVF cell count — a FIXED gate constant, shared verbatim by every
-    * oracle SQL that mirrors the cell assignment, so cross-engine parity
-    * holds at any scale factor. Scale caveat (measured, round 13): with
-    * cells and plane buckets fixed, per-bucket occupancy grows linearly
-    * with the corpus and probe count grows with it too, so the
-    * candidate fan of the index-probe queries (s12/s18/s21 and the w23
-    * streaming apply) is QUADRATIC in corpus size — w23 measured 38.8s
-    * at sf10 vs 4159.6s at sf100 (~107× for 10× rows). A deployment
-    * sizes the cell count ∝ √N (the standard IVF rule: ~√N cells of
-    * ~√N vectors keeps probe work O(√N) per vector); the gate keeps the
-    * tiny fixed constant because the DuckDB oracles hardcode the same
-    * assignment arithmetic and a data-dependent k would have to be
-    * mirrored into every oracle string at dump time.
+  /** IVF cell count for the FIXED-PROBE demo queries (s3/s8/s12): their
+    * probe set is 10 vectors regardless of corpus size, so their
+    * candidate fan is 10·(n/[[N_CELLS]]) — LINEAR in the corpus — and
+    * the tiny fixed constant (mirrored verbatim in their oracle SQL) is
+    * sound at any scale. The queries whose PROBE COUNT grows with the
+    * corpus (s21 and the w23 streaming apply: every batch-residue vector
+    * probes) are the ones a fixed grid turns quadratic —
+    * n/20 probes × n/(8·2^planes) occupancy — and they size their bucket
+    * width with the corpus instead ([[annPlanes]]). Post-mortem of the
+    * round-13 w23 sf100 outlier (4159.6s vs batch s21's 15.7s on the
+    * same data): the 265× gap between the twins was the REFINE ORDER
+    * (w23 exact-cosine'd every banded candidate in-stream where s21
+    * pruned to top-K by integer dot first — fixed round 14); the
+    * remaining shared cost was this quadratic fan (s21 scanned ~1.5B
+    * candidate pairs at sf100), fixed by the derived plane count.
     */
   private val N_CELLS = 8
   private val IVF_K = 5
@@ -2025,20 +2027,50 @@ object Similarity {
   private[ops] val S21_K = 5       // SQ8 shortlist refined exactly per probe
   private[ops] val S21_DUP = 0.98  // exact-cosine near-dup admit threshold
 
-  /** s2's 4-hyperplane sign bucket as DuckDB SQL over a vector expr —
-    * the same md5-derived [[planes]], so the bucket ids are bit-identical
-    * to s2's (reused here as the in-cell prefilter of the ANN index).
+  /** Derived plane count for the ANN index's in-cell bucket — the s5
+    * occupancy-constant rule applied to the (cell × bucket) grid: with
+    * [[KM_K]] (= 8) trained cells absorbing 3 bits, `np =
+    * bitlength(n div 256)` planes keep the EXPECTED (cell, bucket)
+    * population near 32, so the index-probe candidate fan (s21, w23)
+    * stays LINEAR in the corpus instead of n²/(KM_K·2^planes) — the
+    * round-13 fixed-4-plane variant measured textbook-quadratic:
+    * s21's probe stage scanned ~1.5B candidate pairs at sf100. Integer
+    * bit-length arithmetic (the t15 trick), identical in both engines —
+    * no floating log2 boundary; DuckDB mirrors it as
+    * `LENGTH(PRINTF('%b', COUNT(*) // 256))` ([[annNpSql]]). Clamped to
+    * [[[PLANES]], [[S5_MAX_PLANES]]] — at or below sf0.1 (n ≤ 2000) the
+    * clamp floors at 4, so gate-scale bucket ids are bit-identical to
+    * the fixed-plane era; past the 12-plane cap the cell count is the
+    * knob a bigger deployment raises (train ∝√N cells on a sample).
+    */
+  private[ops] def annPlanes(n: Long): Int =
+    math.min(S5_MAX_PLANES,
+      math.max(PLANES, java.lang.Long.toBinaryString(n / 256).length))
+
+  /** [[annPlanes]] as a DuckDB CTE — prepend to any oracle that mirrors
+    * the ANN index bucket, and cross-join `np` where the bucket is built.
+    */
+  private def annNpSql: String =
+    s"""np AS (SELECT LEAST($S5_MAX_PLANES, GREATEST($PLANES,
+       |  LENGTH(PRINTF('%b', (SELECT COUNT(*) FROM embeddings) // 256)))) AS np)""".stripMargin
+
+  /** The ANN index's sign bucket as DuckDB SQL over a vector expr — the
+    * same md5-derived [[planesWide]] inventory as s5 (planes 0–3 are
+    * bit-identical to s2's [[planes]]), active count from the `np` CTE
+    * ([[annNpSql]]) so the bucket width scales with the corpus.
     */
   private def planeBucketSql(vexpr: String): String =
-    (0 until PLANES).map(p =>
-      s"""CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |           list_transform(range(1, len($vexpr) + 1), i -> $vexpr[i] * (${planeSqlArray(p)})[i])), (x, y) -> x + y) > 0
+    (0 until S5_MAX_PLANES).map(p =>
+      s"""CASE WHEN $p < np.np AND list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(1, len($vexpr) + 1), i -> $vexpr[i] * (${planeSqlArrayWide(p)})[i])), (x, y) -> x + y) > 0
          |      THEN ${1 << p} ELSE 0 END""".stripMargin).mkString(" + ")
 
-  /** s2's 4-hyperplane sign bucket as a Column — same fixed-order fold. */
-  private[ops] def planeBucketCol(v: Column): Column =
-    (0 until PLANES).map { p =>
-      when(aggregate(zip_with(v, planeCol(p), (x, y) => x * y),
+  /** The ANN index's sign bucket as a Column — same fixed-order fold,
+    * `np` from [[annPlanes]] over the same corpus count the oracle uses.
+    */
+  private[ops] def planeBucketCol(v: Column, np: Int): Column =
+    (0 until np).map { p =>
+      when(aggregate(zip_with(v, planeColWide(p), (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -2093,10 +2125,11 @@ object Similarity {
       val e = Tables.embeddings(spark, dir)
         .filter(col("vec_id") % S21_MOD =!= S21_RES)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val np = annPlanes(Dedup.normedVectors(spark, dir).count())
       val cells = kmAssignOf(e, trainedCentroids(spark, dir))
         .select(col("vec_id"), col("cell"))
       val coded = e
-        .withColumn("bucket", planeBucketCol(col("v")).cast("long"))
+        .withColumn("bucket", planeBucketCol(col("v"), np).cast("long"))
         .crossJoin(broadcast(sq8CorpusStats(spark, dir)))
         .select(col("vec_id"), col("bucket"), sq8ClampedCodeCol.as("q"))
       val idx = cells.join(coded, "vec_id")
@@ -2168,6 +2201,7 @@ object Similarity {
     "s21_incremental_ann_apply",
     s"Incremental ANN apply: 5% vector batch probes the persisted IVF+SQ8 index (trained cells, s2 buckets); exact-cosine verdicts per batch vector.",
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$annNpSql,
        |c0 AS (
        |  SELECT vec_id AS cell, u.p AS pos, u.x AS c
        |  FROM (SELECT vec_id, UNNEST(list_transform(range(0, len(v)),
@@ -2186,7 +2220,7 @@ object Similarity {
        |  SELECT c.vec_id, c.cell,
        |         CAST(${planeBucketSql("c.v")} AS BIGINT) AS bucket,
        |         ${sq8ClampedCodeSql("c.v")} AS q
-       |  FROM cells c, sa),
+       |  FROM cells c, sa, np),
        |bat AS (SELECT * FROM idx WHERE vec_id % $S21_MOD = $S21_RES),
        |cor AS (SELECT * FROM idx WHERE vec_id % $S21_MOD <> $S21_RES),
        |cand AS (
@@ -2239,8 +2273,9 @@ object Similarity {
     val eb = Tables.embeddings(spark, dir)
       .filter(col("vec_id") % S21_MOD === S21_RES)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val np = annPlanes(Dedup.normedVectors(spark, dir).count())
     val bat = kmAssignOf(eb, trainedCentroids(spark, dir))
-      .withColumn("bucket", planeBucketCol(col("v")).cast("long"))
+      .withColumn("bucket", planeBucketCol(col("v"), np).cast("long"))
       .crossJoin(broadcast(sq8CorpusStats(spark, dir)))
       .select(col("vec_id"), col("cell"), col("bucket"), sq8ClampedCodeCol.as("q"))
       .localCheckpoint()

@@ -1547,6 +1547,10 @@ object StreamingQueries {
     val idx = Similarity.annIndex(spark, dir)
       .select(col("vec_id").as("neighbor_id"), col("cell"),
         col("bucket"), col("q").as("nq"))
+    // derived ONCE at plan build from the same corpus count the index
+    // build and the oracle use — the stream's bucket ids must match the
+    // standing index's exactly
+    val np = Similarity.annPlanes(Dedup.normedVectors(spark, dir).count())
     val sch = spark.read.parquet(staged).schema
     spark.readStream.schema(sch)
       .option("maxFilesPerTrigger", 1).parquet(staged)
@@ -1556,7 +1560,7 @@ object StreamingQueries {
       .withColumn("cell", Similarity.cellOfExpr(col("v"), col("cents")))
       .drop("cents")
       .join(stats, "k")
-      .withColumn("bucket", Similarity.planeBucketCol(col("v")).cast("long"))
+      .withColumn("bucket", Similarity.planeBucketCol(col("v"), np).cast("long"))
       .withColumn("q", Similarity.sq8ClampedCodeCol)
       .drop("v", "lo", "hi", "k")
       .join(idx, Seq("cell", "bucket"), "left_outer")

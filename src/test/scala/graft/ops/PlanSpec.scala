@@ -180,8 +180,13 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(wins.isEmpty, s"full-incidence rank window reappeared:\n$plan")
     val s = plan.toString
-    assert(s.contains("slice") && s.contains(Graph.DEGREE_CAP.toString),
-      s"degree-cap slice missing from the in-row mine:\n$plan")
+    // the cap lives INSIDE the k-bounded TopKPairs aggregate (map-side
+    // buffers hold <= CAP suppliers per customer) — a collect_list here
+    // would mean the buffer is bounded by the supplier universe again
+    assert(s.contains("graft_topk") && s.contains(Graph.DEGREE_CAP.toString),
+      s"k-bounded degree-cap aggregate missing from the in-row mine:\n$plan")
+    assert(!s.contains("collect_list"),
+      s"universe-bounded collect buffer reappeared in the pair mine:\n$plan")
     assert(s.contains("explode"), s"no in-row pair explode in:\n$plan")
   }
 
