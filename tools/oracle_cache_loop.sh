@@ -12,12 +12,16 @@
 # stale duck_tmp spill dirs, and retries ONCE more before recording the
 # failure — the manual recipe, automated.
 # Usage: oracle_cache_loop.sh <sfDir> <oracleSqlJson> <cacheDir> [threads]
+# ORACLE_ATTEMPT_TIMEOUT (seconds, default 3600) bounds each attempt —
+# sf100 heavy oracles (d13/d14 project ~2h solo) need it raised or the
+# timeout kill masquerades as a query failure.
 set -u
 SF="$1"; JSON="$2"; CACHE="$3"; THREADS="${4:-8}"
+ATT_TIMEOUT="${ORACLE_ATTEMPT_TIMEOUT:-3600}"
 mkdir -p "$CACHE"
 
 attempt() { # $1 = query name
-  timeout 3600 python3 tools/oracle_cache.py "$SF" "$JSON" "$CACHE" "$THREADS" "$1"
+  timeout "$ATT_TIMEOUT" python3 tools/oracle_cache.py "$SF" "$JSON" "$CACHE" "$THREADS" "$1"
   local rc=$?
   if [ $rc -ne 0 ] && [ ! -f "$CACHE/$1.pkl" ] && [ ! -f "$CACHE/$1.err" ]; then
     echo "process failure rc=$rc" > "$CACHE/$1.err"

@@ -7,10 +7,11 @@
 # on allocation-flavored failures (see the forward loop's header).
 set -u
 SF="$1"; JSON="$2"; CACHE="$3"; THREADS="${4:-8}"
+ATT_TIMEOUT="${ORACLE_ATTEMPT_TIMEOUT:-3600}"
 mkdir -p "$CACHE"
 
 attempt() { # $1 = query name
-  timeout 3600 python3 tools/oracle_cache.py "$SF" "$JSON" "$CACHE" "$THREADS" "$1"
+  timeout "$ATT_TIMEOUT" python3 tools/oracle_cache.py "$SF" "$JSON" "$CACHE" "$THREADS" "$1"
   local rc=$?
   if [ $rc -ne 0 ] && [ ! -f "$CACHE/$1.pkl" ] && [ ! -f "$CACHE/$1.err" ]; then
     echo "process failure rc=$rc" > "$CACHE/$1.err"
