@@ -404,6 +404,120 @@ object GraftExpressions {
     override def prettyName: String = "graft_intersect_count"
   }
 
+  /** Argmin cell assignment over a broadcast codebook — the Lloyd/IVF
+    * inner loop (s14/s16/s18/s20/s21/w23 assign stages). Inputs: a
+    * vector `v: array<double>` and the one-row sorted codebook `cents:
+    * array<struct<cell: bigint, cv: array<double>>>`; output:
+    * `struct<dist: double, cell: bigint>` — the first strict minimum of
+    * the per-cell left-to-right squared-L2 fold, i.e. exactly
+    * (ORDER BY dist, cell LIMIT 1) since `cents` is cell-ascending.
+    *
+    * Bit-identical replacement for the higher-order formulation
+    * `aggregate(transform(cents, c -> struct(aggregate(zip_with(v, cv,
+    * (x,y) -> (x-y)²), 0.0, +), cell)), struct(∞, -1L), keep-strict-min)`
+    * which interprets ~5 expression nodes per (cell × dim) per row; this
+    * is one primitive nested loop inside whole-stage codegen. The
+    * distance is the same left-to-right float fold; a ragged `cv`
+    * (length ≠ len(v)) is skipped, matching the HOF chain where
+    * zip_with's null padding nulls the fold and the null dist loses the
+    * strict-< comparison; empty/all-ragged codebooks yield (∞, -1), the
+    * HOF init.
+    */
+  case class ArgMinCell(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _),
+              ArrayType(StructType(Array(f0, f1)), _)) =>
+          f0.dataType == LongType && (f1.dataType match {
+            case ArrayType(DoubleType, _) => true
+            case _ => false
+          })
+        case _ => false
+      }
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_argmin_cell requires (ARRAY<DOUBLE>, ARRAY<STRUCT<cell BIGINT, " +
+          s"cv ARRAY<DOUBLE>>>), got ${left.dataType.sql}, ${right.dataType.sql}")
+    }
+    override def dataType: DataType = StructType(Seq(
+      StructField("dist", DoubleType, nullable = false),
+      StructField("cell", LongType, nullable = false)))
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val cents = b.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      var bestD = Double.PositiveInfinity
+      var bestC = -1L
+      var j = 0
+      val nc = cents.numElements()
+      while (j < nc) {
+        if (!cents.isNullAt(j)) {
+          val st = cents.getStruct(j, 2)
+          if (!st.isNullAt(1)) {
+            val cv = st.getArray(1)
+            if (cv.numElements() == n) {
+              var s = 0.0
+              var i = 0
+              while (i < n) {
+                val d = v.getDouble(i) - cv.getDouble(i)
+                s += d * d
+                i += 1
+              }
+              if (s < bestD) { bestD = s; bestC = st.getLong(0) }
+            }
+          }
+        }
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bestD, bestC))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val n = ctx.freshName("n")
+        val nc = ctx.freshName("nc")
+        val st = ctx.freshName("st")
+        val cv = ctx.freshName("cv")
+        val s = ctx.freshName("s")
+        val d = ctx.freshName("d")
+        val bestD = ctx.freshName("bestD")
+        val bestC = ctx.freshName("bestC")
+        s"""
+           |int $n = $a.numElements();
+           |int $nc = $b.numElements();
+           |double $bestD = Double.POSITIVE_INFINITY;
+           |long $bestC = -1L;
+           |for (int $j = 0; $j < $nc; $j++) {
+           |  if ($b.isNullAt($j)) continue;
+           |  InternalRow $st = $b.getStruct($j, 2);
+           |  if ($st.isNullAt(1)) continue;
+           |  ArrayData $cv = $st.getArray(1);
+           |  if ($cv.numElements() != $n) continue;
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $d = $a.getDouble($i) - $cv.getDouble($i);
+           |    $s += $d * $d;
+           |  }
+           |  if ($s < $bestD) { $bestD = $s; $bestC = $st.getLong(0); }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+           |  new Object[]{$bestD, $bestC});
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+
+    override def prettyName: String = "graft_argmin_cell"
+  }
+
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(k: Int, IntegerType) => k
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
@@ -431,6 +545,8 @@ object GraftExpressions {
       exprs => ByteHistArr(exprs(0))),
     ("graft_intersect_count", "graft_intersect_count(a, b) - |array_intersect(a, b)| without materializing it",
       exprs => IntersectCountS(exprs(0), exprs(1))),
+    ("graft_argmin_cell", "graft_argmin_cell(v, cents) - (dist, cell) argmin over a sorted codebook array",
+      exprs => ArgMinCell(exprs(0), exprs(1))),
     ("graft_topk", "graft_topk(score, id, k) - exact top-k (score DESC, id ASC) pairs per group (aggregate)",
       exprs => TopKPairs(exprs(0), exprs(1), intLit(exprs(2), "graft_topk k"))))
 
@@ -479,4 +595,8 @@ object GraftExpressions {
   /** |array_intersect(a, b)| for string arrays, no intermediate array. */
   def intersectCount(a: Column, b: Column): Column =
     call_function("graft_intersect_count", a, b)
+
+  /** (dist, cell) argmin of `v` over a sorted codebook column. */
+  def argminCell(v: Column, cents: Column): Column =
+    call_function("graft_argmin_cell", v, cents)
 }

@@ -1303,6 +1303,7 @@ object Similarity {
     // shape (crossJoin all KC centroid rows + row_number window) expanded
     // n -> n*KC rows THROUGH AN EXCHANGE per Lloyd round; the fold keeps
     // the frame at n rows and needs no shuffle at all.
+    graft.functions.GraftExpressions.register(e.sparkSession)
     val cb = kmCentArr(c)
       .agg(sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
     e.crossJoin(broadcast(cb))
@@ -1970,6 +1971,7 @@ object Similarity {
        |       CAST(COALESCE(st.inertia_q, 0) AS BIGINT) AS inertia_q
        |FROM p$PQ_ROUNDS p LEFT JOIN st ON p.sub = st.sub AND p.cell = st.cell
        |ORDER BY p.sub, p.cell, p.pos""".stripMargin) { (spark, dir) =>
+    graft.functions.GraftExpressions.register(spark)
     val sv = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), explode(expr(
@@ -2165,8 +2167,25 @@ object Similarity {
     * distance, so batch assigns ([[kmAssignOf]], s20's PQ assign) can run
     * the identical fold without a window. The cell-ascending fold with a
     * strict-min comparison IS (ORDER BY dist, cell LIMIT 1).
+    *
+    * Runs on the codegen'd
+    * [[graft.functions.GraftExpressions.ArgMinCell]] kernel: the
+    * higher-order formulation ([[assignStructExprHof]], spec-pinned
+    * bit-equal) interprets ~5 expression nodes per (cell × dim) per
+    * row — at sf10 that interpretation dominated the s14/s20 train cost
+    * (§7.18). Callers must have the graft registry installed
+    * ([[graft.functions.GraftExpressions.register]] — kmAssignOf, s20's
+    * assign, and w23's stream builder all do).
     */
-  private[ops] def assignStructExpr(v: Column, cents: Column): Column = {
+  private[ops] def assignStructExpr(v: Column, cents: Column): Column =
+    graft.functions.GraftExpressions.argminCell(v, cents)
+
+  /** The pre-round-14 higher-order formulation of [[assignStructExpr]] —
+    * kept ONLY as the reference semantics the ArgMinCellSpec equality
+    * pin compares the native kernel against (zip_with null-padding,
+    * strict-min keep-first, (∞, -1) init).
+    */
+  private[ops] def assignStructExprHof(v: Column, cents: Column): Column = {
     val dists = transform(cents, c => struct(
       aggregate(zip_with(v, c.getField("cv"), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, z) => acc + z).as("dist"),
