@@ -411,9 +411,14 @@ object Dedup {
     val nCommon = GraftExpressions.intersectCount(col("sa.s"), col("sb.s"))
     val j = nCommon.cast("double") /
       (size(col("sa.s")) + size(col("sb.s")) - nCommon)
+    // verify joins are doc_id-keyed SHUFFLE joins (the d13 shape): a
+    // broadcast of the shingled corpus serializes it through the driver
+    // and aborts on spark.driver.maxResultSize at sf100 (measured this
+    // round — ~8 GB at 5M docs; d13/d14 hit the identical wall in r11).
+    // The planner moves each shingle array exactly once, keyed on doc_id.
     cand
-      .join(broadcast(docs.as("sa")), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(docs.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .join(docs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(docs.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"),
         when(j >= 0.7, 1).otherwise(0).as("is_dup"))
       .orderBy("doc_a", "doc_b")
@@ -1077,9 +1082,12 @@ object Dedup {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
     val cos = cosineCol(col("na.v"), col("nb.v"), col("na.nrm"), col("nb.nrm"))
+    // vec_id-keyed SHUFFLE joins, not a corpus broadcast: the normed
+    // vector frame is ~1 GB+ serialized at sf100 (2M × 64 doubles) and
+    // a broadcast ships it through the driver — the d3/d13 disease.
     val ver = cand
-      .join(broadcast(aug.as("na")), col("id_a") === col("na.vec_id"))
-      .join(broadcast(aug.as("nb")), col("id_b") === col("nb.vec_id"))
+      .join(aug.as("na"), col("id_a") === col("na.vec_id"))
+      .join(aug.as("nb"), col("id_b") === col("nb.vec_id"))
       .select(col("id_a"), col("id_b"), cos.as("cos"))
       .filter(col("cos") >= D10_T)
     val dup = ver.groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
