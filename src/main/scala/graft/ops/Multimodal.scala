@@ -1463,8 +1463,12 @@ object Multimodal {
     val hist = graft.functions.GraftExpressions.byteHistArr(bin)
     val nDoc = aggregate(hist, lit(0L), (acc, h) => acc + h)
     aggregate(art, lit(0L), (acc, pl) => {
-      val dot = aggregate(zip_with(hist, pl.getField("wv"), (h, w) => h * w),
-        lit(0L), (a, z) => a + z)
+      // codegen'd exact integer dot (DotProductL) for the 256-cell
+      // histogram × plane-weight projection — long addition is exact, so
+      // this is bit-identical to the interpreted zip_with/aggregate fold
+      // it replaces; the outer per-plane fold stays interpreted but runs
+      // SIG_BITS times per row, not SIG_BITS × 256
+      val dot = graft.functions.GraftExpressions.dotl(hist, pl.getField("wv"))
       val centered = dot.cast("decimal(38,0)") * pl.getField("tot") -
         nDoc.cast("decimal(38,0)") * pl.getField("gp")
       acc + when(centered > 0, pl.getField("bitv")).otherwise(lit(0L))

@@ -128,10 +128,7 @@ object Similarity {
        |SELECT probe_id, bucket, rank, neighbor_id, ROUND(cos, 6) AS cosine
        |FROM ranked WHERE rank <= $BUCKET_K ORDER BY probe_id, rank""".stripMargin) { (spark, dir) =>
     val n0 = Dedup.normedVectors(spark, dir)
-    val bucket = (0 until PLANES).map { p =>
-      when(aggregate(zip_with(col("v"), planeCol(p), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x) > 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+    val bucket = signBucketCol(col("v"), PLANES, planeCol)
     val n = n0.withColumn("bucket", bucket)
     val probes = n.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("bucket"),
@@ -341,10 +338,7 @@ object Similarity {
     // resulting plane count is inlined into the plan (the oracle derives
     // the same integer from COUNT(*))
     val activePlanes = s5Planes(n0.count())
-    val bucket = (0 until activePlanes).map { p =>
-      when(aggregate(zip_with(col("v"), planeColWide(p), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x) > 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+    val bucket = signBucketCol(col("v"), activePlanes, planeColWide)
     val n = n0.withColumn("bucket", bucket)
     val cos = Dedup.cosineCol(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
     n.as("a").join(n.as("b"),
@@ -660,10 +654,7 @@ object Similarity {
        |WHERE r.rnk <= $RETRIEVE_K
        |ORDER BY r.probe_doc_id, r.rnk""".stripMargin) { (spark, dir) =>
     val n0 = Dedup.normedVectors(spark, dir)
-    val bucket = (0 until PLANES).map { p =>
-      when(aggregate(zip_with(col("v"), planeCol(p), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x) > 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+    val bucket = signBucketCol(col("v"), PLANES, planeCol)
     val n = n0.withColumn("bucket", bucket)
     val probes = n.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_doc_id"), col("bucket"),
@@ -712,6 +703,23 @@ object Similarity {
   private def pqCbCol(m: Int) =
     array(pqCodebook(m).map(cw => array(cw.map(lit): _*)): _*)
 
+  /** Subspace-m codebook as the `array<struct<cell, cv>>` shape the
+    * codegen'd [[graft.functions.GraftExpressions.ArgMinCell]] kernel
+    * consumes — cell = 0-based codeword index, ascending. A constant
+    * literal (folded once at optimization), so the per-row work is one
+    * primitive argmin loop instead of the interpreted
+    * `transform(cb, cw => aggregate(zip_with(...)))` distance build
+    * (~4 nodes × [[PQ_CODES]] × [[PQ_SUB]] interpreted per subspace per
+    * row — the s14/s20 assign disease, §7.18). Selection is identical:
+    * strict-min-keep-first over cells ascending IS
+    * `list_position(d, list_aggregate(d, 'min'))` (first minimum), and
+    * the per-codeword fold is the same fixed-order squared-L2.
+    */
+  private def pqCentsCol(m: Int) =
+    array(pqCodebook(m).zipWithIndex.map { case (cw, k) =>
+      struct(lit(k.toLong).as("cell"), array(cw.map(lit): _*).as("cv"))
+    }: _*)
+
   /** Product quantization — the compression step behind every billion-
     * vector ANN index (IVF-PQ): the 64-dim vector is split into
     * [[PQ_M]] subvectors, each assigned to the nearest of [[PQ_CODES]]
@@ -721,8 +729,12 @@ object Similarity {
     * build k-means-trains the codebooks; here they are md5-derived so
     * the oracle replicates them bit-for-bit.
     *
-    * Scale shape: pure map stage — one scan, 128 codegen'd fold
-    * expressions per row, no shuffle at all (the trailing orderBy is
+    * Scale shape: pure map stage — one scan, [[PQ_M]] codegen'd
+    * [[graft.functions.GraftExpressions.ArgMinCell]] argmin kernels per
+    * row (round 14: previously an interpreted
+    * `transform(cb, cw => aggregate(zip_with(...)))` distance build —
+    * ~4 nodes × 16 codes × 8 dims × 8 subspaces per row outside
+    * whole-stage codegen), no shuffle at all (the trailing orderBy is
     * oracle determinism only). This is the shape that encodes 100 TB of
     * embeddings in one pass.
     */
@@ -744,20 +756,22 @@ object Similarity {
          |       ROUND($err, 6) AS recon_err
          |FROM q ORDER BY vec_id""".stripMargin
     }) { (spark, dir) =>
-    def distsCol(m: Int) =
-      transform(pqCbCol(m), cw =>
-        aggregate(zip_with(slice(col("v"), m * PQ_SUB + 1, PQ_SUB), cw,
-          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-    val withD = (0 until PQ_M).foldLeft(
+    // per-subspace (min dist, argmin code) on the codegen'd ArgMinCell
+    // kernel: .cell IS list_position(d, min(d)) - 1 (first minimum) and
+    // .dist IS list_aggregate(d, 'min') — same fixed-order L2 fold, so
+    // the packed code and the reconstruction error are bit-identical to
+    // the interpreted distance-array build this replaces
+    def aCol(m: Int) = graft.functions.GraftExpressions.argminCell(
+      slice(col("v"), m * PQ_SUB + 1, PQ_SUB), pqCentsCol(m))
+    val withA = (0 until PQ_M).foldLeft(
       Dedup.normedVectors(spark, dir).select(col("vec_id"), col("label"), col("v"))) {
-      (df, m) => df.withColumn(s"d$m", distsCol(m))
+      (df, m) => df.withColumn(s"a$m", aCol(m))
     }
     val code = (0 until PQ_M)
-      .map(m => (array_position(col(s"d$m"), array_min(col(s"d$m"))) - 1) *
-        lit(math.pow(16, m).toLong))
+      .map(m => col(s"a$m").getField("cell") * lit(math.pow(16, m).toLong))
       .reduce(_ + _)
-    val err = (0 until PQ_M).map(m => array_min(col(s"d$m"))).reduce(_ + _)
-    withD
+    val err = (0 until PQ_M).map(m => col(s"a$m").getField("dist")).reduce(_ + _)
+    withA
       .select(col("vec_id"), col("label"), code.cast("bigint").as("pq_code"),
         round(err, 6).as("recon_err"))
       .orderBy("vec_id")
@@ -820,10 +834,7 @@ object Similarity {
        |FROM ks LEFT JOIN hits h ON ks.k = h.k CROSS JOIN np
        |ORDER BY ks.k""".stripMargin) { (spark, dir) =>
     val n0 = Dedup.normedVectors(spark, dir)
-    val bucket = (0 until PLANES).map { p =>
-      when(aggregate(zip_with(col("v"), planeCol(p), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x) > 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+    val bucket = signBucketCol(col("v"), PLANES, planeCol)
     val n = n0.withColumn("bucket", bucket)
     val cos = Dedup.cosineCol(col("pv"), col("v"), col("pnrm"), col("nrm"))
     val w = org.apache.spark.sql.expressions.Window
@@ -953,14 +964,20 @@ object Similarity {
       transform(pqCbCol(m), cw =>
         aggregate(zip_with(slice(col("v"), m * PQ_SUB + 1, PQ_SUB), cw,
           (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-    val withD = (0 until PQ_M).foldLeft(n.select(col("vec_id"), col("v"))) {
-      (df, m) => df.withColumn(s"d$m", distsCol(m))
-    }
-    val codes = withD.select(col("vec_id") +:
-      (0 until PQ_M).map(m => array_position(col(s"d$m"), array_min(col(s"d$m"))).as(s"g$m")): _*)
-    val probes = withD.filter(col("vec_id") < 10).join(cells, "vec_id")
+    // candidates only ever need their argmin DIGIT, not the 16-distance
+    // array: the codegen'd ArgMinCell kernel assigns codes for the full
+    // corpus (cell + 1 IS list_position(d, min(d)) — first minimum, same
+    // fixed-order L2 fold), and the interpreted per-codeword distance
+    // build now runs only for the 10 probe rows whose ADC lookup tables
+    // genuinely need all 16 distances per subspace
+    val codes = n.select(col("vec_id") +:
+      (0 until PQ_M).map(m =>
+        (graft.functions.GraftExpressions.argminCell(
+          slice(col("v"), m * PQ_SUB + 1, PQ_SUB), pqCentsCol(m))
+          .getField("cell") + 1).as(s"g$m")): _*)
+    val probes = n.filter(col("vec_id") < 10).join(cells, "vec_id")
       .select(col("vec_id").as("probe_id") +: col("cell") +:
-        (0 until PQ_M).map(m => col(s"d$m").as(s"pd$m")): _*)
+        (0 until PQ_M).map(m => distsCol(m).as(s"pd$m")): _*)
     val adc = (0 until PQ_M)
       .map(m => element_at(col(s"pd$m"), col(s"g$m").cast("int")))
       .reduce(_ + _)
@@ -2067,14 +2084,29 @@ object Similarity {
          |           list_transform(range(1, len($vexpr) + 1), i -> $vexpr[i] * (${planeSqlArrayWide(p)})[i])), (x, y) -> x + y) > 0
          |      THEN ${1 << p} ELSE 0 END""".stripMargin).mkString(" + ")
 
+  /** A sign bucket over `np` hyperplanes as a Column: bit p is set iff
+    * `v · plane(p) > 0`. The projection runs on the codegen'd
+    * [[graft.functions.GraftExpressions.DotProductD]] kernel — the same
+    * left-to-right index fold, bit-identical to the previous
+    * `aggregate(zip_with(v, plane, *), 0.0, +)` higher-order formulation
+    * (spec-pinned in GraftExpressionsSpec), which interpreted ~4
+    * expression nodes per element per plane per row. Bucket assignment is
+    * per-CORPUS-row in every LSH/ANN index build, so the interpretation
+    * tax scaled with the full table (the s14/s20 argmin lesson, §7.18).
+    * Callers all derive from [[Dedup.normedVectors]], which installs the
+    * graft function registry on the session.
+    */
+  private[ops] def signBucketCol(v: Column, np: Int, plane: Int => Column): Column =
+    (0 until np).map { p =>
+      when(graft.functions.GraftExpressions.dot(v, plane(p)) > 0,
+        lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
   /** The ANN index's sign bucket as a Column — same fixed-order fold,
     * `np` from [[annPlanes]] over the same corpus count the oracle uses.
     */
   private[ops] def planeBucketCol(v: Column, np: Int): Column =
-    (0 until np).map { p =>
-      when(aggregate(zip_with(v, planeColWide(p), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x) > 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+    signBucketCol(v, np, planeColWide)
 
   /** The s21 SQ8 encode rule: s6/s19's affine min-max code with BOTH ends
     * clamped — the standing quantizer's stats are corpus-trained, so a
